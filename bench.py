@@ -1,0 +1,109 @@
+"""Benchmark: full-graph GCN training throughput in edges/s per chip.
+
+Prints ONE JSON line:
+    {"metric": "edges_per_sec_per_chip", "value": N, "unit": "edges/s",
+     "vs_baseline": R}
+
+Workload follows the reference's headline config (gcn_reddit_full.cfg:
+Reddit-scale 232,965 vertices, layers 602-128-41, full-graph GCN). The graph
+is a synthetic power-law graph at that scale (the Reddit binary itself is not
+shipped with the reference). edges/s = E * epochs / wall_time, the metric
+defined in BASELINE.md.
+
+``vs_baseline`` compares against the reference implementation's measured CPU
+throughput on this host when a measurement file exists
+(reference_baseline.json, produced by tools/measure_reference.py), else
+against a conservative literature estimate for the reference's CPU engine
+(see BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def make_powerlaw_graph(v, avg_deg, seed=0):
+    """Power-law in-degree graph (degree skew like Reddit)."""
+    rng = np.random.default_rng(seed)
+    e = v * avg_deg
+    # preferential-attachment-ish: dst ~ zipf-weighted choice
+    w = (np.arange(1, v + 1) ** -0.8)
+    w /= w.sum()
+    dst = rng.choice(v, size=e, p=w).astype(np.int32)
+    src = rng.integers(0, v, size=e).astype(np.int32)
+    from neutronstarlite_tpu.graph.structure import add_self_loops, build_graph
+    src, dst = add_self_loops(src, dst, v)
+    return build_graph(src, dst, v)
+
+
+def main():
+    v = int(os.environ.get("NSL_BENCH_V", 232965))
+    avg_deg = int(os.environ.get("NSL_BENCH_DEG", 50))
+    epochs = int(os.environ.get("NSL_BENCH_EPOCHS", 10))
+    backend = os.environ.get("NSL_BENCH_BACKEND", "auto")
+
+    import jax
+    import jax.numpy as jnp
+    from neutronstarlite_tpu.config import InputInfo
+    from neutronstarlite_tpu.graph.dataset import GNNDatum
+    from neutronstarlite_tpu.models import gcn
+    from neutronstarlite_tpu.training.trainer import FullGraphTrainer
+
+    t0 = time.time()
+    g = make_powerlaw_graph(v, avg_deg)
+    feats = np.random.default_rng(1).random((v, 602), np.float32)
+    labels = np.random.default_rng(2).integers(0, 41, v).astype(np.int32)
+    masks = np.zeros(v, np.int32)  # all train, like a throughput run
+    datum = GNNDatum(graph=g, features=feats, labels=labels, masks=masks,
+                     num_classes=41)
+    cfg = InputInfo(vertices=v, epochs=epochs, layer_string="602-128-41",
+                    learn_rate=0.01, weight_decay=1e-4, drop_rate=0.5,
+                    seed=0)
+    build_s = time.time() - t0
+    _log(f"graph+data built in {build_s:.1f}s (V={v} E={g.num_edges})")
+
+    t0 = time.time()
+    tr = FullGraphTrainer(datum, cfg, model=gcn, backend=backend)
+    _log(f"trainer built in {time.time()-t0:.1f}s")
+    t0 = time.time()
+    tr.run(epochs=2)  # warmup + compile
+    _log(f"warmup (compile + 2 epochs) {time.time()-t0:.1f}s")
+    t0 = time.time()
+    tr.run(epochs=epochs)
+    wall = time.time() - t0
+    _log(f"{epochs} timed epochs {wall:.2f}s")
+    edges_per_sec = g.num_edges * epochs / wall
+
+    # baseline comparison
+    baseline_eps = None
+    base_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "reference_baseline.json")
+    if os.path.exists(base_file):
+        with open(base_file) as f:
+            baseline_eps = json.load(f).get("edges_per_sec")
+    vs = (edges_per_sec / baseline_eps) if baseline_eps else None
+
+    print(json.dumps({
+        "metric": "edges_per_sec_per_chip",
+        "value": round(edges_per_sec),
+        "unit": "edges/s",
+        "vs_baseline": round(vs, 3) if vs else None,
+        "detail": {
+            "num_vertices": v, "num_edges": int(g.num_edges),
+            "epochs": epochs, "wall_s": round(wall, 3),
+            "epoch_s": round(wall / epochs, 4),
+            "build_s": round(build_s, 2),
+            "backend": jax.default_backend(),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,165 @@
+// NeutronStarLite-TPU native host runtime.
+//
+// The reference implements its graph substrate and sampler in C++/OpenMP
+// (core/graph.hpp load/partition/CSC-CSR build; core/ntsSampler.hpp
+// reservoir sampling; core/coocsc.hpp relabeling). This library provides the
+// TPU build's equivalents for the host-side hot paths — everything the
+// device (XLA) can't do: edge sorting/CSC construction, ELLPACK packing, and
+// minibatch neighbor sampling. Exposed as a C ABI consumed via ctypes
+// (neutronstarlite_tpu/native.py), with pure-numpy fallbacks when the .so is
+// absent.
+//
+// Build: `make` in this directory (g++ -O3 -fopenmp -march=native -fPIC).
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <random>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Degree count: deg[i] = #occurrences of i in ids[0..e)
+// ---------------------------------------------------------------------------
+void nsl_degree(const int32_t* ids, int64_t e, int32_t v, int32_t* deg) {
+  std::memset(deg, 0, sizeof(int32_t) * v);
+#ifdef _OPENMP
+#pragma omp parallel
+  {
+    std::vector<int32_t> local(v, 0);
+#pragma omp for nowait
+    for (int64_t i = 0; i < e; i++) local[ids[i]]++;
+#pragma omp critical
+    for (int32_t j = 0; j < v; j++) deg[j] += local[j];
+  }
+#else
+  for (int64_t i = 0; i < e; i++) deg[ids[i]]++;
+#endif
+}
+
+// ---------------------------------------------------------------------------
+// Stable counting sort of edges by key (dst for CSC, src for CSR).
+// Outputs: offsets[v+1], perm[e] (input edge order within each bucket
+// preserved — same per-segment edge order as the reference's CSC build).
+// ---------------------------------------------------------------------------
+void nsl_sort_edges(const int32_t* key, int64_t e, int32_t v,
+                    int64_t* offsets, int64_t* perm) {
+  std::vector<int32_t> deg(v, 0);
+  for (int64_t i = 0; i < e; i++) deg[key[i]]++;
+  offsets[0] = 0;
+  for (int32_t j = 0; j < v; j++) offsets[j + 1] = offsets[j] + deg[j];
+  std::vector<int64_t> cursor(offsets, offsets + v);
+  for (int64_t i = 0; i < e; i++) perm[cursor[key[i]]++] = i;
+}
+
+// ---------------------------------------------------------------------------
+// ELLPACK packing of a CSC/CSR: rows x k slots; overflow beyond k spills to
+// a COO tail. Returns tail length. Pass tail arrays sized to (e) worst case.
+// ---------------------------------------------------------------------------
+int64_t nsl_pack_ell(const int64_t* offsets, const int32_t* nbr,
+                     const float* w, int32_t rows, int32_t k,
+                     int32_t* ell_idx, float* ell_w, int32_t* tail_src,
+                     int32_t* tail_dst, float* tail_w) {
+  // zero-fill ELL slabs
+  std::memset(ell_idx, 0, sizeof(int32_t) * (int64_t)rows * k);
+  std::memset(ell_w, 0, sizeof(float) * (int64_t)rows * k);
+  std::atomic<int64_t> tail_n{0};
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 64)
+#endif
+  for (int32_t r = 0; r < rows; r++) {
+    int64_t lo = offsets[r], hi = offsets[r + 1];
+    int64_t take = std::min<int64_t>(hi - lo, k);
+    for (int64_t j = 0; j < take; j++) {
+      ell_idx[(int64_t)r * k + j] = nbr[lo + j];
+      ell_w[(int64_t)r * k + j] = w[lo + j];
+    }
+    int64_t extra = (hi - lo) - take;
+    if (extra > 0) {
+      int64_t base = tail_n.fetch_add(extra);
+      for (int64_t j = 0; j < extra; j++) {
+        tail_src[base + j] = nbr[lo + take + j];
+        tail_dst[base + j] = r;
+        tail_w[base + j] = w[lo + take + j];
+      }
+    }
+  }
+  return tail_n.load();
+}
+
+// ---------------------------------------------------------------------------
+// Minibatch neighbor sampling: one hop for a batch of seeds.
+// For each seed (>=0), uniformly sample up to `fanout` in-neighbors without
+// replacement from csc (offsets, nbr) — the reference's reservoir sampler
+// (ntsSampler.hpp:113-172) produces the same distribution.
+// out_nbr: [cap, fanout] global ids (-1 pad). Parallel over rows; each row
+// uses a counter-based RNG stream (seed, row) for reproducibility.
+// ---------------------------------------------------------------------------
+void nsl_sample_hop(const int64_t* offsets, const int32_t* nbr,
+                    const int32_t* seeds, int32_t cap, int32_t fanout,
+                    uint64_t seed, int64_t* out_nbr_i64_unused,
+                    int32_t* out_nbr) {
+  (void)out_nbr_i64_unused;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 16)
+#endif
+  for (int32_t r = 0; r < cap; r++) {
+    int32_t* row = out_nbr + (int64_t)r * fanout;
+    for (int32_t j = 0; j < fanout; j++) row[j] = -1;
+    int32_t vtx = seeds[r];
+    if (vtx < 0) continue;
+    int64_t lo = offsets[vtx], hi = offsets[vtx + 1];
+    int64_t deg = hi - lo;
+    if (deg <= 0) continue;
+    if (deg <= fanout) {
+      for (int64_t j = 0; j < deg; j++) row[j] = nbr[lo + j];
+    } else {
+      // reservoir sampling (matches reference semantics)
+      std::mt19937_64 rng(seed * 0x9E3779B97F4A7C15ULL + (uint64_t)r);
+      std::vector<int64_t> res(fanout);
+      for (int32_t j = 0; j < fanout; j++) res[j] = lo + j;
+      for (int64_t i = fanout; i < deg; i++) {
+        uint64_t j = rng() % (uint64_t)(i + 1);
+        if (j < (uint64_t)fanout) res[j] = lo + i;
+      }
+      for (int32_t j = 0; j < fanout; j++) row[j] = nbr[res[j]];
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Dedup + relabel: given flat global ids (with -1 padding), produce the
+// sorted unique table and rewrite ids as local indices (pad stays 0 with
+// valid=0). Serial (called per batch; batches are small).
+// Returns table size.
+// ---------------------------------------------------------------------------
+int64_t nsl_dedup_relabel(const int32_t* flat, int64_t n, int32_t v,
+                          int32_t* table, int32_t* local, int32_t* scratch) {
+  // scratch: [v] int32 workspace (caller-allocated, reused across calls)
+  // pass 1: mark
+  for (int64_t i = 0; i < n; i++)
+    if (flat[i] >= 0) scratch[flat[i]] = 1;
+  // pass 2: assign ranks over marked ids (sorted order)
+  int64_t cnt = 0;
+  for (int32_t j = 0; j < v; j++) {
+    if (scratch[j]) {
+      table[cnt] = j;
+      scratch[j] = (int32_t)(cnt + 1);  // rank+1 (0 = absent)
+      cnt++;
+    }
+  }
+  // pass 3: rewrite
+  for (int64_t i = 0; i < n; i++)
+    local[i] = flat[i] >= 0 ? scratch[flat[i]] - 1 : 0;
+  // pass 4: clear marks
+  for (int64_t i = 0; i < cnt; i++) scratch[table[i]] = 0;
+  return cnt;
+}
+
+}  // extern "C"

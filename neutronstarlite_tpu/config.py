@@ -1,0 +1,119 @@
+"""Config parsing: the reference's ``KEY:value`` cfg format.
+
+Re-creates ``InputInfo`` / ``readFromCfgFile`` (ref: core/GraphSegment.h:148-179,
+core/GraphSegment.cpp:222-292) with the exact same keys, so a user of the
+reference can point this framework at their existing ``*.cfg`` files.
+
+Engine switches that were CPU/CUDA-specific in the reference (PROC_CUDA,
+LOCK_FREE, OPTIM_KERNEL) are accepted for compatibility; on TPU they map to
+backend selection (``kernel`` = pallas vs xla) or are no-ops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+
+@dataclasses.dataclass
+class InputInfo:
+    """All run configuration. Field-for-field parity with the reference's
+    InputInfo (core/GraphSegment.h:148-179), plus TPU-specific extensions."""
+
+    algorithm: str = ""
+    vertices: int = 0
+    epochs: int = 10
+    layer_string: str = ""
+    fanout_string: str = ""
+    edge_file: str = ""
+    feature_file: str = ""
+    label_file: str = ""
+    mask_file: str = ""
+    overlap: bool = False          # PROC_OVERLAP: comm/compute pipelining
+    process_local: bool = False    # PROC_LOCAL (hybrid local processing)
+    with_cuda: bool = False        # PROC_CUDA — accepted, unused on TPU
+    repthreshold: int = 0          # PROC_REP: DepCache replication threshold
+    lock_free: bool = True         # LOCK_FREE — no-op on TPU (static index maps)
+    optim_kernel_enable: bool = True  # OPTIM_KERNEL → use pallas kernels
+    learn_rate: float = 0.01
+    weight_decay: float = 0.05
+    decay_rate: float = 0.97
+    decay_epoch: float = -1
+    drop_rate: float = 0.0
+    batch_size: int = 64
+    # --- TPU-native extensions (unknown keys in the reference printed
+    # "not supported configure"; here they are first-class) ---
+    kernel_backend: str = "auto"   # KERNEL_BACKEND: auto|xla|pallas
+    num_partitions: int = 1        # NUM_PARTITIONS: mesh size for dist runs
+    dtype: str = "float32"         # DTYPE: float32|bfloat16 compute dtype
+    seed: int = 2026               # SEED
+
+    @property
+    def layer_sizes(self) -> List[int]:
+        """Parse "1433-128-7" → [1433, 128, 7] (ref: graph.hpp:302-336)."""
+        if not self.layer_string:
+            return []
+        return [int(s) for s in self.layer_string.split("-")]
+
+    @property
+    def fanout(self) -> List[int]:
+        """Parse "5-10-10" → [5, 10, 10] (per-hop sample fanouts)."""
+        if not self.fanout_string:
+            return []
+        return [int(s) for s in self.fanout_string.split("-")]
+
+    @classmethod
+    def from_cfg_file(cls, path: str) -> "InputInfo":
+        """Parse the reference's KEY:value cfg file format
+        (ref: core/GraphSegment.cpp:222-292)."""
+        info = cls()
+        with open(path, "r") as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#") or ":" not in line:
+                    continue
+                key, _, val = line.partition(":")
+                info._set_key(key.strip(), val.strip())
+        return info
+
+    def _set_key(self, key: str, val: str) -> None:
+        flag = lambda v: v == "1" or v.lower() == "true"  # noqa: E731
+        dispatch = {
+            "ALGORITHM": lambda: setattr(self, "algorithm", val),
+            "VERTICES": lambda: setattr(self, "vertices", int(val)),
+            "EPOCHS": lambda: setattr(self, "epochs", int(val)),
+            "LAYERS": lambda: setattr(self, "layer_string", val),
+            "FANOUT": lambda: setattr(self, "fanout_string", val),
+            "EDGE_FILE": lambda: setattr(self, "edge_file", val),
+            "FEATURE_FILE": lambda: setattr(self, "feature_file", val),
+            "LABEL_FILE": lambda: setattr(self, "label_file", val),
+            "MASK_FILE": lambda: setattr(self, "mask_file", val),
+            "PROC_OVERLAP": lambda: setattr(self, "overlap", flag(val)),
+            "PROC_LOCAL": lambda: setattr(self, "process_local", flag(val)),
+            "PROC_CUDA": lambda: setattr(self, "with_cuda", flag(val)),
+            "PROC_REP": lambda: setattr(self, "repthreshold", int(val)),
+            "LOCK_FREE": lambda: setattr(self, "lock_free", flag(val)),
+            "OPTIM_KERNEL": lambda: setattr(self, "optim_kernel_enable", flag(val)),
+            "LEARN_RATE": lambda: setattr(self, "learn_rate", float(val)),
+            "WEIGHT_DECAY": lambda: setattr(self, "weight_decay", float(val)),
+            "DECAY_RATE": lambda: setattr(self, "decay_rate", float(val)),
+            "DECAY_EPOCH": lambda: setattr(self, "decay_epoch", float(val)),
+            "DROP_RATE": lambda: setattr(self, "drop_rate", float(val)),
+            "BATCH_SIZE": lambda: setattr(self, "batch_size", int(val)),
+            "KERNEL_BACKEND": lambda: setattr(self, "kernel_backend", val),
+            "NUM_PARTITIONS": lambda: setattr(self, "num_partitions", int(val)),
+            "DTYPE": lambda: setattr(self, "dtype", val),
+            "SEED": lambda: setattr(self, "seed", int(val)),
+        }
+        fn = dispatch.get(key)
+        if fn is None:
+            print(f"not supported configure: {key}")
+        else:
+            fn()
+
+    def print(self) -> None:
+        """Config dump, same spirit as InputInfo::print
+        (ref: core/GraphSegment.cpp:294-318)."""
+        for f in dataclasses.fields(self):
+            print(f"{f.name}\t:\t{getattr(self, f.name)}")
+        print("------------------input info--------------")

@@ -1,0 +1,63 @@
+"""CLI entry point: ``python -m neutronstarlite_tpu.main <cfg>``.
+
+Re-creates toolkits/main.cpp:34-199 — parse the cfg, dispatch on the
+ALGORITHM string, run, print exec_time. The reference's CPU/GPU/EAGER/DIST
+algorithm variants collapse onto TPU trainers:
+
+* full-graph single chip: GCNCPU / GCN / GCNEAGER(SINGLE) / GATCPU /
+  GATCPUDIST / GATGPUDIST / GINCPU / GINGPU / COMMNETGPU
+* sampled minibatch: GCNSAMPLESINGLE
+* distributed full-graph over a mesh (NUM_PARTITIONS>1): any of the above
+  full-graph algorithms via the DepComm engine (parallel/).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from neutronstarlite_tpu.config import InputInfo
+from neutronstarlite_tpu.graph.dataset import load_dataset
+from neutronstarlite_tpu.models import ALGORITHMS, gcn
+from neutronstarlite_tpu.training.trainer import FullGraphTrainer
+from neutronstarlite_tpu.training.minibatch import MinibatchTrainer
+
+
+def run_from_config(config: InputInfo, log_every: int = 1):
+    datum = load_dataset(config)
+    algo = config.algorithm.upper()
+    t0 = time.time()
+    if algo == "GCNSAMPLESINGLE":
+        trainer = MinibatchTrainer(datum, config)
+    else:
+        model = ALGORITHMS.get(algo, gcn)
+        eager = "EAGER" in algo
+        backend = config.kernel_backend
+        if not config.optim_kernel_enable and backend == "auto":
+            backend = "xla"
+        if config.num_partitions > 1:
+            from neutronstarlite_tpu.training.dist_trainer import DistTrainer
+            trainer = DistTrainer(datum, config, model=model)
+        else:
+            kwargs = {"eager": True} if eager and model is gcn else {}
+            trainer = FullGraphTrainer(datum, config, model=model,
+                                       backend=backend, **kwargs)
+    history = trainer.run(log_every=log_every)
+    exec_time = time.time() - t0
+    print(f"#run_time={exec_time:.3f}(s)")  # main.cpp:189-192 format
+    return trainer, history
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print("usage: python -m neutronstarlite_tpu.main <config.cfg>")
+        return 1
+    config = InputInfo.from_cfg_file(argv[0])
+    config.print()
+    run_from_config(config)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

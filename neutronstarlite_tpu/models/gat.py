@@ -1,0 +1,74 @@
+"""GAT: per-edge attention via SDDMM-style edge NN + segment softmax.
+
+Ref: toolkits/GAT_CPU.hpp:194-226, GAT_CPU_DIST.hpp:181-215. Per layer i
+(weights P[2i] vertex transform [F→F'], P[2i+1] attention [2F'→1]):
+
+    x_t   = x @ W_{2i}
+    e_src = scatter_src(x_t); e_dst = scatter_dst(x_t)
+    m     = leaky_relu(cat(e_src, e_dst) @ W_{2i+1}, 0.2)
+    a     = edge_softmax(m)                 # per-dst segments
+    nbr   = aggregate_dst_sum(e_src * a)
+    x'    = relu(nbr)                       # every layer, incl. the last
+
+Loss applies log_softmax afterwards, exactly like GCN.
+
+TPU note: the concat [e_src ∥ e_dst] @ W is algebraically split as
+e_src @ Wl + e_dst @ Wr with Wl/Wr the two halves of W_{2i+1}; the per-vertex
+terms (x_t @ Wl, x_t @ Wr) are computed once per *vertex* and scattered as
+scalars — the comm/compute optimization the reference documents in
+GAT_CPU_DIST_OPTM.hpp:210-235 (uncompiled there; first-class here). This
+turns an [E,2F'] intermediate into two [E] vectors.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from neutronstarlite_tpu.nn import param
+
+
+class GATState(NamedTuple):
+    params: list   # per layer: {"w": [F,F'], "attn": [2F',1]}
+    bn: list       # unused (GAT reference has no batchnorm); kept for trainer parity
+
+
+def init(key: jax.Array, layer_sizes: Sequence[int], dtype=jnp.float32
+         ) -> GATState:
+    n_layers = len(layer_sizes) - 1
+    keys = jax.random.split(key, 2 * n_layers)
+    params = []
+    for i in range(n_layers):
+        f_in, f_out = layer_sizes[i], layer_sizes[i + 1]
+        params.append({
+            "w": param.glorot_uniform(keys[2 * i], f_in, f_out, dtype),
+            "attn": param.glorot_uniform(keys[2 * i + 1], 2 * f_out, 1, dtype),
+        })
+    return GATState(params=params, bn=[])
+
+
+def forward(state: GATState, gt, x: jax.Array, key: jax.Array | None,
+            training: bool, drop_rate: float = 0.0):
+    del key, drop_rate  # reference GAT applies no dropout in this path
+    for p in state.params:
+        x_t = x @ p["w"]
+        # the one communicating op per layer (DistGetDepNbrOp,
+        # ref: core/ntsDistCPUGraphOp.hpp:34-126): single-chip = identity,
+        # dist = all_to_all producing the [local ∪ mirror] feature table
+        mirror = gt.get_dep_nbr(x_t)
+        f_out = p["w"].shape[1]
+        # split attention into per-src and per-dst scalar terms
+        # (GAT_CPU_DIST_OPTM decomposition)
+        a_l = p["attn"][:f_out, :]       # [F',1]
+        a_r = p["attn"][f_out:, :]       # [F',1]
+        s_src = (mirror @ a_l)[:, 0]     # per src-table row
+        s_dst = (x_t @ a_r)[:, 0]        # per local dst row
+        m = jax.nn.leaky_relu(
+            jnp.take(s_src, gt.fwd_src) + jnp.take(s_dst, gt.fwd_dst),
+            negative_slope=0.2)
+        a = gt.edge_softmax(m[:, None])[:, 0]          # [E]
+        nbr = gt.aggregate_weighted(a, mirror)         # Σ a_e mirror[src]
+        x = jax.nn.relu(nbr)
+    return x, []

@@ -1,0 +1,76 @@
+"""GCN: degree-normalized neighbor aggregation + per-layer dense transform.
+
+Ref: toolkits/GCN_CPU.hpp (dist CPU), GCN.hpp (dist GPU), GCN_EAGER*.hpp.
+Layer i: Y = Â·X (fused SpMM, ForwardCPUfuseOp); hidden layers then apply
+batchnorm → relu(Y·W) → dropout; the last layer is a bare linear
+(GCN_CPU.hpp:216-228). The loss applies log_softmax + masked NLL
+(GCN_CPU.hpp:187-196).
+
+"EAGER" variants of the reference apply W before aggregation (W then Â) —
+mathematically Â(XW) = (ÂX)W; we expose ``eager=True`` for the op order, which
+is the cheaper order when F_out < F_in (the usual case).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from neutronstarlite_tpu.nn import layers, param
+
+
+class GCNState(NamedTuple):
+    params: list          # [{"w": [F_in, F_out]}] per layer
+    bn: list              # batchnorm state per hidden layer
+
+
+def init(key: jax.Array, layer_sizes: Sequence[int], dtype=jnp.float32
+         ) -> GCNState:
+    n_layers = len(layer_sizes) - 1
+    keys = jax.random.split(key, n_layers)
+    params = [param.init_linear(keys[i], layer_sizes[i], layer_sizes[i + 1],
+                                dtype)
+              for i in range(n_layers)]
+    bn = [layers.batch_norm_init(layer_sizes[i], dtype)
+          for i in range(n_layers - 1)]
+    return GCNState(params=params, bn=bn)
+
+
+def forward(state: GCNState, gt, x: jax.Array, key: jax.Array | None,
+            training: bool, drop_rate: float = 0.0, eager: bool = False):
+    """Returns (logits [V, C], new_bn list). ``gt`` is anything exposing
+    ``aggregate_neighbors`` (GraphTensors or DistGraphTensors)."""
+    n_layers = len(state.params)
+    new_bn = []
+    if training and key is not None:
+        drop_keys = jax.random.split(key, n_layers)
+    for i in range(n_layers):
+        w = state.params[i]["w"]
+        if i < n_layers - 1:
+            if eager:
+                # eager order (GCN_CPU_EAGER): transform then aggregate;
+                # batchnorm stays on the F_in side as in the reference.
+                y, nb = layers.batch_norm_apply(state.bn[i], x, training)
+                h = jax.nn.relu(gt.aggregate_neighbors(y @ w))
+            else:
+                y = gt.aggregate_neighbors(x)
+                y, nb = layers.batch_norm_apply(state.bn[i], y, training)
+                h = jax.nn.relu(y @ w)
+            new_bn.append(nb)
+            if training and drop_rate > 0.0 and key is not None:
+                h = layers.dropout(drop_keys[i], h, drop_rate, training)
+            x = h
+        else:
+            if eager:
+                x = gt.aggregate_neighbors(x @ w)
+            else:
+                x = gt.aggregate_neighbors(x) @ w
+    return x, new_bn
+
+
+def loss_fn(logits: jax.Array, labels: jax.Array, train_mask: jax.Array
+            ) -> jax.Array:
+    return layers.nll_loss_masked(layers.log_softmax(logits), labels,
+                                  train_mask)

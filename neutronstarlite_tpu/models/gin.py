@@ -1,0 +1,60 @@
+"""GIN: sum aggregation + (1+ε)·x with a 2-layer MLP per GNN layer.
+
+Ref: toolkits/GIN_CPU.hpp:175-190 vertexForward — with ε fixed to 1...
+actually ``a + (1)*x`` i.e. ε=0 in GIN terms (h = agg + x):
+
+    hidden layers: y = bn(relu(W2·relu(W1·(agg + x))))
+    last layer:    y = bn(W2·relu(W1·(agg + x)))
+
+where agg is the degree-normalized fused aggregation (ForwardCPUfuseOp — the
+reference GIN reuses the GCN aggregate, GIN_CPU.hpp engine composition) and
+P[2l], P[2l+1] are the MLP weights sized [F_in→F_out], [F_out→F_out]; the
+batchnorm is BatchNorm1d(F_out). Loss = log_softmax + masked NLL.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from neutronstarlite_tpu.nn import layers, param
+
+
+class GINState(NamedTuple):
+    params: list   # per layer: {"w1": [F_in,F_out], "w2": [F_out,F_out]}
+    bn: list       # per layer batchnorm over F_out
+
+
+def init(key: jax.Array, layer_sizes: Sequence[int], dtype=jnp.float32
+         ) -> GINState:
+    n_layers = len(layer_sizes) - 1
+    keys = jax.random.split(key, 2 * n_layers)
+    params, bn = [], []
+    for i in range(n_layers):
+        f_in, f_out = layer_sizes[i], layer_sizes[i + 1]
+        params.append({
+            "w1": param.glorot_uniform(keys[2 * i], f_in, f_out, dtype),
+            "w2": param.glorot_uniform(keys[2 * i + 1], f_out, f_out, dtype),
+        })
+        bn.append(layers.batch_norm_init(f_out, dtype))
+    return GINState(params=params, bn=bn)
+
+
+def forward(state: GINState, gt, x: jax.Array, key: jax.Array | None,
+            training: bool, drop_rate: float = 0.0, eps: float = 0.0):
+    del key, drop_rate
+    n_layers = len(state.params)
+    new_bn = []
+    for i in range(n_layers):
+        p = state.params[i]
+        agg = gt.aggregate_neighbors(x)
+        h = agg + (1.0 + eps) * x
+        h = jax.nn.relu(h @ p["w1"]) @ p["w2"]
+        if i < n_layers - 1:
+            h = jax.nn.relu(h)
+        h, nb = layers.batch_norm_apply(state.bn[i], h, training)
+        new_bn.append(nb)
+        x = h
+    return x, new_bn

@@ -1,0 +1,134 @@
+"""ctypes bindings for the native host runtime (native/libnsl_native.so).
+
+The reference's graph substrate and sampler are C++/OpenMP; ours live in
+native/nsl_native.cpp with these bindings. Every function has a numpy
+fallback at its call site, so the framework works without the .so (e.g.
+fresh checkout before `make -C native`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_I32P = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_I64P = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_F32P = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    so = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      "native", "libnsl_native.so")
+    if not os.path.exists(so):
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+        lib.nsl_degree.argtypes = [_I32P, ctypes.c_int64, ctypes.c_int32,
+                                   _I32P]
+        lib.nsl_sort_edges.argtypes = [_I32P, ctypes.c_int64, ctypes.c_int32,
+                                       _I64P, _I64P]
+        lib.nsl_pack_ell.argtypes = [_I64P, _I32P, _F32P, ctypes.c_int32,
+                                     ctypes.c_int32, _I32P, _F32P, _I32P,
+                                     _I32P, _F32P]
+        lib.nsl_pack_ell.restype = ctypes.c_int64
+        lib.nsl_sample_hop.argtypes = [_I64P, _I32P, _I32P, ctypes.c_int32,
+                                       ctypes.c_int32, ctypes.c_uint64,
+                                       ctypes.c_void_p, _I32P]
+        lib.nsl_dedup_relabel.argtypes = [_I32P, ctypes.c_int64,
+                                          ctypes.c_int32, _I32P, _I32P, _I32P]
+        lib.nsl_dedup_relabel.restype = ctypes.c_int64
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def degree(ids: np.ndarray, num_vertices: int) -> np.ndarray | None:
+    lib = _load()
+    if lib is None:
+        return None
+    ids = np.ascontiguousarray(ids, np.int32)
+    out = np.zeros(num_vertices, np.int32)
+    lib.nsl_degree(ids, ids.size, num_vertices, out)
+    return out
+
+
+def sort_edges(key: np.ndarray, num_vertices: int):
+    """Stable bucket sort by key → (offsets[v+1] int64, perm[e] int64)."""
+    lib = _load()
+    if lib is None:
+        return None
+    key = np.ascontiguousarray(key, np.int32)
+    offsets = np.zeros(num_vertices + 1, np.int64)
+    perm = np.zeros(key.size, np.int64)
+    lib.nsl_sort_edges(key, key.size, num_vertices, offsets, perm)
+    return offsets, perm
+
+
+def pack_ell(offsets: np.ndarray, nbr: np.ndarray, w: np.ndarray,
+             rows: int, k: int):
+    """→ (ell_idx [rows,k], ell_w [rows,k], tail_src, tail_dst, tail_w)."""
+    lib = _load()
+    if lib is None:
+        return None
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    nbr = np.ascontiguousarray(nbr, np.int32)
+    w = np.ascontiguousarray(w, np.float32)
+    ell_idx = np.zeros((rows, k), np.int32)
+    ell_w = np.zeros((rows, k), np.float32)
+    e = nbr.size
+    tail_src = np.zeros(e, np.int32)
+    tail_dst = np.zeros(e, np.int32)
+    tail_w = np.zeros(e, np.float32)
+    n = lib.nsl_pack_ell(offsets, nbr, w, rows, k, ell_idx, ell_w,
+                         tail_src, tail_dst, tail_w)
+    return ell_idx, ell_w, tail_src[:n].copy(), tail_dst[:n].copy(), \
+        tail_w[:n].copy()
+
+
+def sample_hop(offsets: np.ndarray, nbr: np.ndarray, seeds: np.ndarray,
+               fanout: int, seed: int) -> np.ndarray | None:
+    """Uniform-without-replacement hop sample → [cap, fanout] global ids
+    (-1 padded)."""
+    lib = _load()
+    if lib is None:
+        return None
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    nbr = np.ascontiguousarray(nbr, np.int32)
+    seeds = np.ascontiguousarray(seeds, np.int32)
+    out = np.zeros((seeds.size, fanout), np.int32)
+    lib.nsl_sample_hop(offsets, nbr, seeds, seeds.size, fanout,
+                       np.uint64(seed), None, out)
+    return out
+
+
+class DedupWorkspace:
+    """Reusable [V] scratch for nsl_dedup_relabel."""
+
+    def __init__(self, num_vertices: int):
+        self.num_vertices = num_vertices
+        self.scratch = np.zeros(num_vertices, np.int32)
+
+    def __call__(self, flat: np.ndarray):
+        lib = _load()
+        if lib is None:
+            return None
+        flat = np.ascontiguousarray(flat, np.int32)
+        table = np.zeros(flat.size, np.int32)
+        local = np.zeros(flat.size, np.int32)
+        n = lib.nsl_dedup_relabel(flat, flat.size, self.num_vertices, table,
+                                  local, self.scratch)
+        return table[:n].copy(), local

@@ -1,0 +1,145 @@
+"""Device-side graph tensor bundle + backend-dispatching high-level ops.
+
+``GraphTensors`` is the device counterpart of the reference's
+``CSC_segment_pinned`` chunk set (ref: core/GraphSegment.h:52-139): the dual
+dst-sorted / src-sorted edge arrays with precomputed weights, as jnp arrays.
+It is a pytree, so it can be closed over or passed through jit freely.
+
+Backend dispatch: ``backend='xla'`` uses the segment ops; ``backend='pallas'``
+uses the TPU kernels in pallas_spmm.py (falling back to xla off-TPU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neutronstarlite_tpu.graph.structure import Graph
+from neutronstarlite_tpu.ops import segment
+
+
+def _default_backend() -> str:
+    try:
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    except Exception:
+        return "xla"
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class GraphTensors:
+    """Static per-run graph arrays on device.
+
+    ``num_vertices`` / ``num_edges`` / ``backend`` are aux (static) data so
+    jit treats them as compile-time constants.
+    """
+
+    # forward (dst-sorted) ordering
+    fwd_src: jax.Array    # [E] int32
+    fwd_dst: jax.Array    # [E] int32 non-decreasing
+    fwd_weight: jax.Array  # [E] float32
+    # backward (src-sorted) ordering of the same edges
+    bwd_src: jax.Array    # [E] int32 non-decreasing
+    bwd_dst: jax.Array    # [E] int32
+    bwd_weight: jax.Array  # [E] float32
+    in_degree: jax.Array   # [V] float32
+    out_degree: jax.Array  # [V] float32
+    num_vertices: int = dataclasses.field(metadata={"static": True})
+    num_edges: int = dataclasses.field(metadata={"static": True})
+    backend: str = "xla"
+    # optional ELL packing (fwd_pack, bwd_pack) for the pallas backend
+    ell: Any = None
+
+    # ---- pytree protocol ----
+    def tree_flatten(self):
+        children = (self.fwd_src, self.fwd_dst, self.fwd_weight,
+                    self.bwd_src, self.bwd_dst, self.bwd_weight,
+                    self.in_degree, self.out_degree, self.ell)
+        aux = (self.num_vertices, self.num_edges, self.backend)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children[:8], num_vertices=aux[0], num_edges=aux[1],
+                   backend=aux[2], ell=children[8])
+
+    # ---- construction ----
+    @classmethod
+    def from_graph(cls, g: Graph, backend: str = "auto",
+                   ell_cap: int = 256) -> "GraphTensors":
+        if backend == "auto":
+            backend = _default_backend()
+        ell = None
+        if backend == "pallas":
+            from neutronstarlite_tpu.ops import pallas_spmm
+            ell = pallas_spmm.build_ell_tensors(g, ell_cap=ell_cap)
+        dev = jnp.asarray
+        return cls(
+            fwd_src=dev(g.fwd_src), fwd_dst=dev(g.fwd_dst),
+            fwd_weight=dev(g.fwd_weight),
+            bwd_src=dev(g.bwd_src), bwd_dst=dev(g.bwd_dst),
+            bwd_weight=dev(g.bwd_weight),
+            in_degree=dev(g.in_degree.astype(np.float32)),
+            out_degree=dev(g.out_degree.astype(np.float32)),
+            num_vertices=g.num_vertices, num_edges=g.num_edges,
+            backend=backend, ell=ell,
+        )
+
+    # ---- the op zoo bound to this graph ----
+    def get_dep_nbr(self, x: jax.Array) -> jax.Array:
+        """Dependency-neighbor fetch (DistGetDepNbrOp,
+        ref: core/ntsDistCPUGraphOp.hpp:34-126). Single-chip: the feature
+        table IS the local table — identity. The distributed GraphTensors
+        overrides this with the boundary all_to_all producing the
+        [local ∪ mirror] table that ``fwd_src`` indexes."""
+        return x
+
+    def scatter_src(self, x: jax.Array) -> jax.Array:
+        return segment.scatter_src(x, self.fwd_src)
+
+    def scatter_dst(self, x: jax.Array) -> jax.Array:
+        return segment.scatter_dst(x, self.fwd_dst)
+
+    def scatter_src_dst(self, x: jax.Array) -> jax.Array:
+        return segment.scatter_src_dst(x, self.fwd_src, self.fwd_dst)
+
+    def aggregate_dst_sum(self, edge_val: jax.Array) -> jax.Array:
+        return segment.aggregate_dst_sum(edge_val, self.fwd_dst,
+                                         self.num_vertices)
+
+    def aggregate_dst_min(self, edge_val: jax.Array) -> jax.Array:
+        return segment.aggregate_dst_min(edge_val, self.fwd_dst,
+                                         self.num_vertices)
+
+    def aggregate_dst_max(self, edge_val: jax.Array) -> jax.Array:
+        return segment.aggregate_dst_max(edge_val, self.fwd_dst,
+                                         self.num_vertices)
+
+    def edge_softmax(self, edge_val: jax.Array) -> jax.Array:
+        return segment.edge_softmax(edge_val, self.fwd_dst, self.num_vertices)
+
+    def aggregate_neighbors(self, x: jax.Array) -> jax.Array:
+        """Fused degree-normalized aggregation Y = Â·X (ForwardCPUfuseOp,
+        ref: core/ntsCPUFusedGraphOp.hpp:34-167). Uses the Pallas SpMM on TPU."""
+        if self.backend == "pallas":
+            from neutronstarlite_tpu.ops import pallas_spmm
+            return pallas_spmm.spmm_apply(self, self.fwd_weight, x)
+        return segment.spmm(self.fwd_weight, x, self.fwd_src, self.fwd_dst,
+                            self.num_vertices)
+
+    def aggregate_weighted(self, edge_weight: jax.Array, x: jax.Array
+                           ) -> jax.Array:
+        """Σ_e a_e·X[src(e)] with a differentiable per-edge weight input
+        (DistAggregateDstFuseWeight, ref: core/ntsDistCPUGraphOp.hpp:499-594)."""
+        return segment.spmm(edge_weight, x, self.fwd_src, self.fwd_dst,
+                            self.num_vertices)
+
+    def sddmm_dot(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        return segment.sddmm_dot(a, b, self.fwd_src, self.fwd_dst)
+
+
+Pytree = Any

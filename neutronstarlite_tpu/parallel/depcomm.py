@@ -1,0 +1,343 @@
+"""DepComm: statically-shaped boundary exchange for distributed full-graph GNNs.
+
+Re-creates the reference's hybrid dependency management "communicate" path
+(SURVEY.md P3): masters push boundary-vertex embeddings to mirrors forward
+(`process_edges_forward_decoupled_mutisockets`, core/graph.hpp:2644-2797 /
+`DistGetDepNbrOp`, core/ntsDistCPUGraphOp.hpp:34-126), and mirror gradients
+are pushed back and accumulated at masters backward
+(`process_edges_backward_decoupled_multisockets`, core/graph.hpp:3123-3300).
+
+TPU-native design decisions (vs the reference's MPI engine):
+
+* The reference sizes messages dynamically (`MPI_Probe`/`MPI_Get_count`,
+  comm/network.cpp:648-666). XLA needs static shapes, so the per-peer mirror
+  sets are computed ONCE at preprocessing (the reference also knows them —
+  its `DetermineMirror` ring bitmap exchange, core/PartitionedGraph.hpp:174-209)
+  and padded to the global max per-pair count ``m_pad``.
+* Forward exchange = ONE `jax.lax.all_to_all` of the gathered boundary rows
+  per layer. Backward = its transpose (scatter-add of mirror grads, reversed
+  all_to_all, accumulate at masters) — derived automatically by JAX autodiff
+  of the forward program; the reference hand-writes it.
+* The mirror table is indexed by remapped edge src ids computed at
+  preprocessing (the reference's compressed ``MirrorIndex`` prefix-sum,
+  core/PartitionedGraph.hpp:295-305).
+* Lock-free per-vertex write slots (P8) are unnecessary: the gather indices
+  ARE the write schedule.
+
+Index space per device p (all shapes identical across devices → SPMD):
+
+    rows [0, v_pad)                      local (master) vertices
+    rows [v_pad + q*m_pad + j]           mirror j received from peer q
+    (optional, DepCache) rows [v_pad + P*m_pad + k]   replicated hot vertex k
+
+Edge src ids are pre-remapped into this combined space.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neutronstarlite_tpu.graph.partition import Partition, locality_aware_partition
+from neutronstarlite_tpu.graph.structure import Graph
+from neutronstarlite_tpu.ops import segment
+
+
+@dataclasses.dataclass
+class DistGraph:
+    """Host-side preprocessing result: stacked per-partition arrays
+    (leading dim P) ready to shard over the mesh axis."""
+
+    num_partitions: int
+    partition: Partition
+    v_pad: int           # padded local vertex count
+    e_pad: int           # padded local edge count
+    m_pad: int           # padded per-peer mirror count
+    h_pad: int           # replicated hot-vertex count (DepCache), 0 if off
+
+    # per-device edge chunks (dst-local, src in combined space), [P, e_pad]
+    e_src: np.ndarray
+    e_dst: np.ndarray
+    e_w: np.ndarray
+    # send schedule: send_idx[p, q, j] = local row on p that peer q's mirror
+    # slot j wants, [P, P, m_pad] (padding slots point at row 0; those mirror
+    # rows are never referenced by real edges)
+    send_idx: np.ndarray
+    # vertex-level data per device
+    row_valid: np.ndarray    # [P, v_pad] bool — true for real local vertices
+    global_ids: np.ndarray   # [P, v_pad] int32 global id of each local row (-1 pad)
+    # DepCache: global ids of replicated hot vertices (same on all devices), [h_pad]
+    hot_ids: np.ndarray
+
+    def shard_features(self, feats: np.ndarray) -> np.ndarray:
+        """[V, F] global → [P, v_pad, F] stacked local blocks (0-padded)."""
+        p, vp = self.num_partitions, self.v_pad
+        out = np.zeros((p, vp) + feats.shape[1:], dtype=feats.dtype)
+        off = self.partition.offsets
+        for i in range(p):
+            n = off[i + 1] - off[i]
+            out[i, :n] = feats[off[i]:off[i + 1]]
+        return out
+
+    def shard_vertex_array(self, arr: np.ndarray, fill=0) -> np.ndarray:
+        """[V] global → [P, v_pad] stacked (fill-padded)."""
+        p, vp = self.num_partitions, self.v_pad
+        out = np.full((p, vp), fill, dtype=arr.dtype)
+        off = self.partition.offsets
+        for i in range(p):
+            n = off[i + 1] - off[i]
+            out[i, :n] = arr[off[i]:off[i + 1]]
+        return out
+
+
+def build_dist_graph(g: Graph, num_partitions: int,
+                     rep_threshold: int = 0,
+                     partition: Partition | None = None) -> DistGraph:
+    """Partition + mirror/send-map construction (the reference's
+    PartitionedGraph::GenerateAll pipeline, core/PartitionedGraph.hpp:80-104,
+    re-done with numpy set ops instead of ring bitmap exchange).
+
+    ``rep_threshold`` > 0 enables DepCache (SURVEY.md P4): vertices with
+    out_degree >= threshold are replicated to every device (their rows travel
+    once via all_gather instead of per-peer mirrors), re-creating the
+    reference's `REPLICATE_THRESHOLD` / FeatureCache intent
+    (core/graph.hpp:68,179; core/NtsScheduler.hpp:556-637).
+    """
+    p = num_partitions
+    if partition is None:
+        partition = locality_aware_partition(g.in_degree, p)
+    off = partition.offsets
+    v_pad = partition.v_pad
+
+    # DepCache hot set (global): high out-degree vertices are mirrored
+    # almost everywhere anyway — replicate them instead of exchanging.
+    if rep_threshold and rep_threshold > 0:
+        hot_ids = np.nonzero(g.out_degree >= rep_threshold)[0].astype(np.int32)
+    else:
+        hot_ids = np.zeros(0, np.int32)
+    h_pad = int(hot_ids.size)
+    is_hot = np.zeros(g.num_vertices, dtype=bool)
+    is_hot[hot_ids] = True
+    hot_slot = np.full(g.num_vertices, -1, np.int32)
+    hot_slot[hot_ids] = np.arange(h_pad, dtype=np.int32)
+
+    owner = partition.owner
+
+    # per-partition edge slices (fwd arrays are dst-sorted; partitions own
+    # contiguous dst ranges → contiguous slices, like the reference's chunks)
+    e_counts = []
+    edge_slices = []
+    for i in range(p):
+        lo = int(g.fwd_offsets[off[i]])
+        hi = int(g.fwd_offsets[off[i + 1]])
+        edge_slices.append((lo, hi))
+        e_counts.append(hi - lo)
+    e_pad = max(1, -(-max(e_counts) // 8) * 8)
+
+    # mirrors: for each (dst-owner i, src-owner q) the set of q's vertices
+    # that i needs and that are not hot-replicated
+    mirrors = [[np.zeros(0, np.int32)] * p for _ in range(p)]
+    m_max = 0
+    for i in range(p):
+        lo, hi = edge_slices[i]
+        esrc = g.fwd_src[lo:hi]
+        remote = esrc[(owner[esrc] != i) & (~is_hot[esrc])]
+        for q in range(p):
+            if q == i:
+                continue
+            u = np.unique(remote[owner[remote] == q]).astype(np.int32)
+            mirrors[i][q] = u
+            m_max = max(m_max, u.size)
+    m_pad = max(1, -(-max(m_max, 1) // 8) * 8)
+
+    # combined-space remap + stacked arrays
+    e_src = np.zeros((p, e_pad), np.int32)
+    e_dst = np.zeros((p, e_pad), np.int32)
+    e_w = np.zeros((p, e_pad), np.float32)
+    send_idx = np.zeros((p, p, m_pad), np.int32)
+    for i in range(p):
+        lo, hi = edge_slices[i]
+        n = hi - lo
+        esrc = g.fwd_src[lo:hi].astype(np.int64)
+        edst = g.fwd_dst[lo:hi].astype(np.int64)
+        ew = g.fwd_weight[lo:hi]
+        # build src remap for this device
+        remap = np.empty(n, np.int32)
+        own_sel = owner[esrc] == i
+        hot_sel = is_hot[esrc] & ~own_sel
+        remap[own_sel] = (esrc[own_sel] - off[i]).astype(np.int32)
+        remap[hot_sel] = (v_pad + p * m_pad
+                          + hot_slot[esrc[hot_sel]]).astype(np.int32)
+        for q in range(p):
+            if q == i:
+                continue
+            u = mirrors[i][q]
+            if u.size == 0:
+                continue
+            lookup = np.full(g.num_vertices, -1, np.int32)
+            lookup[u] = np.arange(u.size, dtype=np.int32)
+            sel = (~own_sel) & (~hot_sel) & (owner[esrc] == q)
+            remap[sel] = v_pad + q * m_pad + lookup[esrc[sel]]
+        e_src[i, :n] = remap
+        e_dst[i, :n] = (edst - off[i]).astype(np.int32)
+        e_w[i, :n] = ew
+        # padding edges: src=0, dst=0, w=0 → contribute nothing
+
+    # send schedule: device q sends to device i the rows mirrors[i][q]
+    # (send_idx is indexed by SENDER: send_idx[q, i] = what q sends to i)
+    for q in range(p):
+        for i in range(p):
+            if i == q:
+                continue
+            u = mirrors[i][q]
+            if u.size:
+                send_idx[q, i, :u.size] = (u - off[q]).astype(np.int32)
+
+    row_valid = np.zeros((p, v_pad), bool)
+    global_ids = np.full((p, v_pad), -1, np.int32)
+    for i in range(p):
+        n = off[i + 1] - off[i]
+        row_valid[i, :n] = True
+        global_ids[i, :n] = np.arange(off[i], off[i + 1], dtype=np.int32)
+
+    return DistGraph(num_partitions=p, partition=partition, v_pad=v_pad,
+                     e_pad=e_pad, m_pad=m_pad, h_pad=h_pad,
+                     e_src=e_src, e_dst=e_dst, e_w=e_w, send_idx=send_idx,
+                     row_valid=row_valid, global_ids=global_ids,
+                     hot_ids=hot_ids)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DistGraphTensors:
+    """Per-device view used INSIDE shard_map; offers the same op API as
+    GraphTensors so model code is unchanged (the reference reuses its op
+    chain across single/dist the same way).
+
+    ``hot_gather_idx``/``hot_local`` implement DepCache: every device
+    contributes its local hot rows (padded), an all_gather replicates them,
+    and edges index the replicated block directly.
+    """
+
+    e_src: jax.Array       # [e_pad] combined-space src ids
+    e_dst: jax.Array       # [e_pad] local dst ids
+    e_w: jax.Array         # [e_pad]
+    send_idx: jax.Array    # [P, m_pad] rows this device sends to each peer
+    hot_local_idx: jax.Array  # [h_cap] local rows that are globally hot (pad 0)
+    hot_slot_of_local: jax.Array  # [h_cap] slot in the replicated hot block
+    num_vertices: int = 0   # v_pad (static)
+    num_partitions: int = 1
+    m_pad: int = 1
+    h_pad: int = 0
+    axis_name: str = "p"
+
+    def tree_flatten(self):
+        children = (self.e_src, self.e_dst, self.e_w, self.send_idx,
+                    self.hot_local_idx, self.hot_slot_of_local)
+        aux = (self.num_vertices, self.num_partitions, self.m_pad, self.h_pad,
+               self.axis_name)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, num_vertices=aux[0], num_partitions=aux[1],
+                   m_pad=aux[2], h_pad=aux[3], axis_name=aux[4])
+
+    # ---- DepComm core ----
+    def get_dep_nbr(self, x_local: jax.Array) -> jax.Array:
+        """[v_pad, F] local → [v_pad + P*m_pad + h_pad, F] combined table.
+
+        The one communicating op per layer (DistGetDepNbrOp). Autodiff of
+        this function IS the backward mirror→master gradient push.
+        """
+        p, m = self.num_partitions, self.m_pad
+        send = jnp.take(x_local, self.send_idx.reshape(-1), axis=0)
+        send = send.reshape((p, m) + x_local.shape[1:])
+        recv = jax.lax.all_to_all(send, self.axis_name, split_axis=0,
+                                  concat_axis=0, tiled=False)
+        parts = [x_local, recv.reshape((p * m,) + x_local.shape[1:])]
+        if self.h_pad > 0:
+            parts.append(self._gather_hot(x_local))
+        return jnp.concatenate(parts, axis=0)
+
+    def _gather_hot(self, x_local: jax.Array) -> jax.Array:
+        """DepCache block: all_gather each device's hot rows, scatter them
+        into a [h_pad, F] replicated table ordered by hot slot."""
+        contrib = jnp.take(x_local, self.hot_local_idx, axis=0)  # [h_cap, F]
+        gathered = jax.lax.all_gather(contrib, self.axis_name)    # [P, h_cap, F]
+        slots = jax.lax.all_gather(self.hot_slot_of_local, self.axis_name)
+        flat = gathered.reshape((-1,) + x_local.shape[1:])
+        fslots = slots.reshape(-1)
+        # padded contributions carry slot -1 → drop via clip + zero weight
+        w = (fslots >= 0).astype(x_local.dtype)[:, None]
+        tbl = jax.ops.segment_sum(flat * w, jnp.clip(fslots, 0),
+                                  num_segments=self.h_pad)
+        return tbl
+
+    # ---- op zoo (same API as GraphTensors) ----
+    def aggregate_neighbors(self, x_local: jax.Array) -> jax.Array:
+        table = self.get_dep_nbr(x_local)
+        return segment.spmm(self.e_w, table, self.e_src, self.e_dst,
+                            self.num_vertices)
+
+    def aggregate_weighted(self, edge_weight: jax.Array, table: jax.Array
+                           ) -> jax.Array:
+        return segment.spmm(edge_weight, table, self.e_src, self.e_dst,
+                            self.num_vertices)
+
+    def edge_softmax(self, edge_val: jax.Array) -> jax.Array:
+        # padding edges (w==0) must not perturb real segments: push their
+        # logits to -inf-ish before the segment softmax
+        neg = jnp.asarray(-1e30, edge_val.dtype)
+        masked = jnp.where((self.e_w != 0)[:, None], edge_val, neg)
+        return segment.edge_softmax(masked, self.e_dst, self.num_vertices)
+
+    @property
+    def fwd_src(self):
+        return self.e_src
+
+    @property
+    def fwd_dst(self):
+        return self.e_dst
+
+
+def device_view(dg: DistGraph) -> dict:
+    """Stacked arrays [P, ...] to pass into shard_map (sharded on axis 0);
+    inside the mapped fn, squeeze axis 0 and wrap in DistGraphTensors."""
+    p = dg.num_partitions
+    # hot rows owned per device, padded to the max
+    owner = dg.partition.owner
+    off = dg.partition.offsets
+    h_caps = [int((owner[dg.hot_ids] == i).sum()) for i in range(p)] or [0]
+    h_cap = max(1, -(-max(h_caps + [1]) // 8) * 8)
+    hot_local = np.zeros((p, h_cap), np.int32)
+    hot_slot = np.full((p, h_cap), -1, np.int32)
+    for i in range(p):
+        mine = np.nonzero(owner[dg.hot_ids] == i)[0]
+        ids = dg.hot_ids[mine]
+        hot_local[i, :ids.size] = ids - off[i]
+        hot_slot[i, :mine.size] = mine.astype(np.int32)
+    return {
+        "e_src": dg.e_src, "e_dst": dg.e_dst, "e_w": dg.e_w,
+        "send_idx": dg.send_idx,
+        "hot_local_idx": hot_local, "hot_slot_of_local": hot_slot,
+        "row_valid": dg.row_valid,
+    }
+
+
+def make_tensors(arrs: dict, dg: DistGraph, axis_name: str = "p"
+                 ) -> DistGraphTensors:
+    """Wrap per-device (already squeezed) arrays into DistGraphTensors."""
+    return DistGraphTensors(
+        e_src=arrs["e_src"], e_dst=arrs["e_dst"], e_w=arrs["e_w"],
+        send_idx=arrs["send_idx"], hot_local_idx=arrs["hot_local_idx"],
+        hot_slot_of_local=arrs["hot_slot_of_local"],
+        num_vertices=dg.v_pad, num_partitions=dg.num_partitions,
+        m_pad=dg.m_pad, h_pad=dg.h_pad, axis_name=axis_name)
+
+
+Pytree = Any

@@ -1,0 +1,188 @@
+"""Distributed full-graph trainer over a device mesh (DepComm engine).
+
+Re-creates the reference's distributed run loop (toolkits/GCN_CPU.hpp:232-273
+across MPI ranks) as ONE shard_map-jitted train step over the mesh axis 'p':
+
+* vertex-sharded activations/features/labels/masks (P1);
+* replicated params, gradient psum (P2 — `all_reduce_to_gradient`,
+  core/NtsScheduler.hpp:719-722);
+* per-layer boundary all_to_all inside the model's aggregate (P3 DepComm);
+* optional hot-vertex replication skipping the exchange (P4 DepCache);
+* comm/compute overlap is XLA's latency-hiding scheduler (P6) — the chunked
+  manual pipeline of graph.hpp:3490-3535 is unnecessary;
+* batchnorm stats are LOCAL per device, exactly like the reference's
+  per-rank torch BatchNorm1d (GCN_CPU.hpp:115) — so bn state is sharded.
+
+Test/accuracy follows Test() (GCN_CPU.hpp:142-171): local correct/count then
+cross-partition allreduce (psum).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map  # jax >= 0.6 style
+    _SHARD_MAP_NEW = True
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+    _SHARD_MAP_NEW = False
+
+from neutronstarlite_tpu.config import InputInfo
+from neutronstarlite_tpu.graph.dataset import GNNDatum
+from neutronstarlite_tpu.models import gcn
+from neutronstarlite_tpu.nn import layers, optim
+from neutronstarlite_tpu.parallel.depcomm import (build_dist_graph,
+                                                  device_view, make_tensors)
+from neutronstarlite_tpu.parallel.mesh import make_mesh
+
+
+def _shard_map(f, mesh, in_specs, out_specs):
+    if _SHARD_MAP_NEW:
+        return shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                         check_vma=False)
+    return shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                     check_rep=False)
+
+
+class DistTrainer:
+    """Mesh-parallel full-graph training; same model modules as single-chip."""
+
+    def __init__(self, datum: GNNDatum, config: InputInfo, model=gcn,
+                 mesh=None, num_partitions: int | None = None,
+                 rep_threshold: int | None = None, **model_kwargs):
+        self.datum = datum
+        self.config = config
+        self.model = model
+        self.model_kwargs = model_kwargs
+        p = num_partitions or config.num_partitions or len(jax.devices())
+        self.mesh = mesh if mesh is not None else make_mesh(p)
+        self.p = self.mesh.devices.size
+        rep = rep_threshold if rep_threshold is not None else config.repthreshold
+
+        self.dg = build_dist_graph(datum.graph, self.p, rep_threshold=rep)
+        self.arrs = device_view(self.dg)
+
+        # sharded data
+        self.x = self.dg.shard_features(datum.features)
+        self.labels = self.dg.shard_vertex_array(datum.labels.astype(np.int32))
+        self.masks = self.dg.shard_vertex_array(
+            datum.masks.astype(np.int32), fill=-1)
+        self.row_valid = self.dg.row_valid
+
+        key = jax.random.PRNGKey(config.seed)
+        self.init_key, self.run_key = jax.random.split(key)
+        self.state = model.init(self.init_key, config.layer_sizes)
+        self.opt_init, self.opt_update = optim.nts_adam(
+            config.learn_rate, config.weight_decay,
+            decay_rate=config.decay_rate, decay_epoch=config.decay_epoch)
+        self.opt_state = self.opt_init(self.state.params)
+        # bn state is per-device (local stats) → stacked leading dim P
+        self.bn = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (self.p,) + a.shape), self.state.bn)
+
+        self._step = self._build_step()
+
+    def _build_step(self):
+        mesh = self.mesh
+        model = self.model
+        model_kwargs = self.model_kwargs
+        dg = self.dg
+        opt_update = self.opt_update
+        drop_rate = self.config.drop_rate
+        state_cls = type(self.state)
+        pspec = P("p")
+        rspec = P()
+
+        def step(arrs, x, labels, masks, row_valid, params, bn, opt_state,
+                 key):
+            # squeeze the per-device leading dim of sharded blocks
+            sq = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
+            arrs, x = sq(arrs), sq(x)
+            labels, masks, row_valid = sq(labels), sq(masks), sq(row_valid)
+            bn = sq(bn)
+            gt = make_tensors(arrs, dg)
+            my = jax.lax.axis_index("p")
+            key = jax.random.fold_in(key, my)
+
+            def loss_fn(prm):
+                st = state_cls(params=prm, bn=bn)
+                logits, new_bn = model.forward(st, gt, x, key, training=True,
+                                               drop_rate=drop_rate,
+                                               **model_kwargs)
+                train_sel = jnp.logical_and(masks == 0, row_valid)
+                loss = layers.nll_loss_masked(
+                    layers.log_softmax(logits), labels, train_sel)
+                return loss, (logits, new_bn)
+
+            (loss, (logits, new_bn)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            # reference all_reduce_to_gradient: SUM of per-partition grads
+            grads = jax.lax.psum(grads, "p")
+            new_params, new_opt = opt_update(grads, opt_state, params)
+
+            pred = jnp.argmax(logits, axis=-1).astype(labels.dtype)
+            accs = {}
+            for name, which in (("train", 0), ("val", 1), ("test", 2)):
+                sel = jnp.logical_and(masks == which, row_valid)
+                c = jax.lax.psum(jnp.sum(jnp.where(
+                    sel, (pred == labels).astype(jnp.int32), 0)), "p")
+                n = jax.lax.psum(jnp.sum(sel.astype(jnp.int32)), "p")
+                accs[name] = c / jnp.maximum(n, 1)
+            loss_avg = jax.lax.psum(loss, "p") / dg.num_partitions
+
+            # re-add the leading device dim on sharded outputs
+            ex = lambda t: jax.tree.map(lambda a: a[None], t)  # noqa: E731
+            return new_params, ex(new_bn), new_opt, loss_avg, accs
+
+        sharded_tree = lambda t: jax.tree.map(lambda _: pspec, t)  # noqa: E731
+        rep_tree = lambda t: jax.tree.map(lambda _: rspec, t)  # noqa: E731
+
+        def jit_step(arrs, x, labels, masks, row_valid, params, bn, opt_state,
+                     key):
+            f = _shard_map(
+                step, mesh,
+                in_specs=(sharded_tree(arrs), pspec, pspec, pspec, pspec,
+                          rep_tree(params), sharded_tree(bn),
+                          rep_tree(opt_state), rspec),
+                out_specs=(rep_tree(params), sharded_tree(bn),
+                           rep_tree(opt_state), rspec,
+                           {"train": rspec, "val": rspec, "test": rspec}))
+            return f(arrs, x, labels, masks, row_valid, params, bn, opt_state,
+                     key)
+
+        return jax.jit(jit_step)
+
+    def run(self, epochs: int | None = None, log_every: int = 0):
+        epochs = epochs if epochs is not None else self.config.epochs
+        history = []
+        params, bn, opt_state = self.state.params, self.bn, self.opt_state
+        arrs = jax.tree.map(jnp.asarray, self.arrs)
+        x = jnp.asarray(self.x)
+        labels = jnp.asarray(self.labels)
+        masks = jnp.asarray(self.masks)
+        row_valid = jnp.asarray(self.row_valid)
+        t0 = time.time()
+        for ep in range(epochs):
+            self.run_key, k = jax.random.split(self.run_key)
+            params, bn, opt_state, loss, accs = self._step(
+                arrs, x, labels, masks, row_valid, params, bn, opt_state, k)
+            rec = {"epoch": ep, "loss": float(loss),
+                   **{k2: float(v) for k2, v in accs.items()}}
+            history.append(rec)
+            if log_every and (ep % log_every == 0 or ep == epochs - 1):
+                print(f"epoch {ep:4d} loss {rec['loss']:.4f} "
+                      f"train {rec['train']:.4f} val {rec['val']:.4f} "
+                      f"test {rec['test']:.4f}")
+        jax.block_until_ready(params)
+        self.exec_time = time.time() - t0
+        self.state = type(self.state)(params=params, bn=self.state.bn)
+        self.bn = bn
+        self.opt_state = opt_state
+        return history

@@ -1,0 +1,173 @@
+"""Sampled-minibatch trainer: the GCNSAMPLESINGLE path.
+
+Ref: toolkits/GCN_CPU_SAMPLE.hpp:188-289 — per epoch, iterate reservoir-
+sampled blocks; per batch: dropout → MiniBatchFuseOp aggregation per layer →
+relu(P·n) (hidden) / P·n (last) → per-batch masked NLL → backward → per-BATCH
+NtsAdam update. Eval/test run the same forward over their own samplers.
+
+TPU redesign: each hop is a fixed-shape ELL block (see sampling/sampler.py),
+so the whole per-batch step is ONE jitted function reused across batches and
+epochs; the host sampler runs ahead on CPU while the device computes.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neutronstarlite_tpu.config import InputInfo
+from neutronstarlite_tpu.graph.dataset import GNNDatum
+from neutronstarlite_tpu.nn import layers, optim, param
+from neutronstarlite_tpu.sampling.sampler import (Sampler, pad_block,
+                                                  split_nids_by_mask,
+                                                  static_caps)
+
+
+def _gather_table(features: jax.Array, table: jax.Array) -> jax.Array:
+    """features[table] with -1 (padding) rows zeroed."""
+    safe = jnp.clip(table, 0, features.shape[0] - 1)
+    rows = jnp.take(features, safe, axis=0)
+    return jnp.where((table >= 0)[:, None], rows, 0.0)
+
+
+def _ell_agg(idx: jax.Array, w: jax.Array, x: jax.Array) -> jax.Array:
+    """out[r] = Σ_k w[r,k]·x[idx[r,k]] — the MiniBatchFuseOp aggregation
+    (ref: core/ntsMiniBatchGraphOp.hpp:61-131) over one ELL hop."""
+    gathered = jnp.take(x, idx, axis=0)            # [cap, fo, F]
+    return jnp.einsum("rk,rkf->rf", w, gathered,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+class MinibatchTrainer:
+    """Single-chip sampled GCN training (GCNSAMPLESINGLE)."""
+
+    def __init__(self, datum: GNNDatum, config: InputInfo,
+                 fanout: Sequence[int] | None = None, shuffle: bool = True):
+        self.datum = datum
+        self.config = config
+        self.fanout = [int(f) for f in (fanout or config.fanout)]
+        if not self.fanout:
+            raise ValueError("minibatch training requires FANOUT")
+        sizes = config.layer_sizes
+        if len(self.fanout) != len(sizes) - 1:
+            raise ValueError(f"FANOUT length {len(self.fanout)} must equal "
+                             f"model layers {len(sizes) - 1}")
+        self.caps, self.scaps = static_caps(config.batch_size, self.fanout)
+
+        key = jax.random.PRNGKey(config.seed)
+        self.init_key, self.run_key = jax.random.split(key)
+        keys = jax.random.split(self.init_key, len(sizes) - 1)
+        self.params = [param.init_linear(keys[i], sizes[i], sizes[i + 1])
+                       for i in range(len(sizes) - 1)]
+        self.opt_init, self.opt_update = optim.nts_adam(
+            config.learn_rate, config.weight_decay,
+            decay_rate=config.decay_rate, decay_epoch=config.decay_epoch)
+        self.opt_state = self.opt_init(self.params)
+
+        self.features = jnp.asarray(datum.features)
+        self.labels_np = datum.labels
+        nids = split_nids_by_mask(datum.masks)
+        g = datum.graph
+        bs = config.batch_size
+        self.samplers = {
+            "train": Sampler(g, nids["train"], bs, self.fanout,
+                             seed=config.seed, shuffle=shuffle),
+            "val": Sampler(g, nids["val"], bs, self.fanout,
+                           seed=config.seed + 1, shuffle=False),
+            "test": Sampler(g, nids["test"], bs, self.fanout,
+                            seed=config.seed + 2, shuffle=False),
+        }
+        self._train_step = jax.jit(self._make_step(training=True))
+        self._eval_step = jax.jit(self._make_step(training=False))
+
+    # ---- the per-batch jitted step ----
+    def _make_step(self, training: bool):
+        drop_rate = self.config.drop_rate
+        n_layers = len(self.config.layer_sizes) - 1
+
+        def forward(params, features, block_arrays, key):
+            dst0, tables, idxs, ws = block_arrays
+            x = _gather_table(features, tables[-1])
+            if training and drop_rate > 0:
+                dkeys = jax.random.split(key, n_layers)
+            for l in range(n_layers):
+                h = n_layers - 1 - l
+                if training and drop_rate > 0:
+                    x = layers.dropout(dkeys[l], x, drop_rate, True)
+                y = _ell_agg(idxs[h], ws[h], x)
+                w = params[l]["w"]
+                x = jax.nn.relu(y @ w) if l < n_layers - 1 else y @ w
+            return x  # [batch, C] values for dst0
+
+        def step(params, opt_state, features, block_arrays, labels, key):
+            dst0 = block_arrays[0]
+            valid = dst0 >= 0
+
+            def loss_fn(p):
+                logits = forward(p, features, block_arrays, key)
+                return layers.nll_loss_masked(
+                    layers.log_softmax(logits), labels, valid), logits
+
+            if training:
+                (loss, logits), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                params, opt_state = self.opt_update(grads, opt_state, params)
+            else:
+                loss, logits = loss_fn(params)
+            pred = jnp.argmax(logits, axis=-1).astype(labels.dtype)
+            correct = jnp.sum(jnp.where(valid, (pred == labels).astype(
+                jnp.int32), 0))
+            count = jnp.sum(valid.astype(jnp.int32))
+            return params, opt_state, loss, correct, count
+        return step
+
+    def _block_to_device(self, block):
+        b = pad_block(block, self.caps, self.scaps)
+        dst0 = jnp.asarray(b.dst_ids[0])
+        tables = tuple(jnp.asarray(t) for t in b.src_tables)
+        idxs = tuple(jnp.asarray(i) for i in b.nbr_idx)
+        ws = tuple(jnp.asarray(w) for w in b.nbr_w)
+        labels = jnp.asarray(
+            np.where(b.dst_ids[0] >= 0,
+                     self.labels_np[np.clip(b.dst_ids[0], 0, None)], 0)
+            .astype(np.int32))
+        return (dst0, tables, idxs, ws), labels
+
+    def run_epoch(self, split: str = "train"):
+        """One pass over a split; returns (mean_loss, accuracy)."""
+        training = split == "train"
+        step = self._train_step if training else self._eval_step
+        tot_loss, tot_correct, tot_count, n_batches = 0.0, 0, 0, 0
+        for block in self.samplers[split].sample():
+            self.run_key, k = jax.random.split(self.run_key)
+            arrays, labels = self._block_to_device(block)
+            self.params, self.opt_state, loss, c, n = step(
+                self.params, self.opt_state, self.features, arrays, labels, k)
+            tot_loss += float(loss)
+            tot_correct += int(c)
+            tot_count += int(n)
+            n_batches += 1
+        return (tot_loss / max(n_batches, 1),
+                tot_correct / max(tot_count, 1))
+
+    def run(self, epochs: int | None = None, log_every: int = 0):
+        epochs = epochs if epochs is not None else self.config.epochs
+        history = []
+        t0 = time.time()
+        for ep in range(epochs):
+            train_loss, train_acc = self.run_epoch("train")
+            val_loss, val_acc = self.run_epoch("val")
+            test_loss, test_acc = self.run_epoch("test")
+            rec = {"epoch": ep, "loss": train_loss, "train": train_acc,
+                   "val": val_acc, "test": test_acc}
+            history.append(rec)
+            if log_every and (ep % log_every == 0 or ep == epochs - 1):
+                print(f"epoch {ep:4d} loss {train_loss:.4f} "
+                      f"train {train_acc:.4f} val {val_acc:.4f} "
+                      f"test {test_acc:.4f}")
+        self.exec_time = time.time() - t0
+        return history

@@ -1,0 +1,76 @@
+"""End-to-end model tests: convergence on the SBM synthetic dataset replaces
+the reference's "known Cora accuracy" convergence check (SURVEY.md §4.4) —
+the Cora feature table is not shipped with the reference; structure-only
+files (edge/label/mask) are covered in test_data.py."""
+
+import numpy as np
+import pytest
+
+from neutronstarlite_tpu.config import InputInfo
+from neutronstarlite_tpu.graph.dataset import synthetic_sbm_dataset
+from neutronstarlite_tpu.models import gcn, gat, gin, commnet
+from neutronstarlite_tpu.training.trainer import FullGraphTrainer
+
+
+@pytest.fixture(scope="module")
+def sbm():
+    return synthetic_sbm_dataset(num_vertices=400, feat_dim=32, num_classes=4,
+                                 avg_degree=8, homophily=0.9, seed=1)
+
+
+def make_config(sbm, epochs=30, lr=0.01):
+    return InputInfo(vertices=sbm.num_vertices, epochs=epochs,
+                     layer_string=f"32-16-{sbm.num_classes}",
+                     learn_rate=lr, weight_decay=1e-4, drop_rate=0.3,
+                     decay_rate=0.97, decay_epoch=100, seed=3)
+
+
+class TestGCN:
+    def test_gcn_converges(self, sbm):
+        tr = FullGraphTrainer(sbm, make_config(sbm), model=gcn, backend="xla")
+        hist = tr.run()
+        assert hist[-1]["loss"] < hist[0]["loss"]
+        assert hist[-1]["test"] > 0.75, f"GCN failed to learn: {hist[-1]}"
+
+    def test_gcn_eager_matches_shape(self, sbm):
+        tr = FullGraphTrainer(sbm, make_config(sbm, epochs=3), model=gcn,
+                              backend="xla", eager=True)
+        hist = tr.run()
+        assert np.isfinite(hist[-1]["loss"])
+
+    def test_gcn_ell_backend(self, sbm):
+        tr = FullGraphTrainer(sbm, make_config(sbm, epochs=20), model=gcn,
+                              backend="pallas")
+        hist = tr.run()
+        assert hist[-1]["test"] > 0.7
+
+
+class TestGAT:
+    def test_gat_converges(self):
+        # GAT per the reference relu-caps every layer's output (GAT_CPU.hpp
+        # vertexForward = relu), which needs a cleaner signal to separate
+        # classes than the noisy default SBM.
+        data = synthetic_sbm_dataset(num_vertices=400, feat_dim=32,
+                                     num_classes=4, avg_degree=8,
+                                     homophily=0.9, seed=1, feature_noise=0.3)
+        cfg = make_config(data, epochs=40)
+        cfg.drop_rate = 0.0
+        tr = FullGraphTrainer(data, cfg, model=gat, backend="xla")
+        hist = tr.run()
+        assert hist[-1]["loss"] < hist[0]["loss"]
+        assert hist[-1]["test"] > 0.7, f"GAT failed to learn: {hist[-1]}"
+
+
+class TestGIN:
+    def test_gin_converges(self, sbm):
+        tr = FullGraphTrainer(sbm, make_config(sbm), model=gin, backend="xla")
+        hist = tr.run()
+        assert hist[-1]["test"] > 0.6, f"GIN failed to learn: {hist[-1]}"
+
+
+class TestCommNet:
+    def test_commnet_converges(self, sbm):
+        tr = FullGraphTrainer(sbm, make_config(sbm), model=commnet,
+                              backend="xla")
+        hist = tr.run()
+        assert hist[-1]["test"] > 0.6, f"CommNet failed to learn: {hist[-1]}"

@@ -1,0 +1,89 @@
+"""Sampling subsystem tests (ref strategy: test/testcsr.cpp exercises the
+Sampler after structure checks)."""
+
+import numpy as np
+import pytest
+
+from neutronstarlite_tpu.config import InputInfo
+from neutronstarlite_tpu.graph.dataset import synthetic_sbm_dataset
+from neutronstarlite_tpu.sampling.sampler import (Sampler, pad_block,
+                                                  split_nids_by_mask,
+                                                  static_caps)
+from neutronstarlite_tpu.training.minibatch import MinibatchTrainer
+
+
+@pytest.fixture(scope="module")
+def sbm():
+    return synthetic_sbm_dataset(num_vertices=300, feat_dim=16, num_classes=3,
+                                 avg_degree=6, homophily=0.9, seed=2)
+
+
+class TestSampler:
+    def test_block_shapes_and_chaining(self, sbm):
+        s = Sampler(sbm.graph, np.arange(64, dtype=np.int32), batch_size=16,
+                    fanout=[4, 4], seed=0)
+        blocks = list(s.sample())
+        assert len(blocks) == 4
+        for b in blocks:
+            assert b.num_hops == 2
+            # chaining invariant: next hop's dsts are this hop's sources
+            np.testing.assert_array_equal(b.dst_ids[1], b.src_tables[0])
+            # all sampled neighbors are real in-neighbors
+            g = sbm.graph
+            for h in range(2):
+                for r in range(b.dst_ids[h].size):
+                    v = b.dst_ids[h][r]
+                    if v < 0:
+                        continue
+                    nbrs = set(g.fwd_src[g.fwd_offsets[v]:g.fwd_offsets[v + 1]])
+                    sampled = b.nbr_idx[h][r][b.nbr_w[h][r] > 0]
+                    for li in sampled:
+                        assert b.src_tables[h][li] in nbrs
+
+    def test_fanout_cap(self, sbm):
+        s = Sampler(sbm.graph, np.arange(32, dtype=np.int32), batch_size=32,
+                    fanout=[3, 3], seed=0)
+        b = s.sample_one()
+        g = sbm.graph
+        for h in range(2):
+            nnz = (b.nbr_w[h] > 0).sum(axis=1)
+            deg = np.where(b.dst_ids[h] >= 0,
+                           np.diff(g.fwd_offsets)[
+                               np.clip(b.dst_ids[h], 0, None)], 0)
+            np.testing.assert_array_equal(nnz, np.minimum(deg, 3))
+
+    def test_partial_batch_padding(self, sbm):
+        s = Sampler(sbm.graph, np.arange(10, dtype=np.int32), batch_size=8,
+                    fanout=[2, 2], seed=0, shuffle=False)
+        blocks = list(s.sample())
+        assert len(blocks) == 2
+        assert blocks[1].batch_real == 2
+        assert (blocks[1].dst_ids[0][2:] == -1).all()
+
+    def test_pad_block_static(self, sbm):
+        caps, scaps = static_caps(8, [2, 2])
+        s = Sampler(sbm.graph, np.arange(20, dtype=np.int32), batch_size=8,
+                    fanout=[2, 2], seed=0)
+        for b in s.sample():
+            p = pad_block(b, caps, scaps)
+            for h in range(2):
+                assert p.dst_ids[h].shape == (caps[h],)
+                assert p.src_tables[h].shape == (scaps[h],)
+                assert p.nbr_idx[h].shape == (caps[h], p.nbr_idx[h].shape[1])
+
+    def test_split_nids(self, sbm):
+        nids = split_nids_by_mask(sbm.masks)
+        total = sum(v.size for v in nids.values())
+        assert total == sbm.num_vertices
+
+
+class TestMinibatchTrainer:
+    def test_sampled_gcn_converges(self, sbm):
+        cfg = InputInfo(vertices=sbm.num_vertices, epochs=10,
+                        layer_string="16-16-3", fanout_string="4-4",
+                        batch_size=32, learn_rate=0.01, weight_decay=1e-4,
+                        drop_rate=0.1, seed=5)
+        tr = MinibatchTrainer(sbm, cfg)
+        hist = tr.run()
+        assert hist[-1]["loss"] < hist[0]["loss"]
+        assert hist[-1]["test"] > 0.6, f"sampled GCN failed: {hist[-1]}"
