@@ -47,6 +47,8 @@ class InputInfo:
     num_partitions: int = 1        # NUM_PARTITIONS: mesh size for dist runs
     dtype: str = "float32"         # DTYPE: float32|bfloat16 compute dtype
     seed: int = 2026               # SEED
+    checkpoint_path: str = ""      # CHECKPOINT_PATH: save/resume location
+    checkpoint_every: int = 0      # CHECKPOINT_EVERY: epochs between saves
 
     @property
     def layer_sizes(self) -> List[int]:
@@ -104,6 +106,9 @@ class InputInfo:
             "NUM_PARTITIONS": lambda: setattr(self, "num_partitions", int(val)),
             "DTYPE": lambda: setattr(self, "dtype", val),
             "SEED": lambda: setattr(self, "seed", int(val)),
+            "CHECKPOINT_PATH": lambda: setattr(self, "checkpoint_path", val),
+            "CHECKPOINT_EVERY": lambda: setattr(self, "checkpoint_every",
+                                                int(val)),
         }
         fn = dispatch.get(key)
         if fn is None:

@@ -27,6 +27,16 @@ def run_from_config(config: InputInfo, log_every: int = 1):
     datum = load_dataset(config)
     algo = config.algorithm.upper()
     t0 = time.time()
+    if algo in ("TEST_GETDEP1", "TEST_GETDEP"):
+        # numerical-validation toolkits (ref: toolkits/test_getdepneighbor_*)
+        from neutronstarlite_tpu import toolkits
+        if config.num_partitions > 1:
+            toolkits.validate_dist(datum, config.num_partitions,
+                                   rep_threshold=config.repthreshold)
+        else:
+            toolkits.validate_single(datum, backend=config.kernel_backend)
+        print(f"#run_time={time.time() - t0:.3f}(s)")
+        return None, []
     if algo == "GCNSAMPLESINGLE":
         trainer = MinibatchTrainer(datum, config)
     else:

@@ -79,8 +79,14 @@ class FullGraphTrainer:
         return new_params, new_bn, new_opt, loss, accs
 
     def run(self, epochs: int | None = None, log_every: int = 0):
-        """Train; returns history list of per-epoch dicts."""
+        """Train; returns history list of per-epoch dicts.
+
+        With config.checkpoint_path set, saves every ``checkpoint_every``
+        epochs (and at the end); an improvement over the reference, which
+        has no training persistence (SURVEY.md §5)."""
         epochs = epochs if epochs is not None else self.config.epochs
+        ckpt_path = self.config.checkpoint_path
+        ckpt_every = self.config.checkpoint_every
         history = []
         params, bn, opt_state = self.state.params, self.state.bn, self.opt_state
         t0 = time.time()
@@ -96,11 +102,35 @@ class FullGraphTrainer:
                       f"test {float(accs['test']):.4f}")
             history.append({"epoch": ep, "loss": float(loss),
                             **{k2: float(v) for k2, v in accs.items()}})
+            if ckpt_path and ckpt_every and (ep + 1) % ckpt_every == 0:
+                self._save(ckpt_path, params, bn, opt_state, ep + 1)
         jax.block_until_ready(params)
         self.exec_time = time.time() - t0
         self.state = type(self.state)(params=params, bn=bn)
         self.opt_state = opt_state
+        if ckpt_path:
+            self._save(ckpt_path, params, bn, opt_state, epochs)
         return history
+
+    # ---- checkpoint/resume ----
+    def _save(self, path, params, bn, opt_state, epoch):
+        from neutronstarlite_tpu.utils import checkpoint as ckpt
+        ckpt.save_checkpoint(path, ckpt.make_state(
+            params=params, bn=bn, opt_state=opt_state, run_key=self.run_key,
+            epoch=epoch))
+
+    def resume(self, path: str) -> int:
+        """Restore trainer state; returns the epoch to continue from."""
+        from neutronstarlite_tpu.utils import checkpoint as ckpt
+        template = ckpt.make_state(params=self.state.params,
+                                   bn=self.state.bn,
+                                   opt_state=self.opt_state,
+                                   run_key=self.run_key, epoch=0)
+        st = ckpt.restore_checkpoint(path, template)
+        self.state = type(self.state)(params=st["params"], bn=st["bn"])
+        self.opt_state = st["opt_state"]
+        self.run_key = st["run_key"]
+        return int(st["epoch"])
 
     def predict(self):
         """Eval-mode forward (no dropout, running BN stats)."""

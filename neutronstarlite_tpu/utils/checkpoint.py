@@ -1,0 +1,61 @@
+"""Training checkpoint/resume.
+
+The reference has NO training checkpointing (SURVEY.md §5: only unused
+Gemini dump/restore_vertex_array, core/graph.hpp:527-582). This module adds
+it as a deliberate improvement: params, batchnorm state, NtsAdam state, RNG
+key, and epoch counter are saved and restored bit-exact. Uses
+orbax-checkpoint when importable, else a flat .npz fallback.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _orbax():
+    try:
+        import orbax.checkpoint as ocp
+        return ocp
+    except ImportError:
+        return None
+
+
+def _to_host(tree: Any) -> Any:
+    return jax.tree.map(np.asarray, tree)
+
+
+def make_state(*, params: Any, bn: Any, opt_state: Any, run_key: Any,
+               epoch: int) -> dict:
+    return {"params": params, "bn": bn, "opt_state": opt_state,
+            "run_key": run_key, "epoch": jnp.int32(epoch)}
+
+
+def save_checkpoint(path: str, state: dict) -> None:
+    path = os.path.abspath(path)
+    ocp = _orbax()
+    if ocp is not None:
+        ocp.PyTreeCheckpointer().save(path, _to_host(state), force=True)
+        return
+    flat, _ = jax.tree.flatten(_to_host(state))
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path + ".npz", **{f"leaf_{i}": lf for i, lf in enumerate(flat)})
+
+
+def restore_checkpoint(path: str, template: dict) -> dict:
+    """Restore into the structure of ``template`` (same pytree as saved)."""
+    path = os.path.abspath(path)
+    ocp = _orbax()
+    if ocp is not None:
+        restored = ocp.PyTreeCheckpointer().restore(path,
+                                                    item=_to_host(template))
+    else:
+        data = np.load(path + ".npz", allow_pickle=False)
+        flat, treedef = jax.tree.flatten(template)
+        restored = treedef.unflatten(
+            [data[f"leaf_{i}"] for i in range(len(flat))])
+    return jax.tree.map(lambda t, r: jnp.asarray(r), template, restored)
