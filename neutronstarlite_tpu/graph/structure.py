@@ -51,6 +51,11 @@ class Graph:
     bwd_offsets: np.ndarray  # [V+1] int64 row_offset
     bwd_weight: np.ndarray   # [E] float32 norm weight in backward order
 
+    # original-edge ids per ordering (fwd edge j == input edge fwd_eid[j]);
+    # aligns the two orderings for the ELL slot permutation (ops/ell.py)
+    fwd_eid: np.ndarray = None
+    bwd_eid: np.ndarray = None
+
     def edge_segments_fwd(self) -> np.ndarray:
         """Per-edge dst segment ids in forward order (== fwd_dst)."""
         return self.fwd_dst
@@ -123,6 +128,8 @@ def build_graph(src: np.ndarray, dst: np.ndarray, num_vertices: int,
         fwd_weight=fwd_w,
         bwd_src=bwd_src, bwd_dst=bwd_dst, bwd_offsets=bwd_offsets,
         bwd_weight=bwd_w,
+        fwd_eid=np.ascontiguousarray(fwd_perm, dtype=np.int64),
+        bwd_eid=np.ascontiguousarray(bwd_perm, dtype=np.int64),
     )
 
 

@@ -65,10 +65,8 @@ def forward(state: GATState, gt, x: jax.Array, key: jax.Array | None,
         a_r = p["attn"][f_out:, :]       # [F',1]
         s_src = (mirror @ a_l)[:, 0]     # per src-table row
         s_dst = (x_t @ a_r)[:, 0]        # per local dst row
-        m = jax.nn.leaky_relu(
-            jnp.take(s_src, gt.fwd_src) + jnp.take(s_dst, gt.fwd_dst),
-            negative_slope=0.2)
-        a = gt.edge_softmax(m[:, None])[:, 0]          # [E]
-        nbr = gt.aggregate_weighted(a, mirror)         # Σ a_e mirror[src]
+        # fused edge chain: leaky_relu attention → per-dst softmax →
+        # weighted aggregate (scatter-free slab math on the ELL backend)
+        nbr = gt.attention_aggregate(mirror, s_src, s_dst, slope=0.2)
         x = jax.nn.relu(nbr)
     return x, []

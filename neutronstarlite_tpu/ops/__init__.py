@@ -8,8 +8,9 @@ hand-rolled autodiff chain. Here each op is a pure JAX function:
   autodiff derives every backward pass (which provably matches the
   reference's hand-written transposed ops; tests assert this against the
   degree oracles);
-* the Pallas backend (`pallas_spmm.py`) provides TPU kernels for the hot
-  SpMM/edge-softmax paths behind the same API via `jax.custom_vjp`.
+* the ELL backend (`ell.py`) re-casts the hot SpMM / edge-softmax /
+  attention paths as scatter-free dense-slab compute with transposed-slab
+  custom VJPs — the TPU-native layout for the reference's CUDA kernels.
 """
 
 from neutronstarlite_tpu.ops.segment import (  # noqa: F401

@@ -1,0 +1,473 @@
+"""ELL graph representation: the TPU-native sparse format for all graph ops.
+
+Everything on a TPU wants dense, statically-shaped, scatter-free compute.
+This module re-casts the reference's CSC/CSR chunks (core/GraphSegment.h:52-139)
+into a dual ELLPACK layout where *every* graph operator — SpMM forward, its
+transposed gradient, and the whole fused GAT attention layer — becomes
+gathers + dense [rows, K] vector ops, with scatters only over the tiny set
+of row-split virtual rows:
+
+* **Base slab** ``idx/w [V_pad, K]``: row r's first K edges; K minimizes
+  padded work over the degree histogram (see ``choose_k``).
+* **Row-split tail** ``tail_idx/tail_w [Rv, K]`` + ``tail_rows [Rv]``: hub
+  rows' extra edges as virtual rows, combined by per-virtual-row
+  ``segment_sum`` (Rv ≪ E, so the scatter is tiny — critical because TPU
+  scatter cost scales with update count).
+* **Backward slabs** over the src-major (CSR) ordering, the reference's
+  separately-materialized backward structure (core/graph.hpp:4203-4404).
+* **Slot permutation** ``b_perm``: for each backward slot, the flat position
+  of the same edge in the forward slabs. Gradients that the reference
+  computes with hand-written transposed ops — and that naive autodiff would
+  turn into E-sized scatters — become *gathers through the permutation*.
+
+The fused attention op (``attention_aggregate``) is the TPU answer to the
+reference's GAT chain (scatter → edge NN → edge softmax → mask → aggregate,
+toolkits/GAT_CPU_DIST.hpp:181-215, cuda/ntsCUDADistKernel.cuh edge_softmax
+kernels): one custom-VJP op, no [E]-shaped HBM intermediates, softmax as a
+dense masked row softmax with logsumexp combine across row splits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# K selection
+# ---------------------------------------------------------------------------
+
+def choose_k(deg: np.ndarray, ell_cap: int = 256, beta: float = 32.0) -> int:
+    """Slot width minimizing (V + tail_rows)·K + β·tail_rows, computed
+    exactly from the degree histogram; β models per-virtual-row scatter +
+    launch overhead (slot-equivalents, measured on v5e)."""
+    if deg.size == 0:
+        return 8
+    cap = max(8, (ell_cap // 8) * 8)
+    best_k, best_cost = 8, None
+    v = deg.size
+    for k in range(8, cap + 1, 8):
+        over = deg - k
+        over = over[over > 0]
+        tail_rows = float(np.ceil(over / k).sum()) if over.size else 0.0
+        cost = (v + tail_rows) * k + beta * tail_rows
+        if best_cost is None or cost < best_cost:
+            best_k, best_cost = k, cost
+        if over.size == 0:
+            break
+    return best_k
+
+
+# ---------------------------------------------------------------------------
+# Vectorized slab packing
+# ---------------------------------------------------------------------------
+
+def pack_slab(offsets: np.ndarray, nbr: np.ndarray, w: np.ndarray,
+              num_rows: int, k: int, pad_rows_to: int = 8):
+    """Pack a row-sorted edge list into base + row-split tail slabs.
+
+    Returns (idx, wgt, tail_idx, tail_w, tail_rows, pos) where ``pos[j]`` is
+    the flat slab position of input edge j (base slab first, then tail;
+    flat length = V_pad*K + Rv_pad*K).
+    """
+    e = nbr.size
+    deg = np.diff(offsets[:num_rows + 1]).astype(np.int64)
+    v_pad = -(-max(num_rows, 1) // pad_rows_to) * pad_rows_to
+
+    row = np.repeat(np.arange(num_rows, dtype=np.int64), deg)
+    rank = np.arange(e, dtype=np.int64) - np.repeat(offsets[:num_rows], deg)
+
+    over = np.maximum(deg - k, 0)
+    vrows = -(-over // k)                       # tail slices per row
+    rv = int(vrows.sum())
+    rv_pad = -(-rv // pad_rows_to) * pad_rows_to if rv else 0
+    vstart = np.zeros(num_rows, np.int64)       # exclusive cumsum of vrows
+    if num_rows > 1:
+        np.cumsum(vrows[:-1], out=vstart[1:])
+
+    idx = np.zeros((v_pad, k), np.int32)
+    wgt = np.zeros((v_pad, k), np.float32)
+    base_sel = rank < k
+    idx[row[base_sel], rank[base_sel]] = nbr[base_sel]
+    wgt[row[base_sel], rank[base_sel]] = w[base_sel]
+
+    tail_idx = np.zeros((rv_pad, k), np.int32)
+    tail_w = np.zeros((rv_pad, k), np.float32)
+    tail_rows = np.zeros(rv_pad, np.int32)
+    pos = np.empty(e, np.int64)
+    base_size = v_pad * k
+    pos[base_sel] = row[base_sel] * k + rank[base_sel]
+    if rv:
+        tsel = ~base_sel
+        trank = rank[tsel] - k
+        vrow = vstart[row[tsel]] + trank // k
+        slot = trank % k
+        tail_idx[vrow, slot] = nbr[tsel]
+        tail_w[vrow, slot] = w[tsel]
+        # tail_rows[vr] = real row of virtual row vr (sorted by construction)
+        tail_rows[:rv] = np.repeat(np.arange(num_rows, dtype=np.int32), vrows)
+        pos[tsel] = base_size + vrow * k + slot
+    return idx, wgt, tail_idx, tail_w, tail_rows, pos
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class EllGraph:
+    """Device-side dual-ELL graph (pytree; static metadata in aux)."""
+
+    # forward (dst-major): aggregates INTO dst rows FROM src tables
+    f_idx: jax.Array       # [Vd_pad, K] src ids
+    f_w: jax.Array         # [Vd_pad, K]
+    f_tail_idx: jax.Array  # [Rvf_pad, K]
+    f_tail_w: jax.Array
+    f_tail_rows: jax.Array  # [Rvf_pad] sorted dst rows
+    # backward (src-major): aggregates INTO src rows FROM dst-grad tables
+    b_idx: jax.Array       # [Vs_pad, Kb] dst ids
+    b_w: jax.Array
+    b_tail_idx: jax.Array
+    b_tail_w: jax.Array
+    b_tail_rows: jax.Array
+    # permutation: flat fwd-slab position of each bwd slot's edge
+    # (padding slots point at the trailing dummy position)
+    b_perm: jax.Array      # [Vs_pad, Kb] int32
+    b_tail_perm: jax.Array  # [Rvb_pad, Kb] int32
+    num_dst: int = 0       # true dst rows (<= Vd_pad)
+    num_src: int = 0       # true src rows
+
+    def tree_flatten(self):
+        ch = (self.f_idx, self.f_w, self.f_tail_idx, self.f_tail_w,
+              self.f_tail_rows, self.b_idx, self.b_w, self.b_tail_idx,
+              self.b_tail_w, self.b_tail_rows, self.b_perm, self.b_tail_perm)
+        return ch, (self.num_dst, self.num_src)
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(*ch, num_dst=aux[0], num_src=aux[1])
+
+    @property
+    def flat_fwd_size(self) -> int:
+        return (self.f_idx.shape[0] * self.f_idx.shape[1]
+                + self.f_tail_idx.shape[0] * self.f_tail_idx.shape[1])
+
+
+def build_ell_graph(g, ell_cap: int = 256) -> EllGraph:
+    """Build the dual-ELL representation from a structure.Graph."""
+    kf = choose_k(np.diff(g.fwd_offsets), ell_cap)
+    kb = choose_k(np.diff(g.bwd_offsets), ell_cap)
+    v = g.num_vertices
+
+    f_idx, f_w, f_tidx, f_tw, f_trows, f_pos = pack_slab(
+        g.fwd_offsets, g.fwd_src, g.fwd_weight, v, kf)
+    b_idx, b_w, b_tidx, b_tw, b_trows, b_pos = pack_slab(
+        g.bwd_offsets, g.bwd_dst, g.bwd_weight, v, kb)
+
+    # original-edge-id alignment between the two orderings
+    fwd_eid = getattr(g, "fwd_eid", None)
+    bwd_eid = getattr(g, "bwd_eid", None)
+    if fwd_eid is None or bwd_eid is None:
+        raise ValueError("Graph lacks fwd_eid/bwd_eid (rebuild with current "
+                         "build_graph)")
+    e = g.num_edges
+    orig_to_fpos = np.empty(e, np.int64)
+    orig_to_fpos[fwd_eid] = f_pos
+    dummy = v * 0 + (f_idx.size + f_tidx.size)  # trailing dummy position
+    b_perm_flat = np.full(b_idx.size, dummy, np.int64)
+    b_tail_perm_flat = np.full(b_tidx.size, dummy, np.int64)
+    # scatter bwd edge positions
+    bp = orig_to_fpos[bwd_eid]          # fwd pos of each bwd-ordered edge
+    base_size_b = b_idx.size
+    base_sel = b_pos < base_size_b
+    b_perm_flat[b_pos[base_sel]] = bp[base_sel]
+    if b_tidx.size:
+        b_tail_perm_flat[b_pos[~base_sel] - base_size_b] = bp[~base_sel]
+
+    dev = jnp.asarray
+    return EllGraph(
+        f_idx=dev(f_idx), f_w=dev(f_w), f_tail_idx=dev(f_tidx),
+        f_tail_w=dev(f_tw), f_tail_rows=dev(f_trows),
+        b_idx=dev(b_idx), b_w=dev(b_w), b_tail_idx=dev(b_tidx),
+        b_tail_w=dev(b_tw), b_tail_rows=dev(b_trows),
+        b_perm=dev(b_perm_flat.reshape(b_idx.shape).astype(np.int32)),
+        b_tail_perm=dev(b_tail_perm_flat.reshape(
+            b_tidx.shape if b_tidx.size else (0, b_idx.shape[1])
+        ).astype(np.int32)),
+        num_dst=v, num_src=v)
+
+
+# ---------------------------------------------------------------------------
+# Dense slab compute primitives
+# ---------------------------------------------------------------------------
+
+_BLOCK_GATHER_BUDGET = 32 * 1024 * 1024
+
+
+def slab_matvec(idx: jax.Array, w: jax.Array, x: jax.Array) -> jax.Array:
+    """out[r] = Σ_k w[r,k]·x[idx[r,k]], chunked so the gathered temp stays
+    within a fixed byte budget."""
+    rows, k = idx.shape
+    if rows == 0:
+        return jnp.zeros((0, x.shape[-1]), x.dtype)
+    f = x.shape[-1]
+    bv = max(8, min(rows, _BLOCK_GATHER_BUDGET // max(k * f * 4, 1)))
+    bv = max(8, (bv // 8) * 8)
+    if rows <= bv:
+        g = jnp.take(x, idx, axis=0)
+        return jnp.einsum("vk,vkf->vf", w, g,
+                          preferred_element_type=jnp.float32).astype(x.dtype)
+    n_blocks = -(-rows // bv)
+    pad = n_blocks * bv - rows
+    if pad:
+        idx = jnp.pad(idx, ((0, pad), (0, 0)))
+        w = jnp.pad(w, ((0, pad), (0, 0)))
+
+    def block(args):
+        ib, wb = args
+        g = jnp.take(x, ib, axis=0)
+        return jnp.einsum("vk,vkf->vf", wb, g,
+                          preferred_element_type=jnp.float32).astype(x.dtype)
+
+    out = jax.lax.map(block, (idx.reshape(n_blocks, bv, k),
+                              w.reshape(n_blocks, bv, k)))
+    return out.reshape(n_blocks * bv, f)[:rows]
+
+
+def slab_sddmm(idx: jax.Array, valid: jax.Array, x: jax.Array,
+               g_rows: jax.Array) -> jax.Array:
+    """dm[r,k] = dot(x[idx[r,k]], g_rows[r]) for valid slots — the SDDMM in
+    slab layout, chunked like slab_matvec."""
+    rows, k = idx.shape
+    if rows == 0:
+        return jnp.zeros((0, k), g_rows.dtype)
+    f = x.shape[-1]
+    bv = max(8, min(rows, _BLOCK_GATHER_BUDGET // max(k * f * 4, 1)))
+    bv = max(8, (bv // 8) * 8)
+
+    def dense(ib, vb, gb):
+        xt = jnp.take(x, ib, axis=0)                  # [bv, K, F]
+        out = jnp.einsum("vkf,vf->vk", xt, gb,
+                         preferred_element_type=jnp.float32)
+        return jnp.where(vb, out, 0.0).astype(g_rows.dtype)
+
+    if rows <= bv:
+        return dense(idx, valid, g_rows)
+    n_blocks = -(-rows // bv)
+    pad = n_blocks * bv - rows
+    if pad:
+        idx = jnp.pad(idx, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, ((0, pad), (0, 0)))
+        g_rows = jnp.pad(g_rows, ((0, pad), (0, 0)))
+    out = jax.lax.map(
+        lambda t: dense(*t),
+        (idx.reshape(n_blocks, bv, k), valid.reshape(n_blocks, bv, k),
+         g_rows.reshape(n_blocks, bv, f)))
+    return out.reshape(n_blocks * bv, k)[:rows]
+
+
+def _tail_combine(base_rows: jax.Array, tail_vals: jax.Array,
+                  tail_rows: jax.Array, num_rows: int, op: str = "sum"
+                  ) -> jax.Array:
+    """Combine per-virtual-row reductions into real rows (tiny scatter)."""
+    if tail_vals.shape[0] == 0:
+        return base_rows
+    if op == "sum":
+        t = jax.ops.segment_sum(tail_vals, tail_rows, num_segments=num_rows,
+                                indices_are_sorted=True)
+        return base_rows + t
+    if op == "max":
+        t = jax.ops.segment_max(tail_vals, tail_rows, num_segments=num_rows,
+                                indices_are_sorted=True)
+        return jnp.maximum(base_rows, t)
+    raise ValueError(op)
+
+
+# ---------------------------------------------------------------------------
+# SpMM with static weights (GCN/GIN/CommNet aggregate)
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def spmm(ell: EllGraph, x: jax.Array) -> jax.Array:
+    """Y = Â·X over the forward slabs; VJP = same kernel over the backward
+    slabs (the reference's dual-structure design, SURVEY.md §7.1.4)."""
+    out = slab_matvec(ell.f_idx, ell.f_w, x)[:ell.num_dst]
+    tail = slab_matvec(ell.f_tail_idx, ell.f_tail_w, x)
+    return _tail_combine(out, tail, ell.f_tail_rows, ell.num_dst)
+
+
+def _spmm_fwd(ell, x):
+    return spmm(ell, x), ell
+
+
+def _spmm_bwd(ell, g):
+    dx = slab_matvec(ell.b_idx, ell.b_w, g)[:ell.num_src]
+    tail = slab_matvec(ell.b_tail_idx, ell.b_tail_w, g)
+    dx = _tail_combine(dx, tail, ell.b_tail_rows, ell.num_src)
+    return None, dx
+
+
+spmm.defvjp(_spmm_fwd, _spmm_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused GAT attention layer
+# ---------------------------------------------------------------------------
+
+_NEG = -1e30
+
+
+def _attention_scores(ell: EllGraph, s_src, s_dst, slope):
+    """Masked pre-activations + softmax over each dst row (base ∥ tail).
+
+    ``s_src``: [Vs] source-table scalars; ``s_dst``: [num_dst] scalars.
+    Returns (a, a_t, (pre, pre_t)) in slab layout; invalid slots get a=0.
+    """
+    vd_pad = ell.f_idx.shape[0]
+    s_dst_p = jnp.pad(s_dst, (0, vd_pad - s_dst.shape[0]))
+    f_valid = ell.f_w != 0
+    has_tail = ell.f_tail_idx.shape[0] > 0
+
+    pre = jnp.take(s_src, ell.f_idx) + s_dst_p[:, None]
+    m = jnp.where(f_valid, jax.nn.leaky_relu(pre, slope), _NEG)
+    if has_tail:
+        t_valid = ell.f_tail_w != 0
+        pre_t = (jnp.take(s_src, ell.f_tail_idx)
+                 + jnp.take(s_dst_p, ell.f_tail_rows)[:, None])
+        m_t = jnp.where(t_valid, jax.nn.leaky_relu(pre_t, slope), _NEG)
+    else:
+        pre_t = None
+        m_t = jnp.zeros((0, ell.f_idx.shape[1]), m.dtype)
+
+    # segment max / sum across base ∥ tail slices of each dst row
+    row_max = jnp.max(m, axis=1)                                  # [Vd_pad]
+    if has_tail:
+        combined = _tail_combine(row_max[:ell.num_dst], jnp.max(m_t, axis=1),
+                                 ell.f_tail_rows, ell.num_dst, op="max")
+        row_max = jnp.concatenate([combined, row_max[ell.num_dst:]])
+    row_max = jnp.maximum(row_max, _NEG / 2)  # isolated rows: avoid -inf−-inf
+    z = jnp.where(f_valid, jnp.exp(m - row_max[:, None]), 0.0)
+    ssum = jnp.sum(z, axis=1)
+    if has_tail:
+        z_t = jnp.where(
+            t_valid,
+            jnp.exp(m_t - jnp.take(row_max, ell.f_tail_rows)[:, None]), 0.0)
+        combined = _tail_combine(ssum[:ell.num_dst], jnp.sum(z_t, axis=1),
+                                 ell.f_tail_rows, ell.num_dst)
+        ssum = jnp.concatenate([combined, ssum[ell.num_dst:]])
+    else:
+        z_t = m_t
+    ssum = jnp.maximum(ssum, 1e-30)
+    a = z / ssum[:, None]
+    a_t = (z_t / jnp.take(ssum, ell.f_tail_rows)[:, None] if has_tail
+           else z_t)
+    return a, a_t, (pre, pre_t)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def attention_aggregate(ell: EllGraph, x: jax.Array, s_src: jax.Array,
+                        s_dst: jax.Array, slope: float = 0.2) -> jax.Array:
+    """out[d] = Σ_k softmax_d(leaky_relu(s_src[src]+s_dst[d]))·x[src].
+
+    The whole reference GAT edge chain as ONE op in slab layout:
+    no [E]-shaped intermediates, no scatters beyond the virtual-row combine;
+    gradients flow to x, s_src, s_dst through the slot permutation.
+    """
+    out, _ = _attn_fwd_impl(ell, x, s_src, s_dst, slope)
+    return out
+
+
+def _attn_fwd_impl(ell, x, s_src, s_dst, slope):
+    a, a_t, (pre, pre_t) = _attention_scores(ell, s_src, s_dst, slope)
+    out = slab_matvec(ell.f_idx, a, x)[:ell.num_dst]
+    tail = slab_matvec(ell.f_tail_idx, a_t, x)
+    out = _tail_combine(out, tail, ell.f_tail_rows, ell.num_dst)
+    return out, (a, a_t, pre, pre_t)
+
+
+def _attn_fwd(ell, x, s_src, s_dst, slope):
+    out, (a, a_t, pre, pre_t) = _attn_fwd_impl(ell, x, s_src, s_dst, slope)
+    return out, (ell, x, s_src, s_dst, a, a_t, pre, pre_t)
+
+
+def _attn_bwd(slope, res, g):
+    ell, x, s_src, s_dst, a, a_t, pre_b, pre_t = res
+    has_tail = ell.f_tail_idx.shape[0] > 0
+    f_valid = ell.f_w != 0
+    t_valid = ell.f_tail_w != 0
+    g_pad = jnp.pad(g, ((0, ell.f_idx.shape[0] - ell.num_dst), (0, 0)))
+
+    # da[r,k] = dot(x[idx], g[r])
+    da = slab_sddmm(ell.f_idx, f_valid, x, g_pad)
+    if has_tail:
+        g_tail = jnp.take(g_pad, ell.f_tail_rows, axis=0)
+        da_t = slab_sddmm(ell.f_tail_idx, t_valid, x, g_tail)
+    else:
+        da_t = jnp.zeros_like(a_t)
+
+    # softmax VJP across base∥tail per dst row
+    inner = jnp.sum(a * da, axis=1)
+    if has_tail:
+        inner = jnp.pad(
+            _tail_combine(inner[:ell.num_dst],
+                          jnp.sum(a_t * da_t, axis=1),
+                          ell.f_tail_rows, ell.num_dst),
+            (0, ell.f_idx.shape[0] - ell.num_dst))
+    dm = a * (da - inner[:, None])
+    dleaky = jnp.where(pre_b > 0, 1.0, slope)
+    dpre = jnp.where(f_valid, dm * dleaky, 0.0)
+    if has_tail:
+        inner_t = jnp.take(inner, ell.f_tail_rows)
+        dm_t = a_t * (da_t - inner_t[:, None])
+        dpre_t = jnp.where(t_valid, dm_t * jnp.where(pre_t > 0, 1.0, slope),
+                           0.0)
+    else:
+        dpre_t = jnp.zeros_like(a_t)
+
+    # d s_dst[d] = Σ_k dpre
+    ds_dst = jnp.sum(dpre, axis=1)
+    if has_tail:
+        ds_dst = jnp.pad(
+            _tail_combine(ds_dst[:ell.num_dst], jnp.sum(dpre_t, axis=1),
+                          ell.f_tail_rows, ell.num_dst),
+            (0, ell.f_idx.shape[0] - ell.num_dst))
+    ds_dst = ds_dst[:s_dst.shape[0]]
+
+    # d s_src via the slot permutation: gather dpre in src-major layout
+    dpre_flat = jnp.concatenate(
+        [dpre.reshape(-1), dpre_t.reshape(-1), jnp.zeros(1, dpre.dtype)])
+    b_valid = ell.b_w != 0
+    ds_src_base = jnp.sum(
+        jnp.where(b_valid, jnp.take(dpre_flat, ell.b_perm), 0.0), axis=1)
+    if ell.b_tail_idx.shape[0]:
+        bt_valid = ell.b_tail_w != 0
+        ds_src_tail = jnp.sum(
+            jnp.where(bt_valid, jnp.take(dpre_flat, ell.b_tail_perm), 0.0),
+            axis=1)
+        ds_src = _tail_combine(ds_src_base[:ell.num_src], ds_src_tail,
+                               ell.b_tail_rows, ell.num_src)
+    else:
+        ds_src = ds_src_base[:ell.num_src]
+    ds_src = ds_src[:s_src.shape[0]]
+
+    # dX via transposed aggregate with permuted attention weights
+    a_flat = jnp.concatenate(
+        [a.reshape(-1), a_t.reshape(-1), jnp.zeros(1, a.dtype)])
+    a_bwd = jnp.where(b_valid, jnp.take(a_flat, ell.b_perm), 0.0)
+    dx = slab_matvec(ell.b_idx, a_bwd, g_pad)[:ell.num_src]
+    if ell.b_tail_idx.shape[0]:
+        a_bwd_t = jnp.where(ell.b_tail_w != 0,
+                            jnp.take(a_flat, ell.b_tail_perm), 0.0)
+        dx = _tail_combine(dx, slab_matvec(ell.b_tail_idx, a_bwd_t, g_pad),
+                           ell.b_tail_rows, ell.num_src)
+    dx = dx[:x.shape[0]]
+
+    return None, dx, ds_src, ds_dst
+
+
+attention_aggregate.defvjp(_attn_fwd, _attn_bwd)
+
+
+Pytree = Any

@@ -6,7 +6,7 @@ dst-sorted / src-sorted edge arrays with precomputed weights, as jnp arrays.
 It is a pytree, so it can be closed over or passed through jit freely.
 
 Backend dispatch: ``backend='xla'`` uses the segment ops; ``backend='pallas'``
-uses the TPU kernels in pallas_spmm.py (falling back to xla off-TPU).
+uses the scatter-free ELL engine in ell.py (falling back to xla off-TPU).
 """
 
 from __future__ import annotations
@@ -75,8 +75,8 @@ class GraphTensors:
             backend = _default_backend()
         ell = None
         if backend == "pallas":
-            from neutronstarlite_tpu.ops import pallas_spmm
-            ell = pallas_spmm.build_ell_tensors(g, ell_cap=ell_cap)
+            from neutronstarlite_tpu.ops import ell as ell_mod
+            ell = ell_mod.build_ell_graph(g, ell_cap=ell_cap)
         dev = jnp.asarray
         return cls(
             fwd_src=dev(g.fwd_src), fwd_dst=dev(g.fwd_dst),
@@ -124,11 +124,31 @@ class GraphTensors:
 
     def aggregate_neighbors(self, x: jax.Array) -> jax.Array:
         """Fused degree-normalized aggregation Y = Â·X (ForwardCPUfuseOp,
-        ref: core/ntsCPUFusedGraphOp.hpp:34-167). Uses the Pallas SpMM on TPU."""
-        if self.backend == "pallas":
-            from neutronstarlite_tpu.ops import pallas_spmm
-            return pallas_spmm.spmm_apply(self, self.fwd_weight, x)
+        ref: core/ntsCPUFusedGraphOp.hpp:34-167). On the ELL backend this is
+        scatter-free slab compute with the transposed-slab custom VJP."""
+        if self.ell is not None:
+            from neutronstarlite_tpu.ops import ell as ell_mod
+            return ell_mod.spmm(self.ell, x)
         return segment.spmm(self.fwd_weight, x, self.fwd_src, self.fwd_dst,
+                            self.num_vertices)
+
+    def attention_aggregate(self, table: jax.Array, s_src: jax.Array,
+                            s_dst: jax.Array, slope: float = 0.2
+                            ) -> jax.Array:
+        """Fused GAT layer: per-dst softmax(leaky_relu(s_src[src]+s_dst[dst]))
+        weighted aggregation of ``table`` rows (the whole edge chain of
+        toolkits/GAT_CPU_DIST.hpp:181-215 as one op). ELL backend: dense
+        slab math, no scatters; XLA backend: segment ops."""
+        if self.ell is not None:
+            from neutronstarlite_tpu.ops import ell as ell_mod
+            return ell_mod.attention_aggregate(self.ell, table, s_src,
+                                               s_dst, slope)
+        m = jax.nn.leaky_relu(
+            jnp.take(s_src, self.fwd_src) + jnp.take(s_dst, self.fwd_dst),
+            negative_slope=slope)
+        a = segment.edge_softmax(m[:, None], self.fwd_dst,
+                                 self.num_vertices)[:, 0]
+        return segment.spmm(a, table, self.fwd_src, self.fwd_dst,
                             self.num_vertices)
 
     def aggregate_weighted(self, edge_weight: jax.Array, x: jax.Array

@@ -296,6 +296,20 @@ class DistGraphTensors:
         masked = jnp.where((self.e_w != 0)[:, None], edge_val, neg)
         return segment.edge_softmax(masked, self.e_dst, self.num_vertices)
 
+    def attention_aggregate(self, table: jax.Array, s_src: jax.Array,
+                            s_dst: jax.Array, slope: float = 0.2
+                            ) -> jax.Array:
+        """Fused GAT layer over local edges (src ids index the combined
+        [local ∪ mirror ∪ hot] table). Segment-op implementation; padding
+        edges masked out via zero weights."""
+        m = jax.nn.leaky_relu(
+            jnp.take(s_src, self.e_src) + jnp.take(s_dst, self.e_dst),
+            negative_slope=slope)
+        a = self.edge_softmax(m[:, None])[:, 0]
+        a = jnp.where(self.e_w != 0, a, 0.0)
+        return segment.spmm(a, table, self.e_src, self.e_dst,
+                            self.num_vertices)
+
     @property
     def fwd_src(self):
         return self.e_src

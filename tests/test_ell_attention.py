@@ -1,0 +1,141 @@
+"""ELL engine tests: slot permutation, fused attention vs segment oracle,
+row-split tail correctness on hub-heavy (power-law) graphs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neutronstarlite_tpu.graph.structure import add_self_loops, build_graph
+from neutronstarlite_tpu.ops import ell, segment
+from neutronstarlite_tpu.ops.graph_ops import GraphTensors
+
+
+def hub_graph(v=120, e=1500, seed=3):
+    """Zipf-ish graph guaranteed to have hub rows beyond any small K."""
+    r = np.random.default_rng(seed)
+    w = (np.arange(1, v + 1) ** -1.0)
+    w /= w.sum()
+    dst = r.choice(v, size=e, p=w).astype(np.int32)
+    src = r.integers(0, v, e).astype(np.int32)
+    src, dst = add_self_loops(src, dst, v)
+    return build_graph(src, dst, v)
+
+
+@pytest.fixture(scope="module")
+def g():
+    return hub_graph()
+
+
+@pytest.fixture(scope="module")
+def eg(g):
+    return ell.build_ell_graph(g, ell_cap=16)  # small cap → real tail
+
+
+@pytest.fixture(scope="module")
+def feats(g):
+    r = np.random.default_rng(7)
+    return jnp.asarray(r.standard_normal((g.num_vertices, 24))
+                       .astype(np.float32))
+
+
+class TestSlabStructure:
+    def test_tail_exists(self, eg):
+        assert eg.f_tail_idx.shape[0] > 0, "test graph must exercise the tail"
+
+    def test_slab_edge_conservation(self, g, eg):
+        """Every edge appears exactly once across base+tail (weight sum)."""
+        total = float(np.asarray(eg.f_w).sum() + np.asarray(eg.f_tail_w).sum())
+        np.testing.assert_allclose(total, g.fwd_weight.sum(), rtol=1e-5)
+        total_b = float(np.asarray(eg.b_w).sum()
+                        + np.asarray(eg.b_tail_w).sum())
+        np.testing.assert_allclose(total_b, g.bwd_weight.sum(), rtol=1e-5)
+
+    def test_perm_roundtrip(self, g, eg):
+        """b_perm maps each backward slot to the forward slot of the SAME
+        edge: gathering fwd weights through it must reproduce bwd weights."""
+        f_flat = np.concatenate([np.asarray(eg.f_w).ravel(),
+                                 np.asarray(eg.f_tail_w).ravel(), [0.0]])
+        b_valid = np.asarray(eg.b_w) != 0
+        got = f_flat[np.asarray(eg.b_perm)]
+        np.testing.assert_allclose(got[b_valid],
+                                   np.asarray(eg.b_w)[b_valid], rtol=1e-6)
+        if eg.b_tail_idx.shape[0]:
+            bt_valid = np.asarray(eg.b_tail_w) != 0
+            got_t = f_flat[np.asarray(eg.b_tail_perm)]
+            np.testing.assert_allclose(got_t[bt_valid],
+                                       np.asarray(eg.b_tail_w)[bt_valid],
+                                       rtol=1e-6)
+
+
+class TestEllSpmm:
+    def test_fwd_matches_segment(self, g, eg, feats):
+        out = ell.spmm(eg, feats)
+        oracle = segment.spmm(jnp.asarray(g.fwd_weight), feats,
+                              jnp.asarray(g.fwd_src), jnp.asarray(g.fwd_dst),
+                              g.num_vertices)
+        np.testing.assert_allclose(out, oracle, rtol=1e-4, atol=1e-5)
+
+    def test_grad_matches_segment(self, g, eg, feats):
+        def f_ell(x):
+            return jnp.sum(jnp.sin(ell.spmm(eg, x)))
+
+        def f_seg(x):
+            y = segment.spmm(jnp.asarray(g.fwd_weight), x,
+                             jnp.asarray(g.fwd_src), jnp.asarray(g.fwd_dst),
+                             g.num_vertices)
+            return jnp.sum(jnp.sin(y))
+        np.testing.assert_allclose(jax.grad(f_ell)(feats),
+                                   jax.grad(f_seg)(feats),
+                                   rtol=1e-4, atol=1e-5)
+
+
+class TestAttentionAggregate:
+    def segment_oracle(self, g, feats, s_src, s_dst, slope=0.2):
+        m = jax.nn.leaky_relu(
+            jnp.take(s_src, jnp.asarray(g.fwd_src))
+            + jnp.take(s_dst, jnp.asarray(g.fwd_dst)), negative_slope=slope)
+        a = segment.edge_softmax(m[:, None], jnp.asarray(g.fwd_dst),
+                                 g.num_vertices)[:, 0]
+        return segment.spmm(a, feats, jnp.asarray(g.fwd_src),
+                            jnp.asarray(g.fwd_dst), g.num_vertices)
+
+    @pytest.fixture()
+    def scores(self, g):
+        r = np.random.default_rng(11)
+        return (jnp.asarray(r.standard_normal(g.num_vertices)
+                            .astype(np.float32)),
+                jnp.asarray(r.standard_normal(g.num_vertices)
+                            .astype(np.float32)))
+
+    def test_fwd_matches_segment(self, g, eg, feats, scores):
+        s_src, s_dst = scores
+        out = ell.attention_aggregate(eg, feats, s_src, s_dst, 0.2)
+        oracle = self.segment_oracle(g, feats, s_src, s_dst)
+        np.testing.assert_allclose(out, oracle, rtol=1e-4, atol=1e-5)
+
+    def test_all_grads_match_segment(self, g, eg, feats, scores):
+        s_src, s_dst = scores
+        co = jnp.asarray(np.random.default_rng(13).standard_normal(
+            (g.num_vertices, 24)).astype(np.float32))
+
+        def f_ell(x, ss, sd):
+            return jnp.sum(ell.attention_aggregate(eg, x, ss, sd, 0.2) * co)
+
+        def f_seg(x, ss, sd):
+            return jnp.sum(self.segment_oracle(g, x, ss, sd) * co)
+
+        g_ell = jax.grad(f_ell, argnums=(0, 1, 2))(feats, s_src, s_dst)
+        g_seg = jax.grad(f_seg, argnums=(0, 1, 2))(feats, s_src, s_dst)
+        for a, b, name in zip(g_ell, g_seg, ("dx", "ds_src", "ds_dst")):
+            np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-4,
+                                       err_msg=f"grad mismatch: {name}")
+
+    def test_gat_model_ell_backend_matches_xla(self, g, feats):
+        from neutronstarlite_tpu.models import gat
+        st = gat.init(jax.random.PRNGKey(5), [24, 8])
+        gt_x = GraphTensors.from_graph(g, backend="xla")
+        gt_p = GraphTensors.from_graph(g, backend="pallas")
+        out_x, _ = gat.forward(st, gt_x, feats, None, training=False)
+        out_p, _ = gat.forward(st, gt_p, feats, None, training=False)
+        np.testing.assert_allclose(out_p, out_x, rtol=1e-3, atol=1e-4)

@@ -3,7 +3,7 @@
 Usage: python tools/bench_kernels.py [V] [avg_deg] [F]
 Times forward and forward+backward for:
   - xla: take + sorted segment_sum (segment.spmm)
-  - ell: chunked gather+einsum ELL path (pallas_spmm)
+  - ell: chunked gather+einsum ELL path (ops/ell.py)
 Prints one JSON line per variant.
 """
 
