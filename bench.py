@@ -48,6 +48,7 @@ def main():
     avg_deg = int(os.environ.get("NSL_BENCH_DEG", 50))
     epochs = int(os.environ.get("NSL_BENCH_EPOCHS", 10))
     backend = os.environ.get("NSL_BENCH_BACKEND", "auto")
+    dtype = os.environ.get("NSL_BENCH_DTYPE", "float32")
 
     import jax
     import jax.numpy as jnp
@@ -65,7 +66,7 @@ def main():
                      num_classes=41)
     cfg = InputInfo(vertices=v, epochs=epochs, layer_string="602-128-41",
                     learn_rate=0.01, weight_decay=1e-4, drop_rate=0.5,
-                    seed=0)
+                    seed=0, dtype=dtype)
     build_s = time.time() - t0
     _log(f"graph+data built in {build_s:.1f}s (V={v} E={g.num_edges})")
 
@@ -100,7 +101,7 @@ def main():
             "epochs": epochs, "wall_s": round(wall, 3),
             "epoch_s": round(wall / epochs, 4),
             "build_s": round(build_s, 2),
-            "backend": jax.default_backend(),
+            "backend": jax.default_backend(), "dtype": dtype,
         },
     }))
 

@@ -138,16 +138,24 @@ class EllGraph:
     b_tail_perm: jax.Array  # [Rvb_pad, Kb] int32
     num_dst: int = 0       # true dst rows (<= Vd_pad)
     num_src: int = 0       # true src rows
+    # compute dtype for the gathered feature rows ("bfloat16" halves the
+    # HBM gather traffic — the dominant SpMM cost; accumulation stays f32)
+    agg_dtype: str = "float32"
 
     def tree_flatten(self):
         ch = (self.f_idx, self.f_w, self.f_tail_idx, self.f_tail_w,
               self.f_tail_rows, self.b_idx, self.b_w, self.b_tail_idx,
               self.b_tail_w, self.b_tail_rows, self.b_perm, self.b_tail_perm)
-        return ch, (self.num_dst, self.num_src)
+        return ch, (self.num_dst, self.num_src, self.agg_dtype)
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
-        return cls(*ch, num_dst=aux[0], num_src=aux[1])
+        return cls(*ch, num_dst=aux[0], num_src=aux[1], agg_dtype=aux[2])
+
+    def cast_in(self, x: jax.Array) -> jax.Array:
+        if self.agg_dtype == "bfloat16":
+            return x.astype(jnp.bfloat16)
+        return x
 
     @property
     def flat_fwd_size(self) -> int:
@@ -155,48 +163,95 @@ class EllGraph:
                 + self.f_tail_idx.shape[0] * self.f_tail_idx.shape[1])
 
 
-def build_ell_graph(g, ell_cap: int = 256) -> EllGraph:
-    """Build the dual-ELL representation from a structure.Graph."""
-    kf = choose_k(np.diff(g.fwd_offsets), ell_cap)
-    kb = choose_k(np.diff(g.bwd_offsets), ell_cap)
-    v = g.num_vertices
+def build_ell_rect_np(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
+                      num_dst_rows: int, num_src_rows: int,
+                      ell_cap: int = 256, kf: int | None = None,
+                      kb: int | None = None) -> dict:
+    """Build the dual-ELL slabs for a (possibly rectangular) edge set as
+    host numpy arrays — the general form used per-device by the distributed
+    engine (dst rows = local vertices, src rows = combined
+    local∪mirror∪hot table).
+
+    ``kf``/``kb`` override slot widths (the SPMD engine needs identical
+    shapes on every device)."""
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    w = np.ascontiguousarray(w, np.float32)
+    e = src.size
+
+    fwd_perm = np.argsort(dst, kind="stable")
+    f_off = np.zeros(num_dst_rows + 1, np.int64)
+    np.cumsum(np.bincount(dst, minlength=num_dst_rows), out=f_off[1:])
+    bwd_perm = np.argsort(src, kind="stable")
+    b_off = np.zeros(num_src_rows + 1, np.int64)
+    np.cumsum(np.bincount(src, minlength=num_src_rows), out=b_off[1:])
+
+    if kf is None:
+        kf = choose_k(np.diff(f_off), ell_cap)
+    if kb is None:
+        kb = choose_k(np.diff(b_off), ell_cap)
 
     f_idx, f_w, f_tidx, f_tw, f_trows, f_pos = pack_slab(
-        g.fwd_offsets, g.fwd_src, g.fwd_weight, v, kf)
+        f_off, src[fwd_perm], w[fwd_perm], num_dst_rows, kf)
     b_idx, b_w, b_tidx, b_tw, b_trows, b_pos = pack_slab(
-        g.bwd_offsets, g.bwd_dst, g.bwd_weight, v, kb)
+        b_off, dst[bwd_perm], w[bwd_perm], num_src_rows, kb)
 
-    # original-edge-id alignment between the two orderings
-    fwd_eid = getattr(g, "fwd_eid", None)
-    bwd_eid = getattr(g, "bwd_eid", None)
-    if fwd_eid is None or bwd_eid is None:
-        raise ValueError("Graph lacks fwd_eid/bwd_eid (rebuild with current "
-                         "build_graph)")
-    e = g.num_edges
-    orig_to_fpos = np.empty(e, np.int64)
-    orig_to_fpos[fwd_eid] = f_pos
-    dummy = v * 0 + (f_idx.size + f_tidx.size)  # trailing dummy position
+    orig_to_fpos = np.empty(max(e, 1), np.int64)
+    orig_to_fpos[fwd_perm] = f_pos
+    dummy = f_idx.size + f_tidx.size  # trailing dummy position
     b_perm_flat = np.full(b_idx.size, dummy, np.int64)
     b_tail_perm_flat = np.full(b_tidx.size, dummy, np.int64)
-    # scatter bwd edge positions
-    bp = orig_to_fpos[bwd_eid]          # fwd pos of each bwd-ordered edge
+    bp = orig_to_fpos[bwd_perm]       # fwd pos of each bwd-ordered edge
     base_size_b = b_idx.size
     base_sel = b_pos < base_size_b
     b_perm_flat[b_pos[base_sel]] = bp[base_sel]
     if b_tidx.size:
         b_tail_perm_flat[b_pos[~base_sel] - base_size_b] = bp[~base_sel]
 
+    return {
+        "f_idx": f_idx, "f_w": f_w, "f_tail_idx": f_tidx, "f_tail_w": f_tw,
+        "f_tail_rows": f_trows,
+        "b_idx": b_idx, "b_w": b_w, "b_tail_idx": b_tidx, "b_tail_w": b_tw,
+        "b_tail_rows": b_trows,
+        "b_perm": b_perm_flat.reshape(b_idx.shape).astype(np.int32),
+        "b_tail_perm": b_tail_perm_flat.reshape(
+            b_tidx.shape if b_tidx.size else (0, b_idx.shape[1])
+        ).astype(np.int32),
+    }
+
+
+def ell_from_np(d: dict, num_dst: int, num_src: int,
+                agg_dtype: str = "float32") -> EllGraph:
     dev = jnp.asarray
     return EllGraph(
-        f_idx=dev(f_idx), f_w=dev(f_w), f_tail_idx=dev(f_tidx),
-        f_tail_w=dev(f_tw), f_tail_rows=dev(f_trows),
-        b_idx=dev(b_idx), b_w=dev(b_w), b_tail_idx=dev(b_tidx),
-        b_tail_w=dev(b_tw), b_tail_rows=dev(b_trows),
-        b_perm=dev(b_perm_flat.reshape(b_idx.shape).astype(np.int32)),
-        b_tail_perm=dev(b_tail_perm_flat.reshape(
-            b_tidx.shape if b_tidx.size else (0, b_idx.shape[1])
-        ).astype(np.int32)),
-        num_dst=v, num_src=v)
+        f_idx=dev(d["f_idx"]), f_w=dev(d["f_w"]),
+        f_tail_idx=dev(d["f_tail_idx"]), f_tail_w=dev(d["f_tail_w"]),
+        f_tail_rows=dev(d["f_tail_rows"]),
+        b_idx=dev(d["b_idx"]), b_w=dev(d["b_w"]),
+        b_tail_idx=dev(d["b_tail_idx"]), b_tail_w=dev(d["b_tail_w"]),
+        b_tail_rows=dev(d["b_tail_rows"]),
+        b_perm=dev(d["b_perm"]), b_tail_perm=dev(d["b_tail_perm"]),
+        num_dst=num_dst, num_src=num_src, agg_dtype=agg_dtype)
+
+
+def build_ell_graph(g, ell_cap: int = 256,
+                    agg_dtype: str = "float32") -> EllGraph:
+    """Build the dual-ELL representation from a structure.Graph."""
+    fwd_eid = getattr(g, "fwd_eid", None)
+    if fwd_eid is None:
+        raise ValueError("Graph lacks fwd_eid (rebuild with current "
+                         "build_graph)")
+    # reconstruct the original edge order so both slab orderings align
+    e = g.num_edges
+    src = np.empty(e, np.int32)
+    dst = np.empty(e, np.int32)
+    w = np.empty(e, np.float32)
+    src[fwd_eid] = g.fwd_src
+    dst[fwd_eid] = g.fwd_dst
+    w[fwd_eid] = g.fwd_weight
+    v = g.num_vertices
+    d = build_ell_rect_np(src, dst, w, v, v, ell_cap=ell_cap)
+    return ell_from_np(d, v, v, agg_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -293,20 +348,25 @@ def _tail_combine(base_rows: jax.Array, tail_vals: jax.Array,
 def spmm(ell: EllGraph, x: jax.Array) -> jax.Array:
     """Y = Â·X over the forward slabs; VJP = same kernel over the backward
     slabs (the reference's dual-structure design, SURVEY.md §7.1.4)."""
-    out = slab_matvec(ell.f_idx, ell.f_w, x)[:ell.num_dst]
-    tail = slab_matvec(ell.f_tail_idx, ell.f_tail_w, x)
-    return _tail_combine(out, tail, ell.f_tail_rows, ell.num_dst)
+    xc = ell.cast_in(x)
+    out = slab_matvec(ell.f_idx, ell.f_w, xc)[:ell.num_dst]
+    tail = slab_matvec(ell.f_tail_idx, ell.f_tail_w, xc)
+    return _tail_combine(out, tail, ell.f_tail_rows,
+                         ell.num_dst).astype(x.dtype)
 
 
 def _spmm_fwd(ell, x):
-    return spmm(ell, x), ell
+    # zero-length residual carries x's dtype through the VJP
+    return spmm(ell, x), (ell, jnp.zeros((0,), x.dtype))
 
 
-def _spmm_bwd(ell, g):
-    dx = slab_matvec(ell.b_idx, ell.b_w, g)[:ell.num_src]
-    tail = slab_matvec(ell.b_tail_idx, ell.b_tail_w, g)
+def _spmm_bwd(res, g):
+    ell, dtype_probe = res
+    gc = ell.cast_in(g)
+    dx = slab_matvec(ell.b_idx, ell.b_w, gc)[:ell.num_src]
+    tail = slab_matvec(ell.b_tail_idx, ell.b_tail_w, gc)
     dx = _tail_combine(dx, tail, ell.b_tail_rows, ell.num_src)
-    return None, dx
+    return None, dx.astype(dtype_probe.dtype)
 
 
 spmm.defvjp(_spmm_fwd, _spmm_bwd)

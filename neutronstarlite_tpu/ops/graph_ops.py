@@ -70,13 +70,15 @@ class GraphTensors:
     # ---- construction ----
     @classmethod
     def from_graph(cls, g: Graph, backend: str = "auto",
-                   ell_cap: int = 256) -> "GraphTensors":
+                   ell_cap: int = 256, dtype: str = "float32"
+                   ) -> "GraphTensors":
         if backend == "auto":
             backend = _default_backend()
         ell = None
         if backend == "pallas":
             from neutronstarlite_tpu.ops import ell as ell_mod
-            ell = ell_mod.build_ell_graph(g, ell_cap=ell_cap)
+            ell = ell_mod.build_ell_graph(g, ell_cap=ell_cap,
+                                          agg_dtype=dtype)
         dev = jnp.asarray
         return cls(
             fwd_src=dev(g.fwd_src), fwd_dst=dev(g.fwd_dst),

@@ -72,6 +72,9 @@ class DistGraph:
     global_ids: np.ndarray   # [P, v_pad] int32 global id of each local row (-1 pad)
     # DepCache: global ids of replicated hot vertices (same on all devices), [h_pad]
     hot_ids: np.ndarray
+    # per-device dual-ELL slabs stacked on axis 0 ([P, ...]); shapes uniform
+    # across devices (shared K, tails padded to the max)
+    ell_np: dict = None
 
     def shard_features(self, feats: np.ndarray) -> np.ndarray:
         """[V, F] global → [P, v_pad, F] stacked local blocks (0-padded)."""
@@ -204,11 +207,49 @@ def build_dist_graph(g: Graph, num_partitions: int,
         row_valid[i, :n] = True
         global_ids[i, :n] = np.arange(off[i], off[i + 1], dtype=np.int32)
 
+    # per-device dual-ELL slabs (scatter-free local aggregate). SPMD needs
+    # identical shapes: share the max K across devices and pad tails.
+    from neutronstarlite_tpu.ops import ell as ell_mod
+    comb = v_pad + p * m_pad + h_pad
+    kf = kb = 8
+    for i in range(p):
+        n = e_counts[i]
+        kf = max(kf, ell_mod.choose_k(
+            np.bincount(e_dst[i, :n], minlength=v_pad)))
+        kb = max(kb, ell_mod.choose_k(
+            np.bincount(e_src[i, :n], minlength=comb)))
+    per_dev = []
+    for i in range(p):
+        n = e_counts[i]
+        per_dev.append(ell_mod.build_ell_rect_np(
+            e_src[i, :n], e_dst[i, :n], e_w[i, :n], v_pad, comb,
+            kf=kf, kb=kb))
+    # pad tails to the max rows and stack
+    def stack(key, pad_rows=None):
+        arrs = [d[key] for d in per_dev]
+        if pad_rows is not None:
+            mx = max(a.shape[0] for a in arrs)
+            arrs = [np.pad(a, ((0, mx - a.shape[0]),) + ((0, 0),) *
+                           (a.ndim - 1)) for a in arrs]
+        return np.stack(arrs)
+    ell_np = {
+        "f_idx": stack("f_idx"), "f_w": stack("f_w"),
+        "f_tail_idx": stack("f_tail_idx", pad_rows=True),
+        "f_tail_w": stack("f_tail_w", pad_rows=True),
+        "f_tail_rows": stack("f_tail_rows", pad_rows=True),
+        "b_idx": stack("b_idx"), "b_w": stack("b_w"),
+        "b_tail_idx": stack("b_tail_idx", pad_rows=True),
+        "b_tail_w": stack("b_tail_w", pad_rows=True),
+        "b_tail_rows": stack("b_tail_rows", pad_rows=True),
+        "b_perm": stack("b_perm"),
+        "b_tail_perm": stack("b_tail_perm", pad_rows=True),
+    }
+
     return DistGraph(num_partitions=p, partition=partition, v_pad=v_pad,
                      e_pad=e_pad, m_pad=m_pad, h_pad=h_pad,
                      e_src=e_src, e_dst=e_dst, e_w=e_w, send_idx=send_idx,
                      row_valid=row_valid, global_ids=global_ids,
-                     hot_ids=hot_ids)
+                     hot_ids=hot_ids, ell_np=ell_np)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -229,6 +270,7 @@ class DistGraphTensors:
     send_idx: jax.Array    # [P, m_pad] rows this device sends to each peer
     hot_local_idx: jax.Array  # [h_cap] local rows that are globally hot (pad 0)
     hot_slot_of_local: jax.Array  # [h_cap] slot in the replicated hot block
+    ell: Any = None        # per-device EllGraph (scatter-free local compute)
     num_vertices: int = 0   # v_pad (static)
     num_partitions: int = 1
     m_pad: int = 1
@@ -237,15 +279,16 @@ class DistGraphTensors:
 
     def tree_flatten(self):
         children = (self.e_src, self.e_dst, self.e_w, self.send_idx,
-                    self.hot_local_idx, self.hot_slot_of_local)
+                    self.hot_local_idx, self.hot_slot_of_local, self.ell)
         aux = (self.num_vertices, self.num_partitions, self.m_pad, self.h_pad,
                self.axis_name)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, num_vertices=aux[0], num_partitions=aux[1],
-                   m_pad=aux[2], h_pad=aux[3], axis_name=aux[4])
+        return cls(*children[:6], ell=children[6], num_vertices=aux[0],
+                   num_partitions=aux[1], m_pad=aux[2], h_pad=aux[3],
+                   axis_name=aux[4])
 
     # ---- DepComm core ----
     def get_dep_nbr(self, x_local: jax.Array) -> jax.Array:
@@ -281,6 +324,9 @@ class DistGraphTensors:
     # ---- op zoo (same API as GraphTensors) ----
     def aggregate_neighbors(self, x_local: jax.Array) -> jax.Array:
         table = self.get_dep_nbr(x_local)
+        if self.ell is not None:
+            from neutronstarlite_tpu.ops import ell as ell_mod
+            return ell_mod.spmm(self.ell, table)
         return segment.spmm(self.e_w, table, self.e_src, self.e_dst,
                             self.num_vertices)
 
@@ -300,8 +346,12 @@ class DistGraphTensors:
                             s_dst: jax.Array, slope: float = 0.2
                             ) -> jax.Array:
         """Fused GAT layer over local edges (src ids index the combined
-        [local ∪ mirror ∪ hot] table). Segment-op implementation; padding
-        edges masked out via zero weights."""
+        [local ∪ mirror ∪ hot] table). ELL backend: scatter-free slab math;
+        fallback: segment ops with padding edges masked via zero weights."""
+        if self.ell is not None:
+            from neutronstarlite_tpu.ops import ell as ell_mod
+            return ell_mod.attention_aggregate(self.ell, table, s_src,
+                                               s_dst, slope)
         m = jax.nn.leaky_relu(
             jnp.take(s_src, self.e_src) + jnp.take(s_dst, self.e_dst),
             negative_slope=slope)
@@ -335,21 +385,36 @@ def device_view(dg: DistGraph) -> dict:
         ids = dg.hot_ids[mine]
         hot_local[i, :ids.size] = ids - off[i]
         hot_slot[i, :mine.size] = mine.astype(np.int32)
-    return {
+    out = {
         "e_src": dg.e_src, "e_dst": dg.e_dst, "e_w": dg.e_w,
         "send_idx": dg.send_idx,
         "hot_local_idx": hot_local, "hot_slot_of_local": hot_slot,
         "row_valid": dg.row_valid,
     }
+    if dg.ell_np is not None:
+        out["ell"] = dict(dg.ell_np)
+    return out
 
 
-def make_tensors(arrs: dict, dg: DistGraph, axis_name: str = "p"
-                 ) -> DistGraphTensors:
+def make_tensors(arrs: dict, dg: DistGraph, axis_name: str = "p",
+                 agg_dtype: str = "float32") -> DistGraphTensors:
     """Wrap per-device (already squeezed) arrays into DistGraphTensors."""
+    ell_graph = None
+    if "ell" in arrs:
+        from neutronstarlite_tpu.ops import ell as ell_mod
+        d = arrs["ell"]
+        comb = dg.v_pad + dg.num_partitions * dg.m_pad + dg.h_pad
+        ell_graph = ell_mod.EllGraph(
+            f_idx=d["f_idx"], f_w=d["f_w"], f_tail_idx=d["f_tail_idx"],
+            f_tail_w=d["f_tail_w"], f_tail_rows=d["f_tail_rows"],
+            b_idx=d["b_idx"], b_w=d["b_w"], b_tail_idx=d["b_tail_idx"],
+            b_tail_w=d["b_tail_w"], b_tail_rows=d["b_tail_rows"],
+            b_perm=d["b_perm"], b_tail_perm=d["b_tail_perm"],
+            num_dst=dg.v_pad, num_src=comb, agg_dtype=agg_dtype)
     return DistGraphTensors(
         e_src=arrs["e_src"], e_dst=arrs["e_dst"], e_w=arrs["e_w"],
         send_idx=arrs["send_idx"], hot_local_idx=arrs["hot_local_idx"],
-        hot_slot_of_local=arrs["hot_slot_of_local"],
+        hot_slot_of_local=arrs["hot_slot_of_local"], ell=ell_graph,
         num_vertices=dg.v_pad, num_partitions=dg.num_partitions,
         m_pad=dg.m_pad, h_pad=dg.h_pad, axis_name=axis_name)
 

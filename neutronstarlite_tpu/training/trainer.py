@@ -40,7 +40,8 @@ class FullGraphTrainer:
         self.config = config
         self.model = model
         self.model_kwargs = model_kwargs
-        self.gt = GraphTensors.from_graph(datum.graph, backend=backend)
+        self.gt = GraphTensors.from_graph(datum.graph, backend=backend,
+                                          dtype=config.dtype)
 
         key = jax.random.PRNGKey(config.seed)
         self.init_key, self.run_key = jax.random.split(key)

@@ -139,3 +139,23 @@ class TestAttentionAggregate:
         out_x, _ = gat.forward(st, gt_x, feats, None, training=False)
         out_p, _ = gat.forward(st, gt_p, feats, None, training=False)
         np.testing.assert_allclose(out_p, out_x, rtol=1e-3, atol=1e-4)
+
+
+class TestBf16Aggregation:
+    def test_bf16_spmm_close_to_f32(self, g, feats):
+        eg32 = ell.build_ell_graph(g)
+        eg16 = ell.build_ell_graph(g, agg_dtype="bfloat16")
+        y32 = np.asarray(ell.spmm(eg32, feats))
+        y16 = np.asarray(ell.spmm(eg16, feats))
+        assert y16.dtype == np.float32  # output restored to input dtype
+        np.testing.assert_allclose(y16, y32, rtol=2e-2, atol=2e-2)
+
+    def test_bf16_grad_dtype_and_value(self, g, feats):
+        eg16 = ell.build_ell_graph(g, agg_dtype="bfloat16")
+        eg32 = ell.build_ell_graph(g)
+
+        def f(eg):
+            return jax.grad(lambda x: jnp.sum(jnp.sin(ell.spmm(eg, x))))(feats)
+        g16, g32 = np.asarray(f(eg16)), np.asarray(f(eg32))
+        assert g16.dtype == np.float32
+        np.testing.assert_allclose(g16, g32, rtol=3e-2, atol=3e-2)
