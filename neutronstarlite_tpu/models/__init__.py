@@ -11,7 +11,7 @@ DistGraphTensors) — the analogue of the reference's op-chain reuse across
 GCN_CPU / GCN_CPU_DIST / GCN (toolkits dispatch, main.cpp:53-188).
 """
 
-from neutronstarlite_tpu.models import gcn, gat, gin, commnet  # noqa: F401
+from neutronstarlite_tpu.models import gcn, gat, gin, commnet, ggcn  # noqa: F401
 
 ALGORITHMS = {
     # reference algorithm strings (toolkits/main.cpp:53-188) → model module.
@@ -22,4 +22,5 @@ ALGORITHMS = {
     "GATCPU": gat, "GATCPUDIST": gat, "GATGPUDIST": gat,
     "GINCPU": gin, "GINGPU": gin,
     "COMMNETGPU": commnet,
+    "GGCN_CPU": ggcn, "GGNN_CPU": ggcn, "GGCN": ggcn,
 }

@@ -75,6 +75,7 @@ class DistGraph:
     # per-device dual-ELL slabs stacked on axis 0 ([P, ...]); shapes uniform
     # across devices (shared K, tails padded to the max)
     ell_np: dict = None
+    ell_mode: str = "comb"   # "comb" (one slab set) | "split" (local/remote)
 
     def shard_features(self, feats: np.ndarray) -> np.ndarray:
         """[V, F] global → [P, v_pad, F] stacked local blocks (0-padded)."""
@@ -99,7 +100,8 @@ class DistGraph:
 
 def build_dist_graph(g: Graph, num_partitions: int,
                      rep_threshold: int = 0,
-                     partition: Partition | None = None) -> DistGraph:
+                     partition: Partition | None = None,
+                     overlap: bool = False) -> DistGraph:
     """Partition + mirror/send-map construction (the reference's
     PartitionedGraph::GenerateAll pipeline, core/PartitionedGraph.hpp:80-104,
     re-done with numpy set ops instead of ring bitmap exchange).
@@ -109,6 +111,14 @@ def build_dist_graph(g: Graph, num_partitions: int,
     once via all_gather instead of per-peer mirrors), re-creating the
     reference's `REPLICATE_THRESHOLD` / FeatureCache intent
     (core/graph.hpp:68,179; core/NtsScheduler.hpp:556-637).
+
+    ``overlap`` (the reference's PROC_OVERLAP, SURVEY.md P6) splits each
+    device's edges into local-src and remote-src slab sets so the boundary
+    all_to_all overlaps with the local-edge aggregation under XLA's
+    latency-hiding scheduler (the reference pipelines chunks manually,
+    core/graph.hpp:3490-3535). The fused GAT attention needs the combined
+    slabs (softmax couples local+remote edges), so with overlap=True the
+    attention path falls back to segment ops.
     """
     p = num_partitions
     if partition is None:
@@ -211,45 +221,63 @@ def build_dist_graph(g: Graph, num_partitions: int,
     # identical shapes: share the max K across devices and pad tails.
     from neutronstarlite_tpu.ops import ell as ell_mod
     comb = v_pad + p * m_pad + h_pad
-    kf = kb = 8
-    for i in range(p):
-        n = e_counts[i]
-        kf = max(kf, ell_mod.choose_k(
-            np.bincount(e_dst[i, :n], minlength=v_pad)))
-        kb = max(kb, ell_mod.choose_k(
-            np.bincount(e_src[i, :n], minlength=comb)))
-    per_dev = []
-    for i in range(p):
-        n = e_counts[i]
-        per_dev.append(ell_mod.build_ell_rect_np(
-            e_src[i, :n], e_dst[i, :n], e_w[i, :n], v_pad, comb,
-            kf=kf, kb=kb))
-    # pad tails to the max rows and stack
-    def stack(key, pad_rows=None):
-        arrs = [d[key] for d in per_dev]
-        if pad_rows is not None:
-            mx = max(a.shape[0] for a in arrs)
-            arrs = [np.pad(a, ((0, mx - a.shape[0]),) + ((0, 0),) *
-                           (a.ndim - 1)) for a in arrs]
-        return np.stack(arrs)
-    ell_np = {
-        "f_idx": stack("f_idx"), "f_w": stack("f_w"),
-        "f_tail_idx": stack("f_tail_idx", pad_rows=True),
-        "f_tail_w": stack("f_tail_w", pad_rows=True),
-        "f_tail_rows": stack("f_tail_rows", pad_rows=True),
-        "b_idx": stack("b_idx"), "b_w": stack("b_w"),
-        "b_tail_idx": stack("b_tail_idx", pad_rows=True),
-        "b_tail_w": stack("b_tail_w", pad_rows=True),
-        "b_tail_rows": stack("b_tail_rows", pad_rows=True),
-        "b_perm": stack("b_perm"),
-        "b_tail_perm": stack("b_tail_perm", pad_rows=True),
-    }
+
+    def build_slab_set(edge_sets, num_dst_rows, num_src_rows):
+        """edge_sets: per-device (src, dst, w); uniform K + padded tails."""
+        kf = kb = 8
+        for (es, ed, _) in edge_sets:
+            kf = max(kf, ell_mod.choose_k(
+                np.bincount(ed, minlength=num_dst_rows)))
+            kb = max(kb, ell_mod.choose_k(
+                np.bincount(es, minlength=num_src_rows)))
+        per_dev = [ell_mod.build_ell_rect_np(es, ed, ew, num_dst_rows,
+                                             num_src_rows, kf=kf, kb=kb)
+                   for (es, ed, ew) in edge_sets]
+
+        def stack(key, pad_rows=None):
+            arrs = [d[key] for d in per_dev]
+            if pad_rows is not None:
+                mx = max(a.shape[0] for a in arrs)
+                arrs = [np.pad(a, ((0, mx - a.shape[0]),) + ((0, 0),) *
+                               (a.ndim - 1)) for a in arrs]
+            return np.stack(arrs)
+        return {
+            "f_idx": stack("f_idx"), "f_w": stack("f_w"),
+            "f_tail_idx": stack("f_tail_idx", pad_rows=True),
+            "f_tail_w": stack("f_tail_w", pad_rows=True),
+            "f_tail_rows": stack("f_tail_rows", pad_rows=True),
+            "b_idx": stack("b_idx"), "b_w": stack("b_w"),
+            "b_tail_idx": stack("b_tail_idx", pad_rows=True),
+            "b_tail_w": stack("b_tail_w", pad_rows=True),
+            "b_tail_rows": stack("b_tail_rows", pad_rows=True),
+            "b_perm": stack("b_perm"),
+            "b_tail_perm": stack("b_tail_perm", pad_rows=True),
+        }
+
+    if overlap:
+        loc_sets, rem_sets = [], []
+        for i in range(p):
+            n = e_counts[i]
+            es, ed, ew = e_src[i, :n], e_dst[i, :n], e_w[i, :n]
+            sel = es < v_pad
+            loc_sets.append((es[sel], ed[sel], ew[sel]))
+            rem_sets.append((es[~sel] - v_pad, ed[~sel], ew[~sel]))
+        ell_np = {
+            "local": build_slab_set(loc_sets, v_pad, v_pad),
+            "remote": build_slab_set(rem_sets, v_pad, comb - v_pad),
+        }
+        ell_mode = "split"
+    else:
+        sets = [(e_src[i, :e_counts[i]], e_dst[i, :e_counts[i]],
+                 e_w[i, :e_counts[i]]) for i in range(p)]
+        ell_np = {"comb": build_slab_set(sets, v_pad, comb)}
+        ell_mode = "comb"
 
     return DistGraph(num_partitions=p, partition=partition, v_pad=v_pad,
                      e_pad=e_pad, m_pad=m_pad, h_pad=h_pad,
                      e_src=e_src, e_dst=e_dst, e_w=e_w, send_idx=send_idx,
                      row_valid=row_valid, global_ids=global_ids,
-                     hot_ids=hot_ids, ell_np=ell_np)
+                     hot_ids=hot_ids, ell_np=ell_np, ell_mode=ell_mode)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -291,21 +319,27 @@ class DistGraphTensors:
                    axis_name=aux[4])
 
     # ---- DepComm core ----
+    def exchange_remote(self, x_local: jax.Array) -> jax.Array:
+        """The communicating half of DistGetDepNbrOp: boundary all_to_all
+        (+ DepCache all_gather) → [P*m_pad + h_pad, F] remote table."""
+        p, m = self.num_partitions, self.m_pad
+        send = jnp.take(x_local, self.send_idx.reshape(-1), axis=0)
+        send = send.reshape((p, m) + x_local.shape[1:])
+        recv = jax.lax.all_to_all(send, self.axis_name, split_axis=0,
+                                  concat_axis=0, tiled=False)
+        parts = [recv.reshape((p * m,) + x_local.shape[1:])]
+        if self.h_pad > 0:
+            parts.append(self._gather_hot(x_local))
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
     def get_dep_nbr(self, x_local: jax.Array) -> jax.Array:
         """[v_pad, F] local → [v_pad + P*m_pad + h_pad, F] combined table.
 
         The one communicating op per layer (DistGetDepNbrOp). Autodiff of
         this function IS the backward mirror→master gradient push.
         """
-        p, m = self.num_partitions, self.m_pad
-        send = jnp.take(x_local, self.send_idx.reshape(-1), axis=0)
-        send = send.reshape((p, m) + x_local.shape[1:])
-        recv = jax.lax.all_to_all(send, self.axis_name, split_axis=0,
-                                  concat_axis=0, tiled=False)
-        parts = [x_local, recv.reshape((p * m,) + x_local.shape[1:])]
-        if self.h_pad > 0:
-            parts.append(self._gather_hot(x_local))
-        return jnp.concatenate(parts, axis=0)
+        return jnp.concatenate([x_local, self.exchange_remote(x_local)],
+                               axis=0)
 
     def _gather_hot(self, x_local: jax.Array) -> jax.Array:
         """DepCache block: all_gather each device's hot rows, scatter them
@@ -323,10 +357,18 @@ class DistGraphTensors:
 
     # ---- op zoo (same API as GraphTensors) ----
     def aggregate_neighbors(self, x_local: jax.Array) -> jax.Array:
+        from neutronstarlite_tpu.ops import ell as ell_mod
+        if self.ell is not None and "local" in self.ell:
+            # PROC_OVERLAP: the local-src aggregate has no data dependency
+            # on the exchange — XLA's latency-hiding scheduler runs the
+            # all_to_all concurrently with it (the reference's manual
+            # per-chunk pipeline, graph.hpp:3490-3535)
+            remote = self.exchange_remote(x_local)
+            y = ell_mod.spmm(self.ell["local"], x_local)
+            return y + ell_mod.spmm(self.ell["remote"], remote)
         table = self.get_dep_nbr(x_local)
-        if self.ell is not None:
-            from neutronstarlite_tpu.ops import ell as ell_mod
-            return ell_mod.spmm(self.ell, table)
+        if self.ell is not None and "comb" in self.ell:
+            return ell_mod.spmm(self.ell["comb"], table)
         return segment.spmm(self.e_w, table, self.e_src, self.e_dst,
                             self.num_vertices)
 
@@ -334,6 +376,13 @@ class DistGraphTensors:
                            ) -> jax.Array:
         return segment.spmm(edge_weight, table, self.e_src, self.e_dst,
                             self.num_vertices)
+
+    def aggregate_dst_sum(self, edge_val: jax.Array) -> jax.Array:
+        """E→V sum of per-edge messages into local dst rows; padding edges
+        masked by zero weight."""
+        masked = jnp.where((self.e_w != 0)[:, None], edge_val, 0.0)
+        return segment.aggregate_dst_sum(masked, self.e_dst,
+                                         self.num_vertices)
 
     def edge_softmax(self, edge_val: jax.Array) -> jax.Array:
         # padding edges (w==0) must not perturb real segments: push their
@@ -348,10 +397,10 @@ class DistGraphTensors:
         """Fused GAT layer over local edges (src ids index the combined
         [local ∪ mirror ∪ hot] table). ELL backend: scatter-free slab math;
         fallback: segment ops with padding edges masked via zero weights."""
-        if self.ell is not None:
+        if self.ell is not None and "comb" in self.ell:
             from neutronstarlite_tpu.ops import ell as ell_mod
-            return ell_mod.attention_aggregate(self.ell, table, s_src,
-                                               s_dst, slope)
+            return ell_mod.attention_aggregate(self.ell["comb"], table,
+                                               s_src, s_dst, slope)
         m = jax.nn.leaky_relu(
             jnp.take(s_src, self.e_src) + jnp.take(s_dst, self.e_dst),
             negative_slope=slope)
@@ -399,22 +448,27 @@ def device_view(dg: DistGraph) -> dict:
 def make_tensors(arrs: dict, dg: DistGraph, axis_name: str = "p",
                  agg_dtype: str = "float32") -> DistGraphTensors:
     """Wrap per-device (already squeezed) arrays into DistGraphTensors."""
-    ell_graph = None
+    ell_graphs = None
     if "ell" in arrs:
         from neutronstarlite_tpu.ops import ell as ell_mod
-        d = arrs["ell"]
         comb = dg.v_pad + dg.num_partitions * dg.m_pad + dg.h_pad
-        ell_graph = ell_mod.EllGraph(
-            f_idx=d["f_idx"], f_w=d["f_w"], f_tail_idx=d["f_tail_idx"],
-            f_tail_w=d["f_tail_w"], f_tail_rows=d["f_tail_rows"],
-            b_idx=d["b_idx"], b_w=d["b_w"], b_tail_idx=d["b_tail_idx"],
-            b_tail_w=d["b_tail_w"], b_tail_rows=d["b_tail_rows"],
-            b_perm=d["b_perm"], b_tail_perm=d["b_tail_perm"],
-            num_dst=dg.v_pad, num_src=comb, agg_dtype=agg_dtype)
+        dims = {"comb": (dg.v_pad, comb),
+                "local": (dg.v_pad, dg.v_pad),
+                "remote": (dg.v_pad, comb - dg.v_pad)}
+
+        def mk(d, nd, ns):
+            return ell_mod.EllGraph(
+                f_idx=d["f_idx"], f_w=d["f_w"], f_tail_idx=d["f_tail_idx"],
+                f_tail_w=d["f_tail_w"], f_tail_rows=d["f_tail_rows"],
+                b_idx=d["b_idx"], b_w=d["b_w"], b_tail_idx=d["b_tail_idx"],
+                b_tail_w=d["b_tail_w"], b_tail_rows=d["b_tail_rows"],
+                b_perm=d["b_perm"], b_tail_perm=d["b_tail_perm"],
+                num_dst=nd, num_src=ns, agg_dtype=agg_dtype)
+        ell_graphs = {k: mk(v, *dims[k]) for k, v in arrs["ell"].items()}
     return DistGraphTensors(
         e_src=arrs["e_src"], e_dst=arrs["e_dst"], e_w=arrs["e_w"],
         send_idx=arrs["send_idx"], hot_local_idx=arrs["hot_local_idx"],
-        hot_slot_of_local=arrs["hot_slot_of_local"], ell=ell_graph,
+        hot_slot_of_local=arrs["hot_slot_of_local"], ell=ell_graphs,
         num_vertices=dg.v_pad, num_partitions=dg.num_partitions,
         m_pad=dg.m_pad, h_pad=dg.h_pad, axis_name=axis_name)
 

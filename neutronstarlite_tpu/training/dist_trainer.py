@@ -66,7 +66,8 @@ class DistTrainer:
         self.p = self.mesh.devices.size
         rep = rep_threshold if rep_threshold is not None else config.repthreshold
 
-        self.dg = build_dist_graph(datum.graph, self.p, rep_threshold=rep)
+        self.dg = build_dist_graph(datum.graph, self.p, rep_threshold=rep,
+                                   overlap=config.overlap)
         self.arrs = device_view(self.dg)
 
         # sharded data

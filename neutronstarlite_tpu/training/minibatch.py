@@ -137,14 +137,40 @@ class MinibatchTrainer:
             .astype(np.int32))
         return (dst0, tables, idxs, ws), labels
 
+    def _prefetch(self, split: str, depth: int = 4):
+        """Host-side sampling pipeline: a producer thread runs the sampler
+        (C++/OpenMP hot loop) while the device computes the previous batch —
+        the TPU version of the reference's sampler work-queue with dedicated
+        producer threads (ntsSampler.hpp:23-104)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        stop = object()
+
+        def producer():
+            try:
+                for block in self.samplers[split].sample():
+                    q.put(self._block_to_device(block))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        t.join()
+
     def run_epoch(self, split: str = "train"):
         """One pass over a split; returns (mean_loss, accuracy)."""
         training = split == "train"
         step = self._train_step if training else self._eval_step
         tot_loss, tot_correct, tot_count, n_batches = 0.0, 0, 0, 0
-        for block in self.samplers[split].sample():
+        for arrays, labels in self._prefetch(split):
             self.run_key, k = jax.random.split(self.run_key)
-            arrays, labels = self._block_to_device(block)
             self.params, self.opt_state, loss, c, n = step(
                 self.params, self.opt_state, self.features, arrays, labels, k)
             tot_loss += float(loss)

@@ -146,3 +146,40 @@ class TestDistTrainer:
                          num_partitions=4, rep_threshold=10)
         hist = tr.run()
         assert hist[-1]["test"] > 0.6
+
+
+class TestOverlap:
+    def test_overlap_aggregate_identical(self, sbm):
+        """PROC_OVERLAP split-slab routing must not change the math."""
+        from neutronstarlite_tpu.ops.graph_ops import GraphTensors
+        import jax.numpy as jnp
+        gt = GraphTensors.from_graph(sbm.graph, backend="xla")
+        oracle = np.asarray(gt.aggregate_neighbors(jnp.asarray(sbm.features)))
+
+        mesh = make_mesh(4)
+        dg = build_dist_graph(sbm.graph, 4, overlap=True)
+        assert dg.ell_mode == "split"
+        arrs = jax.tree.map(jnp.asarray, device_view(dg))
+        x = jnp.asarray(dg.shard_features(sbm.features))
+
+        def f(arrs, x):
+            sq = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
+            gt_d = make_tensors(sq(arrs), dg)
+            return gt_d.aggregate_neighbors(sq(x))[None]
+
+        spec = jax.tree.map(lambda _: P("p"), arrs)
+        y = jax.jit(_shard_map(f, mesh, in_specs=(spec, P("p")),
+                               out_specs=P("p")))(arrs, x)
+        y = np.asarray(y)
+        off = dg.partition.offsets
+        for i in range(4):
+            n = off[i + 1] - off[i]
+            np.testing.assert_allclose(y[i, :n], oracle[off[i]:off[i + 1]],
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_overlap_trainer_converges(self, sbm):
+        cfg = make_config(sbm, epochs=15)
+        cfg.overlap = True
+        tr = DistTrainer(sbm, cfg, model=gcn, num_partitions=4)
+        hist = tr.run()
+        assert hist[-1]["test"] > 0.6, hist[-1]

@@ -74,3 +74,33 @@ class TestCommNet:
                               backend="xla")
         hist = tr.run()
         assert hist[-1]["test"] > 0.6, f"CommNet failed to learn: {hist[-1]}"
+
+
+class TestGGCN:
+    def test_ggcn_converges(self):
+        from neutronstarlite_tpu.models import ggcn
+        data = synthetic_sbm_dataset(num_vertices=400, feat_dim=32,
+                                     num_classes=4, avg_degree=8,
+                                     homophily=0.9, seed=1, feature_noise=0.3)
+        cfg = make_config(data, epochs=40)
+        cfg.drop_rate = 0.0
+        tr = FullGraphTrainer(data, cfg, model=ggcn, backend="xla")
+        hist = tr.run()
+        assert hist[-1]["loss"] < hist[0]["loss"]
+        # the reference never compiled GGCN (main.cpp:102-108 commented out);
+        # the faithful formula plateaus around 0.5 on this SBM — assert it
+        # clearly beats chance (0.25) and keeps improving
+        assert hist[-1]["test"] > 0.4, f"GGCN failed to learn: {hist[-1]}"
+
+    def test_ggcn_dist_runs(self):
+        from neutronstarlite_tpu.models import ggcn
+        from neutronstarlite_tpu.training.dist_trainer import DistTrainer
+        data = synthetic_sbm_dataset(num_vertices=257, feat_dim=16,
+                                     num_classes=3, avg_degree=7,
+                                     homophily=0.9, seed=4, feature_noise=0.3)
+        cfg = InputInfo(vertices=data.num_vertices, epochs=8,
+                        layer_string="16-8-3", learn_rate=0.01,
+                        weight_decay=1e-4, drop_rate=0.0, seed=7)
+        tr = DistTrainer(data, cfg, model=ggcn, num_partitions=4)
+        hist = tr.run()
+        assert hist[-1]["loss"] < hist[0]["loss"]

@@ -1,0 +1,127 @@
+"""Dataset preparation: convert graphs to the NTS on-disk format.
+
+Re-creates data/generate_nts_dataset.py + data/OGBData/* of the reference
+(SURVEY.md §2.8): emit the Gemini binary edge file (consecutive little-endian
+uint32 (src,dst) pairs) with self loops inserted, plus the text
+feature/label/mask tables the framework (and the reference) read.
+
+Inputs supported:
+  --edges FILE        text edge list "src dst" per line, or .npy [E,2]
+  --synthetic SBM     built-in synthetic generator (SBM with labels/features)
+  --from-dgl NAME     DGL dataset (cora/citeseer/pubmed/reddit) when the
+                      dgl package + cached data exist (the image has no
+                      network access: only pre-cached datasets work)
+  --from-pyg NAME     torch_geometric Planetoid datasets, same caveat
+
+Usage:
+  python tools/generate_dataset.py --synthetic sbm --vertices 1000 \
+      --classes 7 --feat-dim 64 --out data/sbm1000
+  python tools/generate_dataset.py --edges raw.txt --vertices 2708 \
+      --out data/mygraph
+Outputs: <out>.edge.self (binary), <out>.featuretable, <out>.labeltable,
+<out>.mask — drop-in for EDGE_FILE/FEATURE_FILE/LABEL_FILE/MASK_FILE.
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from neutronstarlite_tpu.graph.structure import add_self_loops  # noqa: E402
+
+
+def write_nts(out, src, dst, feats, labels, masks):
+    v = feats.shape[0]
+    src, dst = add_self_loops(src.astype(np.int32), dst.astype(np.int32), v)
+    np.stack([src.astype("<u4"), dst.astype("<u4")], axis=1).tofile(
+        out + ".edge.self")
+    with open(out + ".featuretable", "w") as f:
+        for i in range(v):
+            f.write(f"{i} " + " ".join(f"{x:.6f}" for x in feats[i]) + "\n")
+    with open(out + ".labeltable", "w") as f:
+        for i in range(v):
+            f.write(f"{i} {int(labels[i])}\n")
+    names = {0: "train", 1: "val", 2: "test"}
+    with open(out + ".mask", "w") as f:
+        for i in range(v):
+            f.write(f"{i} {names[int(masks[i])]}\n")
+    print(f"wrote {out}.edge.self ({src.size} edges), .featuretable, "
+          f".labeltable, .mask (V={v}, F={feats.shape[1]})")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--edges")
+    ap.add_argument("--synthetic", choices=["sbm"])
+    ap.add_argument("--from-dgl")
+    ap.add_argument("--from-pyg")
+    ap.add_argument("--vertices", type=int, default=0)
+    ap.add_argument("--classes", type=int, default=7)
+    ap.add_argument("--feat-dim", type=int, default=64)
+    ap.add_argument("--avg-degree", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+
+    if args.synthetic == "sbm":
+        from neutronstarlite_tpu.graph.dataset import synthetic_sbm_dataset
+        d = synthetic_sbm_dataset(args.vertices or 1000, args.feat_dim,
+                                  args.classes, avg_degree=args.avg_degree,
+                                  seed=args.seed)
+        # recover an edge list from the forward ordering (self loops kept;
+        # write_nts re-adds any missing)
+        write_nts(args.out, d.graph.fwd_src, d.graph.fwd_dst, d.features,
+                  d.labels, d.masks)
+        return
+
+    if args.edges:
+        if args.edges.endswith(".npy"):
+            e = np.load(args.edges)
+            src, dst = e[:, 0], e[:, 1]
+        else:
+            e = np.loadtxt(args.edges, dtype=np.int64)
+            src, dst = e[:, 0], e[:, 1]
+        v = args.vertices or int(max(src.max(), dst.max()) + 1)
+        rng = np.random.default_rng(args.seed)
+        feats = rng.random((v, args.feat_dim), np.float32)
+        labels = rng.integers(0, args.classes, v).astype(np.int32)
+        u = rng.random(v)
+        masks = np.where(u < 0.65, 0, np.where(u < 0.75, 1, 2)).astype(np.int32)
+        write_nts(args.out, src, dst, feats, labels, masks)
+        return
+
+    if args.from_pyg:
+        from torch_geometric.datasets import Planetoid  # noqa: F401
+        ds = Planetoid(root="/tmp/pyg", name=args.from_pyg)
+        d = ds[0]
+        src = d.edge_index[0].numpy()
+        dst = d.edge_index[1].numpy()
+        masks = np.full(d.num_nodes, 2, np.int32)
+        masks[d.train_mask.numpy()] = 0
+        masks[d.val_mask.numpy()] = 1
+        write_nts(args.out, src, dst, d.x.numpy(), d.y.numpy(), masks)
+        return
+
+    if args.from_dgl:
+        import dgl  # noqa: F401
+        data = {"cora": dgl.data.CoraGraphDataset,
+                "citeseer": dgl.data.CiteseerGraphDataset,
+                "pubmed": dgl.data.PubmedGraphDataset,
+                "reddit": dgl.data.RedditDataset}[args.from_dgl]()
+        g = data[0]
+        src, dst = (t.numpy() for t in g.edges())
+        masks = np.full(g.num_nodes(), 2, np.int32)
+        masks[g.ndata["train_mask"].numpy()] = 0
+        masks[g.ndata["val_mask"].numpy()] = 1
+        write_nts(args.out, src, dst, g.ndata["feat"].numpy(),
+                  g.ndata["label"].numpy(), masks)
+        return
+
+    ap.error("one of --edges/--synthetic/--from-dgl/--from-pyg required")
+
+
+if __name__ == "__main__":
+    main()
