@@ -49,6 +49,8 @@ class InputInfo:
     seed: int = 2026               # SEED
     checkpoint_path: str = ""      # CHECKPOINT_PATH: save/resume location
     checkpoint_every: int = 0      # CHECKPOINT_EVERY: epochs between saves
+    cache_refresh: int = 1         # CACHE_REFRESH: epochs between DepCache
+                                   # hot-block refreshes (1 = always fresh)
 
     @property
     def layer_sizes(self) -> List[int]:
@@ -109,6 +111,7 @@ class InputInfo:
             "CHECKPOINT_PATH": lambda: setattr(self, "checkpoint_path", val),
             "CHECKPOINT_EVERY": lambda: setattr(self, "checkpoint_every",
                                                 int(val)),
+            "CACHE_REFRESH": lambda: setattr(self, "cache_refresh", int(val)),
         }
         fn = dispatch.get(key)
         if fn is None:

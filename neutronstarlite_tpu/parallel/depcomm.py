@@ -299,6 +299,13 @@ class DistGraphTensors:
     hot_local_idx: jax.Array  # [h_cap] local rows that are globally hot (pad 0)
     hot_slot_of_local: jax.Array  # [h_cap] slot in the replicated hot block
     ell: Any = None        # per-device EllGraph (scatter-free local compute)
+    # DepCache staleness (reference FeatureCache/CachedData,
+    # core/NtsScheduler.hpp:556-637 + sync_compute_decoupled_from_cached,
+    # graph.hpp:3723-3801): on non-refresh epochs the hot block is read from
+    # the per-layer cache instead of all_gather. Trace-time fields set by the
+    # trainer before model.forward; consumed in layer order.
+    hot_cache_in: Any = None   # list of [h_pad, F_l] tables, or None (fresh)
+    hot_cache_out: Any = None  # list collecting freshly computed tables
     num_vertices: int = 0   # v_pad (static)
     num_partitions: int = 1
     m_pad: int = 1
@@ -306,6 +313,7 @@ class DistGraphTensors:
     axis_name: str = "p"
 
     def tree_flatten(self):
+        # cache fields are trace-time plumbing, not data — excluded
         children = (self.e_src, self.e_dst, self.e_w, self.send_idx,
                     self.hot_local_idx, self.hot_slot_of_local, self.ell)
         aux = (self.num_vertices, self.num_partitions, self.m_pad, self.h_pad,
@@ -343,7 +351,13 @@ class DistGraphTensors:
 
     def _gather_hot(self, x_local: jax.Array) -> jax.Array:
         """DepCache block: all_gather each device's hot rows, scatter them
-        into a [h_pad, F] replicated table ordered by hot slot."""
+        into a [h_pad, F] replicated table ordered by hot slot.
+
+        With a stale cache installed (hot_cache_in), returns the cached
+        table and skips the all_gather entirely; with a collector installed
+        (hot_cache_out), records the fresh table for caching."""
+        if self.hot_cache_in is not None:
+            return self.hot_cache_in.pop(0)
         contrib = jnp.take(x_local, self.hot_local_idx, axis=0)  # [h_cap, F]
         gathered = jax.lax.all_gather(contrib, self.axis_name)    # [P, h_cap, F]
         slots = jax.lax.all_gather(self.hot_slot_of_local, self.axis_name)
@@ -353,6 +367,8 @@ class DistGraphTensors:
         w = (fslots >= 0).astype(x_local.dtype)[:, None]
         tbl = jax.ops.segment_sum(flat * w, jnp.clip(fslots, 0),
                                   num_segments=self.h_pad)
+        if self.hot_cache_out is not None:
+            self.hot_cache_out.append(tbl)
         return tbl
 
     # ---- op zoo (same API as GraphTensors) ----

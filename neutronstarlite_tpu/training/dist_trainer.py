@@ -88,9 +88,20 @@ class DistTrainer:
         self.bn = jax.tree.map(
             lambda a: jnp.broadcast_to(a, (self.p,) + a.shape), self.state.bn)
 
-        self._step = self._build_step()
+        # DepCache staleness: with CACHE_REFRESH>1 and a non-empty hot set,
+        # non-refresh epochs read per-layer hot tables from cache (zero
+        # all_gather) — re-creating FeatureCache/CachedData + 
+        # sync_compute_decoupled_from_cached (NtsScheduler.hpp:556-637,
+        # graph.hpp:3723-3801). Stale tables are constants wrt params.
+        self.cache_refresh = max(1, int(config.cache_refresh))
+        self.use_stale_cache = self.cache_refresh > 1 and self.dg.h_pad > 0
+        self.hot_cache = None
+        self._step = self._build_step(mode="plain")
+        if self.use_stale_cache:
+            self._step_fresh = self._build_step(mode="fresh")
+            self._step_cached = self._build_step(mode="cached")
 
-    def _build_step(self):
+    def _build_step(self, mode: str = "plain"):
         mesh = self.mesh
         model = self.model
         model_kwargs = self.model_kwargs
@@ -102,7 +113,7 @@ class DistTrainer:
         rspec = P()
 
         def step(arrs, x, labels, masks, row_valid, params, bn, opt_state,
-                 key):
+                 key, cache):
             # squeeze the per-device leading dim of sharded blocks
             sq = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
             arrs, x = sq(arrs), sq(x)
@@ -114,15 +125,23 @@ class DistTrainer:
 
             def loss_fn(prm):
                 st = state_cls(params=prm, bn=bn)
+                if mode == "fresh":
+                    gt.hot_cache_out = []
+                elif mode == "cached":
+                    gt.hot_cache_in = list(cache)
                 logits, new_bn = model.forward(st, gt, x, key, training=True,
                                                drop_rate=drop_rate,
                                                **model_kwargs)
+                new_cache = (tuple(gt.hot_cache_out)
+                             if mode == "fresh" else cache)
+                gt.hot_cache_out = None
+                gt.hot_cache_in = None
                 train_sel = jnp.logical_and(masks == 0, row_valid)
                 loss = layers.nll_loss_masked(
                     layers.log_softmax(logits), labels, train_sel)
-                return loss, (logits, new_bn)
+                return loss, (logits, new_bn, new_cache)
 
-            (loss, (logits, new_bn)), grads = jax.value_and_grad(
+            (loss, (logits, new_bn, new_cache)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
             # reference all_reduce_to_gradient: SUM of per-partition grads
             grads = jax.lax.psum(grads, "p")
@@ -140,23 +159,26 @@ class DistTrainer:
 
             # re-add the leading device dim on sharded outputs
             ex = lambda t: jax.tree.map(lambda a: a[None], t)  # noqa: E731
-            return new_params, ex(new_bn), new_opt, loss_avg, accs
+            return new_params, ex(new_bn), new_opt, loss_avg, accs, new_cache
 
         sharded_tree = lambda t: jax.tree.map(lambda _: pspec, t)  # noqa: E731
         rep_tree = lambda t: jax.tree.map(lambda _: rspec, t)  # noqa: E731
 
-        def jit_step(arrs, x, labels, masks, row_valid, params, bn, opt_state,
-                     key):
+        def jit_step(arrs, x, labels, masks, row_valid, params, bn,
+                     opt_state, key, cache):
+            # prefix specs: a bare P() covers the whole cache subtree
+            # (unknown structure before trace in "fresh" mode)
             f = _shard_map(
                 step, mesh,
                 in_specs=(sharded_tree(arrs), pspec, pspec, pspec, pspec,
                           rep_tree(params), sharded_tree(bn),
-                          rep_tree(opt_state), rspec),
+                          rep_tree(opt_state), rspec, rspec),
                 out_specs=(rep_tree(params), sharded_tree(bn),
                            rep_tree(opt_state), rspec,
-                           {"train": rspec, "val": rspec, "test": rspec}))
+                           {"train": rspec, "val": rspec, "test": rspec},
+                           rspec))
             return f(arrs, x, labels, masks, row_valid, params, bn, opt_state,
-                     key)
+                     key, cache)
 
         return jax.jit(jit_step)
 
@@ -170,10 +192,24 @@ class DistTrainer:
         masks = jnp.asarray(self.masks)
         row_valid = jnp.asarray(self.row_valid)
         t0 = time.time()
+        ep_global = 0
         for ep in range(epochs):
             self.run_key, k = jax.random.split(self.run_key)
-            params, bn, opt_state, loss, accs = self._step(
-                arrs, x, labels, masks, row_valid, params, bn, opt_state, k)
+            if not self.use_stale_cache:
+                params, bn, opt_state, loss, accs, _ = self._step(
+                    arrs, x, labels, masks, row_valid, params, bn, opt_state,
+                    k, ())
+            elif (self.hot_cache is None
+                  or ep_global % self.cache_refresh == 0):
+                params, bn, opt_state, loss, accs, self.hot_cache = \
+                    self._step_fresh(arrs, x, labels, masks, row_valid,
+                                     params, bn, opt_state, k, ())
+            else:
+                params, bn, opt_state, loss, accs, self.hot_cache = \
+                    self._step_cached(arrs, x, labels, masks, row_valid,
+                                      params, bn, opt_state, k,
+                                      self.hot_cache)
+            ep_global += 1
             rec = {"epoch": ep, "loss": float(loss),
                    **{k2: float(v) for k2, v in accs.items()}}
             history.append(rec)

@@ -183,3 +183,31 @@ class TestOverlap:
         tr = DistTrainer(sbm, cfg, model=gcn, num_partitions=4)
         hist = tr.run()
         assert hist[-1]["test"] > 0.6, hist[-1]
+
+
+class TestStaleDepCache:
+    def test_stale_cache_trains(self, sbm):
+        """CACHE_REFRESH>1: non-refresh epochs skip the hot all_gather and
+        use stale tables; training must still converge."""
+        cfg = make_config(sbm, epochs=20)
+        cfg.cache_refresh = 4
+        tr = DistTrainer(sbm, cfg, model=gcn, num_partitions=4,
+                         rep_threshold=8)
+        assert tr.use_stale_cache
+        hist = tr.run()
+        assert hist[-1]["loss"] < hist[0]["loss"]
+        assert hist[-1]["test"] > 0.55, hist[-1]
+        # cache object materialized with one table per GCN layer
+        assert len(tr.hot_cache) == 2
+
+    def test_refresh_1_matches_plain(self, sbm):
+        """CACHE_REFRESH=1 must behave exactly like the always-fresh path."""
+        cfg = make_config(sbm, epochs=5)
+        cfg.cache_refresh = 1
+        a = DistTrainer(sbm, cfg, model=gcn, num_partitions=4,
+                        rep_threshold=8).run()
+        cfg2 = make_config(sbm, epochs=5)
+        b = DistTrainer(sbm, cfg2, model=gcn, num_partitions=4,
+                        rep_threshold=8).run()
+        for ra, rb in zip(a, b):
+            assert abs(ra["loss"] - rb["loss"]) < 1e-6
