@@ -85,6 +85,36 @@ def read_masks(path: str, num_vertices: int) -> np.ndarray:
     return out
 
 
+def read_features_csv(path: str, num_vertices: int, feature_dim: int
+                      ) -> np.ndarray:
+    """OGB-style comma-separated feature rows, row i = vertex i
+    (ref: core/ntsDataloador.hpp readFeature_Label_Mask_OGB:232-305)."""
+    out = np.loadtxt(path, delimiter=",", dtype=np.float32, ndmin=2)
+    if out.shape != (num_vertices, feature_dim):
+        raise ValueError(f"feature csv shape {out.shape} != "
+                         f"({num_vertices},{feature_dim})")
+    return out
+
+
+def read_labels_csv(path: str, num_vertices: int) -> np.ndarray:
+    """OGB-style one-label-per-line csv."""
+    out = np.loadtxt(path, delimiter=",", dtype=np.int64, ndmin=1)
+    return out.reshape(-1)[:num_vertices].astype(np.int32)
+
+
+def read_masks_ogb(split_dir: str, num_vertices: int) -> np.ndarray:
+    """OGB split dir with train.csv / valid.csv / test.csv of vertex ids
+    (ref: core/ntsDataloador.hpp:267-305)."""
+    out = np.full(num_vertices, MASK_TEST, dtype=np.int32)
+    import os
+    for fname, code in (("train.csv", MASK_TRAIN), ("valid.csv", MASK_VAL),
+                        ("test.csv", MASK_TEST)):
+        fp = os.path.join(split_dir, fname)
+        ids = np.loadtxt(fp, delimiter=",", dtype=np.int64, ndmin=1)
+        out[ids.astype(np.int64)] = code
+    return out
+
+
 def random_generate(num_vertices: int, feature_dim: int, num_classes: int,
                     seed: int = 0,
                     train_frac: float = 0.65, val_frac: float = 0.1,

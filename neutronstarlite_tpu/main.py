@@ -58,11 +58,25 @@ def run_from_config(config: InputInfo, log_every: int = 1):
     return trainer, history
 
 
+def _maybe_init_distributed():
+    """Multi-host wiring (the reference's MPI_Instance, dep/gemini/mpi.hpp:44):
+    when the launcher provides coordinator env vars, join the pod slice."""
+    import os
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        import jax
+        jax.distributed.initialize(
+            coordinator_address=os.environ.get("JAX_COORDINATOR",
+                                               "localhost:12345"),
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")))
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     if not argv:
         print("usage: python -m neutronstarlite_tpu.main <config.cfg>")
         return 1
+    _maybe_init_distributed()
     config = InputInfo.from_cfg_file(argv[0])
     config.print()
     run_from_config(config)

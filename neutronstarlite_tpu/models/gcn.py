@@ -39,9 +39,15 @@ def init(key: jax.Array, layer_sizes: Sequence[int], dtype=jnp.float32
 
 
 def forward(state: GCNState, gt, x: jax.Array, key: jax.Array | None,
-            training: bool, drop_rate: float = 0.0, eager: bool = False):
+            training: bool, drop_rate: float = 0.0, eager: bool = False,
+            remat: bool = False):
     """Returns (logits [V, C], new_bn list). ``gt`` is anything exposing
-    ``aggregate_neighbors`` (GraphTensors or DistGraphTensors)."""
+    ``aggregate_neighbors`` (GraphTensors or DistGraphTensors).
+
+    ``remat=True`` rematerializes each hidden layer in backward
+    (jax.checkpoint) — sublinear activation memory for deep stacks; the
+    realization of the reference's SubLinearMemCostNNOP stub
+    (core/ntsSubLinearNNOP.hpp:32-52, unused there)."""
     n_layers = len(state.params)
     new_bn = []
     if training and key is not None:
@@ -49,19 +55,23 @@ def forward(state: GCNState, gt, x: jax.Array, key: jax.Array | None,
     for i in range(n_layers):
         w = state.params[i]["w"]
         if i < n_layers - 1:
-            if eager:
-                # eager order (GCN_CPU_EAGER): transform then aggregate;
-                # batchnorm stays on the F_in side as in the reference.
-                y, nb = layers.batch_norm_apply(state.bn[i], x, training)
-                h = jax.nn.relu(gt.aggregate_neighbors(y @ w))
-            else:
-                y = gt.aggregate_neighbors(x)
-                y, nb = layers.batch_norm_apply(state.bn[i], y, training)
-                h = jax.nn.relu(y @ w)
+            def hidden(x, w, bn_st, dkey):
+                if eager:
+                    # eager order (GCN_CPU_EAGER): transform then aggregate;
+                    # batchnorm stays on the F_in side as in the reference.
+                    y, nb = layers.batch_norm_apply(bn_st, x, training)
+                    h = jax.nn.relu(gt.aggregate_neighbors(y @ w))
+                else:
+                    y = gt.aggregate_neighbors(x)
+                    y, nb = layers.batch_norm_apply(bn_st, y, training)
+                    h = jax.nn.relu(y @ w)
+                if training and drop_rate > 0.0 and dkey is not None:
+                    h = layers.dropout(dkey, h, drop_rate, training)
+                return h, nb
+            fn = jax.checkpoint(hidden, static_argnums=()) if remat else hidden
+            dk = drop_keys[i] if (training and key is not None) else None
+            x, nb = fn(x, w, state.bn[i], dk)
             new_bn.append(nb)
-            if training and drop_rate > 0.0 and key is not None:
-                h = layers.dropout(drop_keys[i], h, drop_rate, training)
-            x = h
         else:
             if eager:
                 x = gt.aggregate_neighbors(x @ w)

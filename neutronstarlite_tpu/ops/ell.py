@@ -258,7 +258,9 @@ def build_ell_graph(g, ell_cap: int = 256,
 # Dense slab compute primitives
 # ---------------------------------------------------------------------------
 
-_BLOCK_GATHER_BUDGET = 32 * 1024 * 1024
+import os
+
+_BLOCK_GATHER_BUDGET = int(os.environ.get("NSL_GATHER_BUDGET_MB", "32"))     * 1024 * 1024
 
 
 def slab_matvec(idx: jax.Array, w: jax.Array, x: jax.Array) -> jax.Array:

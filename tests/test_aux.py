@@ -80,3 +80,44 @@ class TestPhaseTimer:
             pass
         r = t.report()
         assert r["a"]["count"] == 2
+
+
+class TestRemat:
+    def test_remat_matches_plain(self, sbm):
+        import jax
+        import jax.numpy as jnp
+        from neutronstarlite_tpu.ops.graph_ops import GraphTensors
+        gt = GraphTensors.from_graph(sbm.graph, backend="xla")
+        st = gcn.init(jax.random.PRNGKey(1), [16, 8, 3])
+        x = jnp.asarray(sbm.features)
+
+        def loss(params, remat):
+            s2 = gcn.GCNState(params=params, bn=st.bn)
+            logits, _ = gcn.forward(s2, gt, x, None, training=False,
+                                    remat=remat)
+            return jnp.sum(logits ** 2)
+        g_plain = jax.grad(lambda p: loss(p, False))(st.params)
+        g_remat = jax.grad(lambda p: loss(p, True))(st.params)
+        for a, b in zip(g_plain, g_remat):
+            np.testing.assert_allclose(np.asarray(a["w"]), np.asarray(b["w"]),
+                                       rtol=1e-5, atol=1e-6)
+
+
+class TestOgbReaders:
+    def test_ogb_roundtrip(self, tmp_path):
+        from neutronstarlite_tpu.graph import io
+        v, f = 10, 4
+        feats = np.random.default_rng(0).random((v, f)).astype(np.float32)
+        np.savetxt(tmp_path / "feat.csv", feats, delimiter=",")
+        labels = np.arange(v) % 3
+        np.savetxt(tmp_path / "lab.csv", labels, delimiter=",", fmt="%d")
+        (tmp_path / "split").mkdir()
+        np.savetxt(tmp_path / "split" / "train.csv", [0, 1, 2], fmt="%d")
+        np.savetxt(tmp_path / "split" / "valid.csv", [3, 4], fmt="%d")
+        np.savetxt(tmp_path / "split" / "test.csv", [5, 6, 7, 8, 9], fmt="%d")
+        f2 = io.read_features_csv(str(tmp_path / "feat.csv"), v, f)
+        np.testing.assert_allclose(f2, feats, rtol=1e-5)
+        l2 = io.read_labels_csv(str(tmp_path / "lab.csv"), v)
+        np.testing.assert_array_equal(l2, labels)
+        m = io.read_masks_ogb(str(tmp_path / "split"), v)
+        assert (m[:3] == 0).all() and (m[3:5] == 1).all() and (m[5:] == 2).all()
