@@ -1,0 +1,72 @@
+"""Cross-system behavioral parity vs the ACTUAL reference binary.
+
+Runs the reference framework (built CPU-only against the shims in
+tools/refbaseline — `make -C tools/refbaseline`) and this framework on the
+SAME dataset files with the SAME hyperparameters, and asserts their
+converged test accuracies agree. This realizes the BASELINE.md north star's
+"validate against the reference CPU build" as far as possible without the
+unshipped Cora feature table.
+
+Skipped when the reference binary hasn't been built.
+"""
+
+import os
+import re
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+NTS_REF = os.path.join(REPO, "tools", "refbaseline", "nts_ref")
+
+pytestmark = pytest.mark.skipif(not os.path.exists(NTS_REF),
+                                reason="reference binary not built "
+                                       "(make -C tools/refbaseline)")
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from generate_dataset import write_nts
+    from neutronstarlite_tpu.graph.dataset import synthetic_sbm_dataset
+    d = synthetic_sbm_dataset(800, 24, 5, avg_degree=4, homophily=0.65,
+                              seed=17, feature_noise=2.0)
+    base = str(tmp_path_factory.mktemp("parity") / "hard800")
+    write_nts(base, d.graph.fwd_src, d.graph.fwd_dst, d.features, d.labels,
+              d.masks)
+    return base
+
+
+def make_cfg(base, path):
+    cfg = (f"ALGORITHM:GCNCPU\nVERTICES:800\nLAYERS:24-16-5\nEPOCHS:80\n"
+           f"EDGE_FILE:{base}.edge.self\nFEATURE_FILE:{base}.featuretable\n"
+           f"LABEL_FILE:{base}.labeltable\nMASK_FILE:{base}.mask\n"
+           f"PROC_CUDA:0\nLEARN_RATE:0.01\nWEIGHT_DECAY:0.0001\n"
+           f"DECAY_RATE:0.97\nDECAY_EPOCH:100\nDROP_RATE:0.0\n")
+    with open(path, "w") as f:
+        f.write(cfg)
+    return path
+
+
+def test_converged_accuracy_matches_reference(dataset, tmp_path):
+    cfg = make_cfg(dataset, str(tmp_path / "parity.cfg"))
+
+    # reference binary
+    out = subprocess.run([NTS_REF, cfg], capture_output=True, text=True,
+                         timeout=280).stdout
+    accs = [float(m) for m in re.findall(r"Test Acc: ([0-9.]+)", out)]
+    assert accs, f"reference produced no accuracy output:\n{out[-2000:]}"
+    ref_acc = accs[-1]
+
+    # ours (same cfg file)
+    from neutronstarlite_tpu.config import InputInfo
+    from neutronstarlite_tpu.main import run_from_config
+    _, hist = run_from_config(InputInfo.from_cfg_file(cfg), log_every=0)
+    our_acc = hist[-1]["test"]
+
+    assert ref_acc > 0.7, f"reference failed to learn ({ref_acc})"
+    assert our_acc > 0.7, f"we failed to learn ({our_acc})"
+    assert abs(our_acc - ref_acc) < 0.08, (
+        f"accuracy divergence: ref {ref_acc} vs ours {our_acc}")
