@@ -51,6 +51,8 @@ class InputInfo:
     checkpoint_every: int = 0      # CHECKPOINT_EVERY: epochs between saves
     cache_refresh: int = 1         # CACHE_REFRESH: epochs between DepCache
                                    # hot-block refreshes (1 = always fresh)
+    shuffle_vertices: bool = False  # SHUFFLE_VERTICES: relabel randomly to
+                                    # balance per-pair mirror counts (dist)
 
     @property
     def layer_sizes(self) -> List[int]:
@@ -112,6 +114,8 @@ class InputInfo:
             "CHECKPOINT_EVERY": lambda: setattr(self, "checkpoint_every",
                                                 int(val)),
             "CACHE_REFRESH": lambda: setattr(self, "cache_refresh", int(val)),
+            "SHUFFLE_VERTICES": lambda: setattr(self, "shuffle_vertices",
+                                                flag(val)),
         }
         fn = dispatch.get(key)
         if fn is None:

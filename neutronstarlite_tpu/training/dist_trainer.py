@@ -66,6 +66,11 @@ class DistTrainer:
         self.p = self.mesh.devices.size
         rep = rep_threshold if rep_threshold is not None else config.repthreshold
 
+        if config.shuffle_vertices:
+            # balance per-pair mirror counts (see graph/reorder.py)
+            from neutronstarlite_tpu.graph.reorder import random_shuffle
+            datum = random_shuffle(datum, seed=config.seed)
+            self.datum = datum
         self.dg = build_dist_graph(datum.graph, self.p, rep_threshold=rep,
                                    overlap=config.overlap)
         self.arrs = device_view(self.dg)

@@ -197,3 +197,124 @@ class MinibatchTrainer:
                       f"test {test_acc:.4f}")
         self.exec_time = time.time() - t0
         return history
+
+
+class DistMinibatchTrainer(MinibatchTrainer):
+    """Data-parallel sampled training over a mesh: P blocks per step, one
+    per device, per-batch gradient psum.
+
+    This is the multi-process form of the reference's sampled path — each
+    rank trains on its own batches and Update() allreduces gradients every
+    batch (GCN_CPU_SAMPLE.hpp:206-230 with all_reduce_to_gradient). The
+    graph and features are fully replicated, exactly like FullyRepGraph.
+    """
+
+    def __init__(self, datum, config, num_partitions=None, **kw):
+        import jax
+        from neutronstarlite_tpu.parallel.mesh import make_mesh
+        p = num_partitions or config.num_partitions or len(jax.devices())
+        self.mesh = make_mesh(p)
+        self.p = self.mesh.devices.size
+        super().__init__(datum, config, **kw)
+        self._train_step_dist = jax.jit(self._make_dist_step(training=True))
+        self._eval_step_dist = jax.jit(self._make_dist_step(training=False))
+
+    def _make_dist_step(self, training: bool):
+        from jax.sharding import PartitionSpec as P
+        from neutronstarlite_tpu.training.dist_trainer import _shard_map
+        mesh = self.mesh
+        p = self.p
+        pspec, rspec = P("p"), P()
+
+        def per_device(params, opt_state, features, block_arrays, labels,
+                       key):
+            sq = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
+            block_arrays, labels = sq(block_arrays), sq(labels)
+            key = jax.random.fold_in(key, jax.lax.axis_index("p"))
+            dst0 = block_arrays[0]
+            valid = dst0 >= 0
+
+            # same math as MinibatchTrainer._make_step, plus psum
+            drop_rate = self.config.drop_rate
+            n_layers = len(self.config.layer_sizes) - 1
+
+            def forward(prm):
+                dst0_, tables, idxs, ws = block_arrays
+                x = _gather_table(features, tables[-1])
+                if training and drop_rate > 0:
+                    dkeys = jax.random.split(key, n_layers)
+                for l in range(n_layers):
+                    h = n_layers - 1 - l
+                    if training and drop_rate > 0:
+                        x = layers.dropout(dkeys[l], x, drop_rate, True)
+                    y = _ell_agg(idxs[h], ws[h], x)
+                    w = prm[l]["w"]
+                    x = jax.nn.relu(y @ w) if l < n_layers - 1 else y @ w
+                return x
+
+            def lf(prm):
+                logits = forward(prm)
+                return layers.nll_loss_masked(
+                    layers.log_softmax(logits), labels, valid), logits
+
+            if training:
+                (loss, logits), grads = jax.value_and_grad(
+                    lf, has_aux=True)(params)
+                grads = jax.lax.psum(grads, "p")  # reference Update allreduce
+                params, opt_state = self.opt_update(grads, opt_state, params)
+            else:
+                loss, logits = lf(params)
+            pred = jnp.argmax(logits, axis=-1).astype(labels.dtype)
+            c = jax.lax.psum(jnp.sum(jnp.where(
+                valid, (pred == labels).astype(jnp.int32), 0)), "p")
+            n = jax.lax.psum(jnp.sum(valid.astype(jnp.int32)), "p")
+            loss = jax.lax.psum(loss, "p") / p
+            return params, opt_state, loss, c, n
+
+        def jit_step(params, opt_state, features, blocks, labels, key):
+            f = _shard_map(
+                per_device, mesh,
+                in_specs=(rspec, rspec, rspec, pspec, pspec, rspec),
+                out_specs=(rspec, rspec, rspec, rspec, rspec))
+            return f(params, opt_state, features, blocks, labels, key)
+        return jit_step
+
+    def run_epoch(self, split: str = "train"):
+        training = split == "train"
+        step = self._train_step_dist if training else self._eval_step_dist
+        tot_loss, tot_correct, tot_count, n_steps = 0.0, 0, 0, 0
+        group = []
+        for item in self._prefetch(split):
+            group.append(item)
+            if len(group) < self.p:
+                continue
+            self._run_group(step, group)
+            r = self._last
+            tot_loss += r[0]
+            tot_correct += r[1]
+            tot_count += r[2]
+            n_steps += 1
+            group = []
+        if group:
+            # pad the final group by repeating the last block with all-invalid
+            # labels (dst0 = -1 contributes nothing)
+            arrays, labels = group[-1]
+            dead = (jnp.full_like(arrays[0], -1),) + arrays[1:]
+            while len(group) < self.p:
+                group.append((dead, labels))
+            self._run_group(step, group)
+            r = self._last
+            tot_loss += r[0]
+            tot_correct += r[1]
+            tot_count += r[2]
+            n_steps += 1
+        return (tot_loss / max(n_steps, 1), tot_correct / max(tot_count, 1))
+
+    def _run_group(self, step, group):
+        self.run_key, k = jax.random.split(self.run_key)
+        blocks = jax.tree.map(lambda *a: jnp.stack(a),
+                              *[g[0] for g in group])
+        labels = jnp.stack([g[1] for g in group])
+        self.params, self.opt_state, loss, c, n = step(
+            self.params, self.opt_state, self.features, blocks, labels, k)
+        self._last = (float(loss), int(c), int(n))

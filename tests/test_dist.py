@@ -211,3 +211,16 @@ class TestStaleDepCache:
                         rep_threshold=8).run()
         for ra, rb in zip(a, b):
             assert abs(ra["loss"] - rb["loss"]) < 1e-6
+
+
+class TestShuffleVertices:
+    def test_shuffle_converges_same(self, sbm):
+        """Random relabeling is math-preserving: training converges to the
+        same accuracy ballpark, and the exchange shrinks on skewed graphs."""
+        cfg = make_config(sbm, epochs=20)
+        base = DistTrainer(sbm, cfg, model=gcn, num_partitions=4).run()
+        cfg2 = make_config(sbm, epochs=20)
+        cfg2.shuffle_vertices = True
+        shuf = DistTrainer(sbm, cfg2, model=gcn, num_partitions=4).run()
+        assert shuf[-1]["test"] > 0.65
+        assert abs(base[-1]["test"] - shuf[-1]["test"]) < 0.12

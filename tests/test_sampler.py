@@ -87,3 +87,16 @@ class TestMinibatchTrainer:
         hist = tr.run()
         assert hist[-1]["loss"] < hist[0]["loss"]
         assert hist[-1]["test"] > 0.6, f"sampled GCN failed: {hist[-1]}"
+
+
+class TestDistMinibatch:
+    def test_dist_sampled_gcn_converges(self, sbm):
+        from neutronstarlite_tpu.training.minibatch import DistMinibatchTrainer
+        cfg = InputInfo(vertices=sbm.num_vertices, epochs=10,
+                        layer_string="16-16-3", fanout_string="4-4",
+                        batch_size=32, learn_rate=0.01, weight_decay=1e-4,
+                        drop_rate=0.1, seed=5)
+        tr = DistMinibatchTrainer(sbm, cfg, num_partitions=4)
+        hist = tr.run()
+        assert hist[-1]["loss"] < hist[0]["loss"]
+        assert hist[-1]["test"] > 0.6, f"dist sampled GCN failed: {hist[-1]}"
