@@ -83,6 +83,8 @@ class MinibatchTrainer:
         }
         self._train_step = jax.jit(self._make_step(training=True))
         self._eval_step = jax.jit(self._make_step(training=False))
+        from neutronstarlite_tpu.utils.timing import PhaseTimer
+        self.timer = PhaseTimer()   # DEBUGINFO-style phase breakdown
 
     # ---- the per-batch jitted step ----
     def _make_step(self, training: bool):
@@ -171,14 +173,20 @@ class MinibatchTrainer:
         tot_loss, tot_correct, tot_count, n_batches = 0.0, 0, 0, 0
         for arrays, labels in self._prefetch(split):
             self.run_key, k = jax.random.split(self.run_key)
-            self.params, self.opt_state, loss, c, n = step(
-                self.params, self.opt_state, self.features, arrays, labels, k)
-            tot_loss += float(loss)
+            with self.timer.phase(f"{split}_step"):
+                self.params, self.opt_state, loss, c, n = step(
+                    self.params, self.opt_state, self.features, arrays,
+                    labels, k)
+                tot_loss += float(loss)
             tot_correct += int(c)
             tot_count += int(n)
             n_batches += 1
         return (tot_loss / max(n_batches, 1),
                 tot_correct / max(tot_count, 1))
+
+    def debug_info(self):
+        """Phase breakdown (the reference's DEBUGINFO(), GCN.hpp:308-353)."""
+        self.timer.print_report()
 
     def run(self, epochs: int | None = None, log_every: int = 0):
         epochs = epochs if epochs is not None else self.config.epochs

@@ -121,3 +121,37 @@ class TestPartition:
             sel = part.owner == p
             np.testing.assert_array_equal(
                 lids[sel], np.arange(part.local_counts[p]))
+
+
+class TestReorder:
+    def test_permutation_equivariance(self, small_graph):
+        """aggregate(permuted graph, permuted x) == permute(aggregate(x))."""
+        import jax.numpy as jnp
+        from neutronstarlite_tpu.graph.dataset import GNNDatum
+        from neutronstarlite_tpu.graph.reorder import permute_dataset
+        from neutronstarlite_tpu.ops.graph_ops import GraphTensors
+        v = small_graph.num_vertices
+        r = np.random.default_rng(5)
+        feats = r.standard_normal((v, 8)).astype(np.float32)
+        datum = GNNDatum(graph=small_graph, features=feats,
+                         labels=np.zeros(v, np.int32),
+                         masks=np.zeros(v, np.int32), num_classes=2)
+        perm = r.permutation(v).astype(np.int32)
+        pd = permute_dataset(datum, perm)
+        gt = GraphTensors.from_graph(small_graph, backend="xla")
+        gt2 = GraphTensors.from_graph(pd.graph, backend="xla")
+        y = np.asarray(gt.aggregate_neighbors(jnp.asarray(feats)))
+        y2 = np.asarray(gt2.aggregate_neighbors(jnp.asarray(pd.features)))
+        # row perm[v] of y2 must equal row v of y
+        np.testing.assert_allclose(y2[perm], y, rtol=1e-4, atol=1e-5)
+
+    def test_degree_sort(self, small_graph):
+        from neutronstarlite_tpu.graph.dataset import GNNDatum
+        from neutronstarlite_tpu.graph.reorder import degree_sort
+        v = small_graph.num_vertices
+        datum = GNNDatum(graph=small_graph,
+                         features=np.zeros((v, 4), np.float32),
+                         labels=np.zeros(v, np.int32),
+                         masks=np.zeros(v, np.int32), num_classes=2)
+        ds = degree_sort(datum)
+        assert (np.diff(ds.graph.out_degree) <= 0).all()
