@@ -20,12 +20,11 @@ cross-partition allreduce (psum).
 from __future__ import annotations
 
 import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 try:
     from jax import shard_map  # jax >= 0.6 style
