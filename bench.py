@@ -48,7 +48,7 @@ def main():
     avg_deg = int(os.environ.get("NSL_BENCH_DEG", 50))
     epochs = int(os.environ.get("NSL_BENCH_EPOCHS", 10))
     backend = os.environ.get("NSL_BENCH_BACKEND", "auto")
-    dtype = os.environ.get("NSL_BENCH_DTYPE", "bfloat16")
+    dtype = os.environ.get("NSL_BENCH_DTYPE", "float32")
 
     import jax
     import jax.numpy as jnp
