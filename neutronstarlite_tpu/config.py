@@ -53,6 +53,7 @@ class InputInfo:
                                    # hot-block refreshes (1 = always fresh)
     shuffle_vertices: bool = False  # SHUFFLE_VERTICES: relabel randomly to
                                     # balance per-pair mirror counts (dist)
+    rep_mode: str = "degree"        # REP_MODE: degree | multiplicity
 
     @property
     def layer_sizes(self) -> List[int]:
@@ -116,6 +117,7 @@ class InputInfo:
             "CACHE_REFRESH": lambda: setattr(self, "cache_refresh", int(val)),
             "SHUFFLE_VERTICES": lambda: setattr(self, "shuffle_vertices",
                                                 flag(val)),
+            "REP_MODE": lambda: setattr(self, "rep_mode", val),
         }
         fn = dispatch.get(key)
         if fn is None:

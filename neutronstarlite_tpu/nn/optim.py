@@ -100,3 +100,19 @@ def nts_adam(learn_rate: float, weight_decay: float,
                                decay_rate=decay_rate,
                                decay_epoch=decay_epoch)
     return init_fn, update_fn
+
+
+def nts_sgd(learn_rate: float, weight_decay: float):
+    """The reference's SGD variant: W ← (W − lr·g)·(1 − wd)
+    (learnC2C_with_decay_SGD, core/NtsScheduler.hpp:750-755).
+    Returns (init_fn, update_fn) with the same signature as nts_adam."""
+    def init_fn(params):
+        del params
+        return ()
+
+    def update_fn(grads, state, params):
+        new_params = jax.tree.map(
+            lambda p, g: (p - learn_rate * g) * (1.0 - weight_decay),
+            params, grads)
+        return new_params, state
+    return init_fn, update_fn

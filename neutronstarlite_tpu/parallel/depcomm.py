@@ -101,7 +101,8 @@ class DistGraph:
 def build_dist_graph(g: Graph, num_partitions: int,
                      rep_threshold: int = 0,
                      partition: Partition | None = None,
-                     overlap: bool = False) -> DistGraph:
+                     overlap: bool = False,
+                     rep_mode: str = "degree") -> DistGraph:
     """Partition + mirror/send-map construction (the reference's
     PartitionedGraph::GenerateAll pipeline, core/PartitionedGraph.hpp:80-104,
     re-done with numpy set ops instead of ring bitmap exchange).
@@ -111,6 +112,12 @@ def build_dist_graph(g: Graph, num_partitions: int,
     once via all_gather instead of per-peer mirrors), re-creating the
     reference's `REPLICATE_THRESHOLD` / FeatureCache intent
     (core/graph.hpp:68,179; core/NtsScheduler.hpp:556-637).
+
+    ``rep_mode`` selects the hot-set criterion: "degree" = the reference's
+    out-degree threshold (REPLICATE_THRESHOLD); "multiplicity" = replicate
+    vertices mirrored by ≥ rep_threshold partitions — the volume-optimal
+    criterion (a vertex needed by k partitions costs k pairwise rows vs P
+    broadcast rows, and hub mirrors inflate the uniform all_to_all padding).
 
     ``overlap`` (the reference's PROC_OVERLAP, SURVEY.md P6) splits each
     device's edges into local-src and remote-src slab sets so the boundary
@@ -126,10 +133,53 @@ def build_dist_graph(g: Graph, num_partitions: int,
     off = partition.offsets
     v_pad = partition.v_pad
 
-    # DepCache hot set (global): high out-degree vertices are mirrored
-    # almost everywhere anyway — replicate them instead of exchanging.
-    if rep_threshold and rep_threshold > 0:
-        hot_ids = np.nonzero(g.out_degree >= rep_threshold)[0].astype(np.int32)
+    # DepCache hot set (global): heavily-mirrored vertices are replicated
+    # instead of exchanged.
+    def _multiplicity():
+        """mult(v) = number of partitions that need v as a remote src."""
+        mult = np.zeros(g.num_vertices, np.int32)
+        for i in range(p):
+            lo = int(g.fwd_offsets[off[i]])
+            hi = int(g.fwd_offsets[off[i + 1]])
+            esrc = g.fwd_src[lo:hi]
+            rem = np.unique(esrc[partition.owner[esrc] != i])
+            mult[rem] += 1
+        return mult
+
+    if rep_mode == "auto" and p > 1:
+        # choose the multiplicity threshold minimizing total exchanged rows:
+        # p·m_pad(T) (padded all_to_all) + h_pad(T) (all_gather), including
+        # T=∞ (no replication). Exact from per-pair multiplicity histograms.
+        mult = _multiplicity()
+        pair_mult = []
+        for i in range(p):
+            lo = int(g.fwd_offsets[off[i]])
+            hi = int(g.fwd_offsets[off[i + 1]])
+            esrc = g.fwd_src[lo:hi]
+            rem = esrc[partition.owner[esrc] != i]
+            for q in range(p):
+                if q == i:
+                    continue
+                u = np.unique(rem[partition.owner[rem] == q])
+                pair_mult.append(np.bincount(mult[u], minlength=p + 2))
+        best_t, best_cost = None, None
+        for t in list(range(2, p + 1)) + [p + 1]:   # p+1 ≈ no replication
+            m_max = max(int(h[:t].sum()) for h in pair_mult) if pair_mult                 else 0
+            h_cnt = int((mult >= t).sum())
+            cost = p * (-(-max(m_max, 1) // 8) * 8) + h_cnt
+            if best_cost is None or cost < best_cost:
+                best_t, best_cost = t, cost
+        if best_t <= p:
+            hot_ids = np.nonzero(mult >= best_t)[0].astype(np.int32)
+        else:
+            hot_ids = np.zeros(0, np.int32)
+    elif rep_threshold and rep_threshold > 0:
+        if rep_mode == "multiplicity":
+            mult = _multiplicity()
+            hot_ids = np.nonzero(mult >= rep_threshold)[0].astype(np.int32)
+        else:
+            hot_ids = np.nonzero(
+                g.out_degree >= rep_threshold)[0].astype(np.int32)
     else:
         hot_ids = np.zeros(0, np.int32)
     h_pad = int(hot_ids.size)

@@ -71,7 +71,8 @@ class DistTrainer:
             datum = random_shuffle(datum, seed=config.seed)
             self.datum = datum
         self.dg = build_dist_graph(datum.graph, self.p, rep_threshold=rep,
-                                   overlap=config.overlap)
+                                   overlap=config.overlap,
+                                   rep_mode=config.rep_mode)
         self.arrs = device_view(self.dg)
 
         # sharded data

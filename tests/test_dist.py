@@ -224,3 +224,42 @@ class TestShuffleVertices:
         shuf = DistTrainer(sbm, cfg2, model=gcn, num_partitions=4).run()
         assert shuf[-1]["test"] > 0.65
         assert abs(base[-1]["test"] - shuf[-1]["test"]) < 0.12
+
+
+class TestRepModes:
+    def test_multiplicity_mode_identical_math(self, sbm):
+        base = dist_aggregate(sbm, rep_threshold=0)
+        dg = build_dist_graph(sbm.graph, 4, rep_threshold=2,
+                              rep_mode="multiplicity")
+        assert dg.h_pad > 0
+        # route through the generic dist_aggregate with a custom dg
+        import jax.numpy as jnp
+        mesh = make_mesh(4)
+        arrs = jax.tree.map(jnp.asarray, device_view(dg))
+        x = jnp.asarray(dg.shard_features(sbm.features))
+
+        def f(arrs, x):
+            sq = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
+            return make_tensors(sq(arrs), dg).aggregate_neighbors(sq(x))[None]
+
+        spec = jax.tree.map(lambda _: P("p"), arrs)
+        y = np.asarray(jax.jit(_shard_map(f, mesh, in_specs=(spec, P("p")),
+                                          out_specs=P("p")))(arrs, x))
+        off = dg.partition.offsets
+        for i in range(4):
+            n = off[i + 1] - off[i]
+            np.testing.assert_allclose(y[i, :n], base[off[i]:off[i + 1]],
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_auto_mode_never_worse(self, sbm):
+        d0 = build_dist_graph(sbm.graph, 4)
+        da = build_dist_graph(sbm.graph, 4, rep_mode="auto")
+        assert 4 * da.m_pad + da.h_pad <= 4 * d0.m_pad + max(8, 0) + 8
+
+    def test_auto_mode_trains(self, sbm):
+        cfg = make_config(sbm, epochs=10)
+        cfg.rep_mode = "auto"
+        tr = DistTrainer(sbm, cfg, model=gcn, num_partitions=4)
+        hist = tr.run()
+        assert np.isfinite(hist[-1]["loss"])
+        assert hist[-1]["loss"] < hist[0]["loss"]

@@ -154,3 +154,15 @@ def test_nts_adam_matches_reference_math():
         beta2 *= b2t
         np.testing.assert_allclose(np.asarray(params[0]["w"]), W,
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_nts_sgd_matches_reference_math():
+    from neutronstarlite_tpu.nn.optim import nts_sgd
+    r = np.random.default_rng(51)
+    w = r.standard_normal((3, 2)).astype(np.float32)
+    g = r.standard_normal((3, 2)).astype(np.float32)
+    init, update = nts_sgd(learn_rate=0.1, weight_decay=0.01)
+    params, _ = update([{"w": jnp.asarray(g)}], init(None),
+                       [{"w": jnp.asarray(w)}])
+    oracle = (w - 0.1 * g) * (1 - 0.01)
+    np.testing.assert_allclose(np.asarray(params[0]["w"]), oracle, rtol=1e-6)
