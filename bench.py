@@ -11,10 +11,9 @@ shipped with the reference). edges/s = E * epochs / wall_time, the metric
 defined in BASELINE.md.
 
 ``vs_baseline`` compares against the reference implementation's measured CPU
-throughput on this host when a measurement file exists
-(reference_baseline.json, produced by tools/measure_reference.py), else
-against a conservative literature estimate for the reference's CPU engine
-(see BASELINE.md).
+throughput on this host (reference_baseline.json, measured by building and
+running the reference via tools/refbaseline/ — see its Makefile); absent
+that file, vs_baseline is null.
 """
 
 import json

@@ -45,11 +45,11 @@ def run_from_config(config: InputInfo, log_every: int = 1):
         backend = config.kernel_backend
         if not config.optim_kernel_enable and backend == "auto":
             backend = "xla"
+        kwargs = {"eager": True} if eager and model is gcn else {}
         if config.num_partitions > 1:
             from neutronstarlite_tpu.training.dist_trainer import DistTrainer
-            trainer = DistTrainer(datum, config, model=model)
+            trainer = DistTrainer(datum, config, model=model, **kwargs)
         else:
-            kwargs = {"eager": True} if eager and model is gcn else {}
             trainer = FullGraphTrainer(datum, config, model=model,
                                        backend=backend, **kwargs)
     history = trainer.run(log_every=log_every)

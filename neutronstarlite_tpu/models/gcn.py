@@ -40,7 +40,7 @@ def init(key: jax.Array, layer_sizes: Sequence[int], dtype=jnp.float32
 
 def forward(state: GCNState, gt, x: jax.Array, key: jax.Array | None,
             training: bool, drop_rate: float = 0.0, eager: bool = False,
-            remat: bool = False):
+            remat: bool = False, row_mask: jax.Array | None = None):
     """Returns (logits [V, C], new_bn list). ``gt`` is anything exposing
     ``aggregate_neighbors`` (GraphTensors or DistGraphTensors).
 
@@ -59,11 +59,13 @@ def forward(state: GCNState, gt, x: jax.Array, key: jax.Array | None,
                 if eager:
                     # eager order (GCN_CPU_EAGER): transform then aggregate;
                     # batchnorm stays on the F_in side as in the reference.
-                    y, nb = layers.batch_norm_apply(bn_st, x, training)
+                    y, nb = layers.batch_norm_apply(bn_st, x, training,
+                                                    row_mask=row_mask)
                     h = jax.nn.relu(gt.aggregate_neighbors(y @ w))
                 else:
                     y = gt.aggregate_neighbors(x)
-                    y, nb = layers.batch_norm_apply(bn_st, y, training)
+                    y, nb = layers.batch_norm_apply(bn_st, y, training,
+                                                    row_mask=row_mask)
                     h = jax.nn.relu(y @ w)
                 if training and drop_rate > 0.0 and dkey is not None:
                     h = layers.dropout(dkey, h, drop_rate, training)

@@ -43,7 +43,8 @@ def init(key: jax.Array, layer_sizes: Sequence[int], dtype=jnp.float32
 
 
 def forward(state: GINState, gt, x: jax.Array, key: jax.Array | None,
-            training: bool, drop_rate: float = 0.0, eps: float = 0.0):
+            training: bool, drop_rate: float = 0.0, eps: float = 0.0,
+            row_mask: jax.Array | None = None):
     del key, drop_rate
     n_layers = len(state.params)
     new_bn = []
@@ -54,7 +55,8 @@ def forward(state: GINState, gt, x: jax.Array, key: jax.Array | None,
         h = jax.nn.relu(h @ p["w1"]) @ p["w2"]
         if i < n_layers - 1:
             h = jax.nn.relu(h)
-        h, nb = layers.batch_norm_apply(state.bn[i], h, training)
+        h, nb = layers.batch_norm_apply(state.bn[i], h, training,
+                                        row_mask=row_mask)
         new_bn.append(nb)
         x = h
     return x, new_bn

@@ -30,15 +30,29 @@ def batch_norm_init(dim: int, dtype=jnp.float32) -> dict:
 
 
 def batch_norm_apply(bn: dict, x: jax.Array, training: bool,
-                     momentum: float = 0.1, eps: float = 1e-5
+                     momentum: float = 0.1, eps: float = 1e-5,
+                     row_mask: jax.Array | None = None
                      ) -> tuple[jax.Array, dict]:
     """Returns (y, updated_bn). In eval mode the running stats are used and
-    returned unchanged."""
+    returned unchanged.
+
+    ``row_mask`` (bool [N]) restricts the batch statistics to real rows —
+    required on SPMD-padded vertex blocks so zero padding doesn't pollute
+    mean/var (the reference's per-rank BatchNorm1d sees only real local
+    vertices). Normalization is still applied to every row; padded rows'
+    outputs are never consumed."""
     if training:
-        mean = jnp.mean(x, axis=0)
-        var = jnp.var(x, axis=0)                     # biased, for normalization
-        n = x.shape[0]
-        unbiased = var * (n / max(n - 1, 1))         # for the running stats
+        if row_mask is not None:
+            m = row_mask.astype(x.dtype)[:, None]
+            n = jnp.maximum(jnp.sum(m), 1.0)
+            mean = jnp.sum(x * m, axis=0) / n
+            var = jnp.sum(((x - mean) ** 2) * m, axis=0) / n
+            unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+        else:
+            mean = jnp.mean(x, axis=0)
+            var = jnp.var(x, axis=0)                 # biased, for normalization
+            n = x.shape[0]
+            unbiased = var * (n / max(n - 1, 1))     # for the running stats
         new_bn = dict(bn)
         new_bn["mean"] = (1 - momentum) * bn["mean"] + momentum * mean
         new_bn["var"] = (1 - momentum) * bn["var"] + momentum * unbiased

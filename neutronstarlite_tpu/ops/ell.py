@@ -98,7 +98,10 @@ def pack_slab(offsets: np.ndarray, nbr: np.ndarray, w: np.ndarray,
 
     tail_idx = np.zeros((rv_pad, k), np.int32)
     tail_w = np.zeros((rv_pad, k), np.float32)
-    tail_rows = np.zeros(rv_pad, np.int32)
+    # padding virtual rows get segment id num_rows: keeps the id array
+    # sorted (segment ops run with indices_are_sorted=True) and out-of-range
+    # ids are dropped by segment_sum/max rather than polluting row 0
+    tail_rows = np.full(rv_pad, num_rows, np.int32)
     pos = np.empty(e, np.int64)
     base_size = v_pad * k
     pos[base_sel] = row[base_sel] * k + rank[base_sel]

@@ -144,6 +144,9 @@ def edge_softmax(edge_val: jax.Array, dst_ids: jax.Array, num_vertices: int
     (ref: core/ntsSingleCPUGraphOp.hpp:381-406)."""
     m = jax.ops.segment_max(edge_val, dst_ids, num_segments=num_vertices,
                             indices_are_sorted=True)
+    # empty segments produce -inf maxima; out-of-range (padding) edge ids
+    # clip in the take below and would hit them → exp(+inf). Zero them.
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
     m = jax.lax.stop_gradient(m)
     z = jnp.exp(edge_val - jnp.take(m, dst_ids, axis=0))
     denom = jax.ops.segment_sum(z, dst_ids, num_segments=num_vertices,

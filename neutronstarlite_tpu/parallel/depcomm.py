@@ -217,9 +217,13 @@ def build_dist_graph(g: Graph, num_partitions: int,
             m_max = max(m_max, u.size)
     m_pad = max(1, -(-max(m_max, 1) // 8) * 8)
 
-    # combined-space remap + stacked arrays
+    # combined-space remap + stacked arrays. Padding edges carry dst id
+    # v_pad-1: keeps the id array sorted (segment ops run with
+    # indices_are_sorted=True) while staying IN RANGE — out-of-range ids
+    # clip inside take() and can alias empty segments' -inf maxima into
+    # exp() overflows. Every consumer masks padding by weight 0.
     e_src = np.zeros((p, e_pad), np.int32)
-    e_dst = np.zeros((p, e_pad), np.int32)
+    e_dst = np.full((p, e_pad), v_pad - 1, np.int32)
     e_w = np.zeros((p, e_pad), np.float32)
     send_idx = np.zeros((p, p, m_pad), np.int32)
     for i in range(p):
@@ -235,16 +239,19 @@ def build_dist_graph(g: Graph, num_partitions: int,
         remap[own_sel] = (esrc[own_sel] - off[i]).astype(np.int32)
         remap[hot_sel] = (v_pad + p * m_pad
                           + hot_slot[esrc[hot_sel]]).astype(np.int32)
+        # one reusable lookup buffer (filled/reset per peer) instead of an
+        # O(V) allocation per (device, peer) pair
+        lookup = np.full(g.num_vertices, -1, np.int32)
         for q in range(p):
             if q == i:
                 continue
             u = mirrors[i][q]
             if u.size == 0:
                 continue
-            lookup = np.full(g.num_vertices, -1, np.int32)
             lookup[u] = np.arange(u.size, dtype=np.int32)
             sel = (~own_sel) & (~hot_sel) & (owner[esrc] == q)
             remap[sel] = v_pad + q * m_pad + lookup[esrc[sel]]
+            lookup[u] = -1
         e_src[i, :n] = remap
         e_dst[i, :n] = (edst - off[i]).astype(np.int32)
         e_w[i, :n] = ew

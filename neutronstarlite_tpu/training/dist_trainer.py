@@ -124,9 +124,16 @@ class DistTrainer:
             arrs, x = sq(arrs), sq(x)
             labels, masks, row_valid = sq(labels), sq(masks), sq(row_valid)
             bn = sq(bn)
-            gt = make_tensors(arrs, dg)
+            gt = make_tensors(arrs, dg, agg_dtype=self.config.dtype)
             my = jax.lax.axis_index("p")
             key = jax.random.fold_in(key, my)
+            # models with batchnorm restrict stats to real local rows
+            # (padding would pollute mean/var; the reference's per-rank BN
+            # sees only real vertices)
+            import inspect
+            extra = {}
+            if "row_mask" in inspect.signature(model.forward).parameters:
+                extra["row_mask"] = row_valid
 
             def loss_fn(prm):
                 st = state_cls(params=prm, bn=bn)
@@ -136,7 +143,7 @@ class DistTrainer:
                     gt.hot_cache_in = list(cache)
                 logits, new_bn = model.forward(st, gt, x, key, training=True,
                                                drop_rate=drop_rate,
-                                               **model_kwargs)
+                                               **model_kwargs, **extra)
                 new_cache = (tuple(gt.hot_cache_out)
                              if mode == "fresh" else cache)
                 gt.hot_cache_out = None

@@ -42,6 +42,24 @@ def _ell_agg(idx: jax.Array, w: jax.Array, x: jax.Array) -> jax.Array:
                       preferred_element_type=jnp.float32).astype(x.dtype)
 
 
+def sampled_forward(params, features, block_arrays, key, *, training: bool,
+                    drop_rate: float, n_layers: int) -> jax.Array:
+    """The GCNSAMPLESINGLE per-batch forward (dropout → MiniBatchFuseOp →
+    relu(P·n) | P·n), shared by the single-chip and data-parallel steps."""
+    dst0, tables, idxs, ws = block_arrays
+    x = _gather_table(features, tables[-1])
+    if training and drop_rate > 0:
+        dkeys = jax.random.split(key, n_layers)
+    for l in range(n_layers):
+        h = n_layers - 1 - l
+        if training and drop_rate > 0:
+            x = layers.dropout(dkeys[l], x, drop_rate, True)
+        y = _ell_agg(idxs[h], ws[h], x)
+        w = params[l]["w"]
+        x = jax.nn.relu(y @ w) if l < n_layers - 1 else y @ w
+    return x  # [batch, C] values for dst0
+
+
 class MinibatchTrainer:
     """Single-chip sampled GCN training (GCNSAMPLESINGLE)."""
 
@@ -91,26 +109,15 @@ class MinibatchTrainer:
         drop_rate = self.config.drop_rate
         n_layers = len(self.config.layer_sizes) - 1
 
-        def forward(params, features, block_arrays, key):
-            dst0, tables, idxs, ws = block_arrays
-            x = _gather_table(features, tables[-1])
-            if training and drop_rate > 0:
-                dkeys = jax.random.split(key, n_layers)
-            for l in range(n_layers):
-                h = n_layers - 1 - l
-                if training and drop_rate > 0:
-                    x = layers.dropout(dkeys[l], x, drop_rate, True)
-                y = _ell_agg(idxs[h], ws[h], x)
-                w = params[l]["w"]
-                x = jax.nn.relu(y @ w) if l < n_layers - 1 else y @ w
-            return x  # [batch, C] values for dst0
-
         def step(params, opt_state, features, block_arrays, labels, key):
             dst0 = block_arrays[0]
             valid = dst0 >= 0
 
             def loss_fn(p):
-                logits = forward(p, features, block_arrays, key)
+                logits = sampled_forward(p, features, block_arrays, key,
+                                         training=training,
+                                         drop_rate=drop_rate,
+                                         n_layers=n_layers)
                 return layers.nll_loss_masked(
                     layers.log_softmax(logits), labels, valid), logits
 
@@ -154,8 +161,9 @@ class MinibatchTrainer:
             try:
                 for block in self.samplers[split].sample():
                     q.put(self._block_to_device(block))
-            finally:
                 q.put(stop)
+            except BaseException as e:  # propagate to the consumer
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -163,6 +171,9 @@ class MinibatchTrainer:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                t.join()
+                raise item
             yield item
         t.join()
 
@@ -242,26 +253,14 @@ class DistMinibatchTrainer(MinibatchTrainer):
             dst0 = block_arrays[0]
             valid = dst0 >= 0
 
-            # same math as MinibatchTrainer._make_step, plus psum
             drop_rate = self.config.drop_rate
             n_layers = len(self.config.layer_sizes) - 1
 
-            def forward(prm):
-                dst0_, tables, idxs, ws = block_arrays
-                x = _gather_table(features, tables[-1])
-                if training and drop_rate > 0:
-                    dkeys = jax.random.split(key, n_layers)
-                for l in range(n_layers):
-                    h = n_layers - 1 - l
-                    if training and drop_rate > 0:
-                        x = layers.dropout(dkeys[l], x, drop_rate, True)
-                    y = _ell_agg(idxs[h], ws[h], x)
-                    w = prm[l]["w"]
-                    x = jax.nn.relu(y @ w) if l < n_layers - 1 else y @ w
-                return x
-
             def lf(prm):
-                logits = forward(prm)
+                logits = sampled_forward(prm, features, block_arrays, key,
+                                         training=training,
+                                         drop_rate=drop_rate,
+                                         n_layers=n_layers)
                 return layers.nll_loss_masked(
                     layers.log_softmax(logits), labels, valid), logits
 
@@ -276,7 +275,12 @@ class DistMinibatchTrainer(MinibatchTrainer):
             c = jax.lax.psum(jnp.sum(jnp.where(
                 valid, (pred == labels).astype(jnp.int32), 0)), "p")
             n = jax.lax.psum(jnp.sum(valid.astype(jnp.int32)), "p")
-            loss = jax.lax.psum(loss, "p") / p
+            # average the loss over LIVE devices only (a padded final group
+            # fills dead all-invalid blocks whose masked loss is 0)
+            live = jax.lax.psum(
+                (jnp.sum(valid.astype(jnp.int32)) > 0).astype(jnp.float32),
+                "p")
+            loss = jax.lax.psum(loss, "p") / jnp.maximum(live, 1.0)
             return params, opt_state, loss, c, n
 
         def jit_step(params, opt_state, features, blocks, labels, key):
