@@ -1,0 +1,60 @@
+"""All-model throughput at Reddit scale on one chip, in one process.
+
+Times the full train epoch (fwd+bwd+NtsAdam) for GCN / GAT / GIN / CommNet /
+GGCN on the same power-law graph. One JSON line per model.
+
+Usage: python tools/bench_models.py
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    v = int(os.environ.get("NSL_BENCH_V", 232965))
+    deg = int(os.environ.get("NSL_BENCH_DEG", 50))
+    epochs = int(os.environ.get("NSL_BENCH_EPOCHS", 5))
+
+    from bench import make_powerlaw_graph
+    from neutronstarlite_tpu.config import InputInfo
+    from neutronstarlite_tpu.graph.dataset import GNNDatum
+    from neutronstarlite_tpu.models import commnet, gat, gcn, ggcn, gin
+    from neutronstarlite_tpu.training.trainer import FullGraphTrainer
+
+    g = make_powerlaw_graph(v, deg)
+    rng = np.random.default_rng(1)
+    feats = rng.random((v, 602), np.float32)
+    labels = rng.integers(0, 41, v).astype(np.int32)
+    masks = np.zeros(v, np.int32)
+    datum = GNNDatum(graph=g, features=feats, labels=labels, masks=masks,
+                     num_classes=41)
+
+    for name, model in (("gcn", gcn), ("gin", gin), ("commnet", commnet),
+                        ("gat", gat), ("ggcn", ggcn)):
+        cfg = InputInfo(vertices=v, epochs=epochs,
+                        layer_string="602-128-41", learn_rate=0.01,
+                        weight_decay=1e-4,
+                        drop_rate=0.5 if name == "gcn" else 0.0, seed=0)
+        t0 = time.time()
+        tr = FullGraphTrainer(datum, cfg, model=model, backend="pallas")
+        tr.run(epochs=2)  # compile + warm
+        setup = time.time() - t0
+        t0 = time.time()
+        hist = tr.run(epochs=epochs)
+        wall = time.time() - t0
+        ok = all(np.isfinite(h["loss"]) for h in hist)
+        print(json.dumps({
+            "model": name, "epoch_s": round(wall / epochs, 4),
+            "edges_per_sec": round(g.num_edges * epochs / wall),
+            "setup_s": round(setup, 1), "finite": ok,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
