@@ -55,11 +55,11 @@ def forward(state: GGCNState, gt, x: jax.Array, key: jax.Array | None,
         x_t = x @ p["w"]
         mirror = gt.get_dep_nbr(x_t)
         f_out = p["w"].shape[1]
-        e_src = jnp.take(mirror, gt.fwd_src, axis=0)      # [E, F']
-        e_dst = jnp.take(x_t, gt.fwd_dst, axis=0)         # [E, F']
-        # split gate weight: [e_src ∥ e_dst] @ G == e_src@Gl + e_dst@Gr
+        # split gate weight: [e_src ∥ e_dst] @ G == e_src@Gl + e_dst@Gr —
+        # per-vertex gate terms computed once, combined per edge inside the
+        # fused op (no [E, 2F'] intermediate)
         g_l, g_r = p["gate"][:f_out], p["gate"][f_out:]
-        m = jax.nn.leaky_relu(e_src @ g_l + e_dst @ g_r, negative_slope=0.2)
-        a = gt.edge_softmax(m)                            # [E, F'] per lane
-        x = jax.nn.relu(gt.aggregate_dst_sum(e_src * a))
+        g_src = mirror @ g_l                              # per src-table row
+        g_dst = x_t @ g_r                                 # per local dst row
+        x = jax.nn.relu(gt.gated_aggregate(mirror, g_src, g_dst, slope=0.2))
     return x, []

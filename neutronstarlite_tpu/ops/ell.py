@@ -536,3 +536,195 @@ attention_aggregate.defvjp(_attn_fwd, _attn_bwd)
 
 
 Pytree = Any
+
+
+# ---------------------------------------------------------------------------
+# Fused multi-lane gated aggregation (GGCN)
+# ---------------------------------------------------------------------------
+
+def _slab_gated_blocks(idx, rows_fn, rows, k, f, budget=None):
+    """Helper: iterate row blocks with [bv, K, F] temps under the budget."""
+    budget = budget or _BLOCK_GATHER_BUDGET
+    bv = max(8, min(rows, budget // max(k * f * 4, 1)))
+    return max(8, (bv // 8) * 8)
+
+
+def _gated_scores(ell: EllGraph, g_src, g_dst, slope):
+    """Per-lane masked softmax over each dst row's slots (base ∥ tail).
+
+    g_src: [Vs, F] source gate terms; g_dst: [num_dst, F].
+    Returns (a [Vd_pad,K,F], a_t [Rv,K,F], pre, pre_t).
+    """
+    vd_pad, k = ell.f_idx.shape
+    f = g_src.shape[-1]
+    g_dst_p = jnp.pad(g_dst, ((0, vd_pad - g_dst.shape[0]), (0, 0)))
+    f_valid = (ell.f_w != 0)[:, :, None]
+    has_tail = ell.f_tail_idx.shape[0] > 0
+
+    pre = jnp.take(g_src, ell.f_idx, axis=0) + g_dst_p[:, None, :]
+    m = jnp.where(f_valid, jax.nn.leaky_relu(pre, slope), _NEG)
+    if has_tail:
+        t_valid = (ell.f_tail_w != 0)[:, :, None]
+        pre_t = (jnp.take(g_src, ell.f_tail_idx, axis=0)
+                 + jnp.take(g_dst_p, jnp.clip(ell.f_tail_rows, 0, vd_pad - 1),
+                            axis=0)[:, None, :])
+        m_t = jnp.where(t_valid, jax.nn.leaky_relu(pre_t, slope), _NEG)
+    else:
+        pre_t = None
+        m_t = jnp.zeros((0, k, f), m.dtype)
+
+    row_max = jnp.max(m, axis=1)                                # [Vd_pad, F]
+    if has_tail:
+        comb = _tail_combine(row_max[:ell.num_dst], jnp.max(m_t, axis=1),
+                             ell.f_tail_rows, ell.num_dst, op="max")
+        row_max = jnp.concatenate([comb, row_max[ell.num_dst:]])
+    row_max = jnp.maximum(row_max, _NEG / 2)
+    z = jnp.where(f_valid, jnp.exp(m - row_max[:, None, :]), 0.0)
+    ssum = jnp.sum(z, axis=1)
+    if has_tail:
+        z_t = jnp.where(
+            t_valid,
+            jnp.exp(m_t - jnp.take(row_max,
+                                   jnp.clip(ell.f_tail_rows, 0, vd_pad - 1),
+                                   axis=0)[:, None, :]), 0.0)
+        comb = _tail_combine(ssum[:ell.num_dst], jnp.sum(z_t, axis=1),
+                             ell.f_tail_rows, ell.num_dst)
+        ssum = jnp.concatenate([comb, ssum[ell.num_dst:]])
+    else:
+        z_t = m_t
+    ssum = jnp.maximum(ssum, 1e-30)
+    a = z / ssum[:, None, :]
+    a_t = (z_t / jnp.take(ssum, jnp.clip(ell.f_tail_rows, 0, vd_pad - 1),
+                          axis=0)[:, None, :] if has_tail else z_t)
+    return a, a_t, pre, pre_t
+
+
+def slab_gated_matvec(idx: jax.Array, w3: jax.Array, x: jax.Array
+                      ) -> jax.Array:
+    """out[r,f] = Σ_k w3[r,k,f] · x[idx[r,k], f] — slab aggregate with
+    per-slot per-lane weights, chunked like slab_matvec."""
+    rows, k = idx.shape
+    f = x.shape[-1]
+    if rows == 0:
+        return jnp.zeros((0, f), x.dtype)
+    bv = _slab_gated_blocks(idx, None, rows, k, f)
+    if rows <= bv:
+        g = jnp.take(x, idx, axis=0)                  # [rows, K, F]
+        return jnp.sum(w3 * g, axis=1).astype(x.dtype)
+    n_blocks = -(-rows // bv)
+    pad = n_blocks * bv - rows
+    if pad:
+        idx = jnp.pad(idx, ((0, pad), (0, 0)))
+        w3 = jnp.pad(w3, ((0, pad), (0, 0), (0, 0)))
+
+    def block(args):
+        ib, wb = args
+        g = jnp.take(x, ib, axis=0)
+        return jnp.sum(wb * g, axis=1).astype(x.dtype)
+
+    out = jax.lax.map(block, (idx.reshape(n_blocks, bv, k),
+                              w3.reshape(n_blocks, bv, k, f)))
+    return out.reshape(n_blocks * bv, f)[:rows]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def gated_aggregate(ell: EllGraph, x: jax.Array, g_src: jax.Array,
+                    g_dst: jax.Array, slope: float = 0.2) -> jax.Array:
+    """out[d,f] = Σ_k softmax_{d,f}(leaky(g_src[src,f]+g_dst[d,f]))·x[src,f].
+
+    GGCN's per-FEATURE gated edge chain (toolkits/GGCN_CPU.hpp:184-220) as
+    one scatter-free slab op — the multi-lane generalization of
+    ``attention_aggregate`` (lane-wise softmax over incoming slots).
+    """
+    out, _ = _gated_fwd_impl(ell, x, g_src, g_dst, slope)
+    return out
+
+
+def _gated_fwd_impl(ell, x, g_src, g_dst, slope):
+    a, a_t, pre, pre_t = _gated_scores(ell, g_src, g_dst, slope)
+    out = slab_gated_matvec(ell.f_idx, a, x)[:ell.num_dst]
+    tail = slab_gated_matvec(ell.f_tail_idx, a_t, x)
+    out = _tail_combine(out, tail, ell.f_tail_rows, ell.num_dst)
+    return out, (a, a_t, pre, pre_t)
+
+
+def _gated_fwd(ell, x, g_src, g_dst, slope):
+    out, res = _gated_fwd_impl(ell, x, g_src, g_dst, slope)
+    return out, (ell, x, g_src, g_dst) + res
+
+
+def _gated_bwd(slope, resid, g):
+    ell, x, g_src, g_dst, a, a_t, pre_b, pre_t = resid
+    vd_pad, k = ell.f_idx.shape
+    f = x.shape[-1]
+    has_tail = ell.f_tail_idx.shape[0] > 0
+    f_valid = (ell.f_w != 0)[:, :, None]
+    g_pad = jnp.pad(g, ((0, vd_pad - ell.num_dst), (0, 0)))
+    trows = jnp.clip(ell.f_tail_rows, 0, vd_pad - 1)
+
+    # da[r,k,f] = x[idx][f] · g[r,f]
+    da = jnp.take(x, ell.f_idx, axis=0) * g_pad[:, None, :]
+    if has_tail:
+        t_valid = (ell.f_tail_w != 0)[:, :, None]
+        da_t = (jnp.take(x, ell.f_tail_idx, axis=0)
+                * jnp.take(g_pad, trows, axis=0)[:, None, :])
+    else:
+        da_t = jnp.zeros_like(a_t)
+
+    inner = jnp.sum(a * da, axis=1)                     # [Vd_pad, F]
+    if has_tail:
+        comb = _tail_combine(inner[:ell.num_dst],
+                             jnp.sum(a_t * da_t, axis=1),
+                             ell.f_tail_rows, ell.num_dst)
+        inner = jnp.concatenate([comb, inner[ell.num_dst:]])
+    dm = a * (da - inner[:, None, :])
+    dpre = jnp.where(f_valid, dm * jnp.where(pre_b > 0, 1.0, slope), 0.0)
+    if has_tail:
+        dm_t = a_t * (da_t - jnp.take(inner, trows, axis=0)[:, None, :])
+        dpre_t = jnp.where(t_valid,
+                           dm_t * jnp.where(pre_t > 0, 1.0, slope), 0.0)
+    else:
+        dpre_t = jnp.zeros_like(a_t)
+
+    dg_dst = jnp.sum(dpre, axis=1)
+    if has_tail:
+        comb = _tail_combine(dg_dst[:ell.num_dst], jnp.sum(dpre_t, axis=1),
+                             ell.f_tail_rows, ell.num_dst)
+        dg_dst = jnp.concatenate([comb, dg_dst[ell.num_dst:]])
+    dg_dst = dg_dst[:g_dst.shape[0]]
+
+    # flat slot-major [slots, F] tables for the permutation gathers
+    dpre_flat = jnp.concatenate(
+        [dpre.reshape(-1, f), dpre_t.reshape(-1, f),
+         jnp.zeros((1, f), dpre.dtype)], axis=0)
+    a_flat = jnp.concatenate(
+        [a.reshape(-1, f), a_t.reshape(-1, f), jnp.zeros((1, f), a.dtype)],
+        axis=0)
+
+    b_valid = (ell.b_w != 0)[:, :, None]
+    dg_src = jnp.sum(jnp.where(b_valid,
+                               jnp.take(dpre_flat, ell.b_perm, axis=0), 0.0),
+                     axis=1)
+    a_bwd = jnp.where(b_valid, jnp.take(a_flat, ell.b_perm, axis=0), 0.0)
+    dx = slab_gated_matvec(ell.b_idx, a_bwd, g_pad)[:ell.num_src]
+    if ell.b_tail_idx.shape[0]:
+        bt_valid = (ell.b_tail_w != 0)[:, :, None]
+        dg_src_t = jnp.sum(
+            jnp.where(bt_valid,
+                      jnp.take(dpre_flat, ell.b_tail_perm, axis=0), 0.0),
+            axis=1)
+        dg_src = _tail_combine(dg_src[:ell.num_src], dg_src_t,
+                               ell.b_tail_rows, ell.num_src)
+        a_bwd_t = jnp.where(bt_valid,
+                            jnp.take(a_flat, ell.b_tail_perm, axis=0), 0.0)
+        dx = _tail_combine(dx, slab_gated_matvec(ell.b_tail_idx, a_bwd_t,
+                                                 g_pad),
+                           ell.b_tail_rows, ell.num_src)
+    else:
+        dg_src = dg_src[:ell.num_src]
+    dg_src = dg_src[:g_src.shape[0]]
+    dx = dx[:x.shape[0]]
+    return None, dx, dg_src, dg_dst
+
+
+gated_aggregate.defvjp(_gated_fwd, _gated_bwd)

@@ -160,6 +160,24 @@ class GraphTensors:
         return segment.spmm(edge_weight, x, self.fwd_src, self.fwd_dst,
                             self.num_vertices)
 
+    def gated_aggregate(self, table: jax.Array, g_src: jax.Array,
+                        g_dst: jax.Array, slope: float = 0.2) -> jax.Array:
+        """GGCN's per-feature gated edge chain as one op (multi-lane
+        softmax over incoming edges). ELL backend: scatter-free slab math
+        (memory O(V·K·F) for the gate tensors); XLA backend: segment ops.
+        """
+        if self.ell is not None:
+            from neutronstarlite_tpu.ops import ell as ell_mod
+            return ell_mod.gated_aggregate(self.ell, table, g_src, g_dst,
+                                           slope)
+        m = jax.nn.leaky_relu(
+            jnp.take(g_src, self.fwd_src, axis=0)
+            + jnp.take(g_dst, self.fwd_dst, axis=0), negative_slope=slope)
+        a = segment.edge_softmax(m, self.fwd_dst, self.num_vertices)
+        msg = jnp.take(table, self.fwd_src, axis=0) * a
+        return segment.aggregate_dst_sum(msg, self.fwd_dst,
+                                         self.num_vertices)
+
     def sddmm_dot(self, a: jax.Array, b: jax.Array) -> jax.Array:
         return segment.sddmm_dot(a, b, self.fwd_src, self.fwd_dst)
 

@@ -482,6 +482,24 @@ class DistGraphTensors:
         return segment.spmm(a, table, self.e_src, self.e_dst,
                             self.num_vertices)
 
+    def gated_aggregate(self, table: jax.Array, g_src: jax.Array,
+                        g_dst: jax.Array, slope: float = 0.2) -> jax.Array:
+        """GGCN fused per-feature gating over local edges (see
+        GraphTensors.gated_aggregate). ELL comb slabs when available."""
+        if self.ell is not None and "comb" in self.ell:
+            from neutronstarlite_tpu.ops import ell as ell_mod
+            return ell_mod.gated_aggregate(self.ell["comb"], table, g_src,
+                                           g_dst, slope)
+        m = jax.nn.leaky_relu(
+            jnp.take(g_src, self.e_src, axis=0)
+            + jnp.take(g_dst, self.e_dst, axis=0), negative_slope=slope)
+        neg = jnp.asarray(-1e30, m.dtype)
+        m = jnp.where((self.e_w != 0)[:, None], m, neg)
+        a = segment.edge_softmax(m, self.e_dst, self.num_vertices)
+        a = jnp.where((self.e_w != 0)[:, None], a, 0.0)
+        msg = jnp.take(table, self.e_src, axis=0) * a
+        return segment.aggregate_dst_sum(msg, self.e_dst, self.num_vertices)
+
     @property
     def fwd_src(self):
         return self.e_src

@@ -229,9 +229,35 @@ class DistTrainer:
                 print(f"epoch {ep:4d} loss {rec['loss']:.4f} "
                       f"train {rec['train']:.4f} val {rec['val']:.4f} "
                       f"test {rec['test']:.4f}")
+            ckpt_path = self.config.checkpoint_path
+            if ckpt_path and self.config.checkpoint_every and                     (ep + 1) % self.config.checkpoint_every == 0:
+                self._save(ckpt_path, params, bn, opt_state, ep + 1)
         jax.block_until_ready(params)
         self.exec_time = time.time() - t0
         self.state = type(self.state)(params=params, bn=self.state.bn)
         self.bn = bn
         self.opt_state = opt_state
+        if self.config.checkpoint_path:
+            self._save(self.config.checkpoint_path, params, bn, opt_state,
+                       epochs)
         return history
+
+    # ---- checkpoint/resume (same format as FullGraphTrainer) ----
+    def _save(self, path, params, bn, opt_state, epoch):
+        from neutronstarlite_tpu.utils import checkpoint as ckpt
+        ckpt.save_checkpoint(path, ckpt.make_state(
+            params=params, bn=bn, opt_state=opt_state, run_key=self.run_key,
+            epoch=epoch))
+
+    def resume(self, path: str) -> int:
+        from neutronstarlite_tpu.utils import checkpoint as ckpt
+        template = ckpt.make_state(params=self.state.params, bn=self.bn,
+                                   opt_state=self.opt_state,
+                                   run_key=self.run_key, epoch=0)
+        st = ckpt.restore_checkpoint(path, template)
+        self.state = type(self.state)(params=st["params"],
+                                      bn=self.state.bn)
+        self.bn = st["bn"]
+        self.opt_state = st["opt_state"]
+        self.run_key = st["run_key"]
+        return int(st["epoch"])

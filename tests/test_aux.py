@@ -121,3 +121,19 @@ class TestOgbReaders:
         np.testing.assert_array_equal(l2, labels)
         m = io.read_masks_ogb(str(tmp_path / "split"), v)
         assert (m[:3] == 0).all() and (m[3:5] == 1).all() and (m[5:] == 2).all()
+
+
+class TestDistCheckpoint:
+    def test_dist_save_resume(self, sbm, tmp_path):
+        from neutronstarlite_tpu.training.dist_trainer import DistTrainer
+        cfg = make_config(sbm, tmp_path, every=0)
+        tr = DistTrainer(sbm, cfg, model=gcn, num_partitions=4)
+        h1 = tr.run()
+        cfg2 = make_config(sbm)
+        tr2 = DistTrainer(sbm, cfg2, model=gcn, num_partitions=4)
+        ep = tr2.resume(str(tmp_path / "ck"))
+        assert ep == 6
+        h_a = tr.run(epochs=3)
+        h_b = tr2.run(epochs=3)
+        for a, b in zip(h_a, h_b):
+            assert abs(a["loss"] - b["loss"]) < 1e-6

@@ -159,3 +159,56 @@ class TestBf16Aggregation:
         g16, g32 = np.asarray(f(eg16)), np.asarray(f(eg32))
         assert g16.dtype == np.float32
         np.testing.assert_allclose(g16, g32, rtol=3e-2, atol=3e-2)
+
+
+class TestGatedAggregate:
+    def segment_oracle(self, g, x, g_src, g_dst, slope=0.2):
+        m = jax.nn.leaky_relu(
+            jnp.take(g_src, jnp.asarray(g.fwd_src), axis=0)
+            + jnp.take(g_dst, jnp.asarray(g.fwd_dst), axis=0),
+            negative_slope=slope)
+        a = segment.edge_softmax(m, jnp.asarray(g.fwd_dst), g.num_vertices)
+        msg = jnp.take(x, jnp.asarray(g.fwd_src), axis=0) * a
+        return segment.aggregate_dst_sum(msg, jnp.asarray(g.fwd_dst),
+                                         g.num_vertices)
+
+    @pytest.fixture()
+    def gates(self, g):
+        r = np.random.default_rng(19)
+        return (jnp.asarray(r.standard_normal((g.num_vertices, 24))
+                            .astype(np.float32)),
+                jnp.asarray(r.standard_normal((g.num_vertices, 24))
+                            .astype(np.float32)))
+
+    def test_fwd_matches_segment(self, g, eg, feats, gates):
+        gs, gd = gates
+        out = ell.gated_aggregate(eg, feats, gs, gd, 0.2)
+        oracle = self.segment_oracle(g, feats, gs, gd)
+        np.testing.assert_allclose(out, oracle, rtol=1e-4, atol=1e-5)
+
+    def test_all_grads_match_segment(self, g, eg, feats, gates):
+        gs, gd = gates
+        co = jnp.asarray(np.random.default_rng(23).standard_normal(
+            (g.num_vertices, 24)).astype(np.float32))
+
+        def f_ell(x, a, b):
+            return jnp.sum(ell.gated_aggregate(eg, x, a, b, 0.2) * co)
+
+        def f_seg(x, a, b):
+            return jnp.sum(self.segment_oracle(g, x, a, b) * co)
+
+        ge = jax.grad(f_ell, argnums=(0, 1, 2))(feats, gs, gd)
+        gx = jax.grad(f_seg, argnums=(0, 1, 2))(feats, gs, gd)
+        for a, b, name in zip(ge, gx, ("dx", "dg_src", "dg_dst")):
+            np.testing.assert_allclose(a, b, rtol=3e-3, atol=2e-4,
+                                       err_msg=f"gated grad mismatch: {name}")
+
+    def test_ggcn_model_backends_match(self, g, feats):
+        from neutronstarlite_tpu.models import ggcn
+        st = ggcn.init(jax.random.PRNGKey(8), [24, 8])
+        gt_x = GraphTensors.from_graph(g, backend="xla")
+        gt_p = GraphTensors.from_graph(g, backend="pallas")
+        ox, _ = ggcn.forward(st, gt_x, feats, None, training=False)
+        op, _ = ggcn.forward(st, gt_p, feats, None, training=False)
+        np.testing.assert_allclose(np.asarray(op), np.asarray(ox),
+                                   rtol=1e-3, atol=1e-4)
