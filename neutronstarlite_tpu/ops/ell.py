@@ -649,12 +649,15 @@ def _gated_fwd_impl(ell, x, g_src, g_dst, slope):
 
 
 def _gated_fwd(ell, x, g_src, g_dst, slope):
-    out, res = _gated_fwd_impl(ell, x, g_src, g_dst, slope)
-    return out, (ell, x, g_src, g_dst) + res
+    out, _ = _gated_fwd_impl(ell, x, g_src, g_dst, slope)
+    # save only the inputs: the [V,K,F] score tensors are recomputed in the
+    # backward (rematerialization — they dominate HBM otherwise)
+    return out, (ell, x, g_src, g_dst)
 
 
 def _gated_bwd(slope, resid, g):
-    ell, x, g_src, g_dst, a, a_t, pre_b, pre_t = resid
+    ell, x, g_src, g_dst = resid
+    a, a_t, pre_b, pre_t = _gated_scores(ell, g_src, g_dst, slope)
     vd_pad, k = ell.f_idx.shape
     f = x.shape[-1]
     has_tail = ell.f_tail_idx.shape[0] > 0

@@ -199,6 +199,25 @@ class MinibatchTrainer:
         """Phase breakdown (the reference's DEBUGINFO(), GCN.hpp:308-353)."""
         self.timer.print_report()
 
+    # ---- checkpoint/resume (same format as the other trainers; the
+    # minibatch state has no batchnorm, bn slot stores an empty list) ----
+    def _save(self, path, epoch):
+        from neutronstarlite_tpu.utils import checkpoint as ckpt
+        ckpt.save_checkpoint(path, ckpt.make_state(
+            params=self.params, bn=[], opt_state=self.opt_state,
+            run_key=self.run_key, epoch=epoch))
+
+    def resume(self, path: str) -> int:
+        from neutronstarlite_tpu.utils import checkpoint as ckpt
+        template = ckpt.make_state(params=self.params, bn=[],
+                                   opt_state=self.opt_state,
+                                   run_key=self.run_key, epoch=0)
+        st = ckpt.restore_checkpoint(path, template)
+        self.params = st["params"]
+        self.opt_state = st["opt_state"]
+        self.run_key = st["run_key"]
+        return int(st["epoch"])
+
     def run(self, epochs: int | None = None, log_every: int = 0):
         epochs = epochs if epochs is not None else self.config.epochs
         history = []
@@ -214,7 +233,11 @@ class MinibatchTrainer:
                 print(f"epoch {ep:4d} loss {train_loss:.4f} "
                       f"train {train_acc:.4f} val {val_acc:.4f} "
                       f"test {test_acc:.4f}")
+            if self.config.checkpoint_path and self.config.checkpoint_every                     and (ep + 1) % self.config.checkpoint_every == 0:
+                self._save(self.config.checkpoint_path, ep + 1)
         self.exec_time = time.time() - t0
+        if self.config.checkpoint_path:
+            self._save(self.config.checkpoint_path, epochs)
         return history
 
 

@@ -100,3 +100,24 @@ class TestDistMinibatch:
         hist = tr.run()
         assert hist[-1]["loss"] < hist[0]["loss"]
         assert hist[-1]["test"] > 0.6, f"dist sampled GCN failed: {hist[-1]}"
+
+
+class TestMinibatchCheckpoint:
+    def test_save_resume(self, sbm, tmp_path):
+        cfg = InputInfo(vertices=sbm.num_vertices, epochs=3,
+                        layer_string="16-16-3", fanout_string="4-4",
+                        batch_size=32, learn_rate=0.01, weight_decay=1e-4,
+                        drop_rate=0.0, seed=5)
+        cfg.checkpoint_path = str(tmp_path / "mbck")
+        tr = MinibatchTrainer(sbm, cfg)
+        tr.run()
+        cfg2 = InputInfo(vertices=sbm.num_vertices, epochs=3,
+                         layer_string="16-16-3", fanout_string="4-4",
+                         batch_size=32, learn_rate=0.01, weight_decay=1e-4,
+                         drop_rate=0.0, seed=99)
+        tr2 = MinibatchTrainer(sbm, cfg2)
+        ep = tr2.resume(str(tmp_path / "mbck"))
+        assert ep == 3
+        for a, b in zip(tr.params, tr2.params):
+            np.testing.assert_array_equal(np.asarray(a["w"]),
+                                          np.asarray(b["w"]))
