@@ -39,8 +39,9 @@ def dataset(tmp_path_factory):
     return base
 
 
-def make_cfg(base, path):
-    cfg = (f"ALGORITHM:GCNCPU\nVERTICES:800\nLAYERS:24-16-5\nEPOCHS:80\n"
+def make_cfg(base, path, algorithm="GCNCPU"):
+    cfg = (f"ALGORITHM:{algorithm}\nVERTICES:800\nLAYERS:24-16-5\n"
+           f"EPOCHS:80\n"
            f"EDGE_FILE:{base}.edge.self\nFEATURE_FILE:{base}.featuretable\n"
            f"LABEL_FILE:{base}.labeltable\nMASK_FILE:{base}.mask\n"
            f"PROC_CUDA:0\nLEARN_RATE:0.01\nWEIGHT_DECAY:0.0001\n"
@@ -50,23 +51,38 @@ def make_cfg(base, path):
     return path
 
 
-def test_converged_accuracy_matches_reference(dataset, tmp_path):
-    cfg = make_cfg(dataset, str(tmp_path / "parity.cfg"))
-
-    # reference binary
+def run_both(dataset, tmp_path, algorithm):
+    cfg = make_cfg(dataset, str(tmp_path / f"parity_{algorithm}.cfg"),
+                   algorithm)
     out = subprocess.run([NTS_REF, cfg], capture_output=True, text=True,
                          timeout=280).stdout
-    accs = [float(m) for m in re.findall(r"Test Acc: ([0-9.]+)", out)]
+    # GCN/GAT log "Test Acc:", GIN prints "Test  ACC:" — match both
+    accs = [float(m) for m in re.findall(r"Test +A[Cc][Cc]: +([0-9.]+)", out)]
     assert accs, f"reference produced no accuracy output:\n{out[-2000:]}"
-    ref_acc = accs[-1]
-
-    # ours (same cfg file)
     from neutronstarlite_tpu.config import InputInfo
     from neutronstarlite_tpu.main import run_from_config
     _, hist = run_from_config(InputInfo.from_cfg_file(cfg), log_every=0)
-    our_acc = hist[-1]["test"]
+    return accs[-1], hist[-1]["test"]
 
-    assert ref_acc > 0.7, f"reference failed to learn ({ref_acc})"
-    assert our_acc > 0.7, f"we failed to learn ({our_acc})"
+
+def test_gcn_accuracy_matches_reference(dataset, tmp_path):
+    ref_acc, our_acc = run_both(dataset, tmp_path, "GCNCPU")
+    assert ref_acc > 0.7 and our_acc > 0.7, (ref_acc, our_acc)
     assert abs(our_acc - ref_acc) < 0.08, (
-        f"accuracy divergence: ref {ref_acc} vs ours {our_acc}")
+        f"GCN divergence: ref {ref_acc} vs ours {our_acc}")
+
+
+def test_gin_accuracy_matches_reference(dataset, tmp_path):
+    ref_acc, our_acc = run_both(dataset, tmp_path, "GINCPU")
+    assert ref_acc > 0.7 and our_acc > 0.7, (ref_acc, our_acc)
+    assert abs(our_acc - ref_acc) < 0.1, (
+        f"GIN divergence: ref {ref_acc} vs ours {our_acc}")
+
+
+def test_gat_not_worse_than_reference(dataset, tmp_path):
+    # relu-capped GAT is high-variance across inits; require ours to be at
+    # least in the reference's league
+    ref_acc, our_acc = run_both(dataset, tmp_path, "GATCPU")
+    assert ref_acc > 0.5, ref_acc
+    assert our_acc > ref_acc - 0.08, (
+        f"GAT regressed vs reference: ref {ref_acc} vs ours {our_acc}")
