@@ -31,6 +31,12 @@ def read_edge_file(path: str, num_vertices: int | None = None) -> tuple[np.ndarr
     reads all — partitioning happens later, device-side slices are built in
     partition.py).
     """
+    import os
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"EDGE_FILE not found: {path!r} — expected a Gemini binary edge "
+            f"file (consecutive uint32 src,dst pairs; see "
+            f"tools/generate_dataset.py to create one)")
     raw = np.fromfile(path, dtype="<u4")
     if raw.size % 2 != 0:
         raise ValueError(f"edge file {path} has odd word count {raw.size}")
