@@ -53,7 +53,10 @@ class InputInfo:
                                    # hot-block refreshes (1 = always fresh)
     shuffle_vertices: bool = False  # SHUFFLE_VERTICES: relabel randomly to
                                     # balance per-pair mirror counts (dist)
-    rep_mode: str = "degree"        # REP_MODE: degree | multiplicity
+    rep_mode: str = "degree"        # REP_MODE: degree | multiplicity | auto
+    sampler_backend: str = "host"   # SAMPLER: host (C++ reservoir, exact
+                                    # reference semantics) | device (on-TPU,
+                                    # fused into the train step)
 
     @property
     def layer_sizes(self) -> List[int]:
@@ -118,6 +121,7 @@ class InputInfo:
             "SHUFFLE_VERTICES": lambda: setattr(self, "shuffle_vertices",
                                                 flag(val)),
             "REP_MODE": lambda: setattr(self, "rep_mode", val),
+            "SAMPLER": lambda: setattr(self, "sampler_backend", val),
         }
         fn = dispatch.get(key)
         if fn is None:

@@ -1,0 +1,138 @@
+"""Device-side neighbor sampling: the whole minibatch pipeline in one jit.
+
+The reference samples on the host with all cores (ntsSampler.hpp) and so do
+we by default (sampling/sampler.py + the prefetch pipeline). At 11.6
+batches/s measured, the HOST is the bottleneck on a fast chip. This module
+moves the hop sampling onto the device:
+
+* the fully-replicated CSC (fwd_offsets/fwd_src — FullyRepGraph's role)
+  lives in HBM;
+* per seed, ``fanout`` neighbor slots are drawn with the TPU PRNG — rows
+  with degree ≤ fanout take all neighbors exactly (matching the reference);
+  higher-degree rows sample uniformly WITH replacement (the reference's
+  reservoir is without replacement — a documented deviation that vanishes
+  as degree grows; duplicates are legal multi-edges to the estimator);
+* source dedup + local relabel (sampCSC::postprocessing) is a sort /
+  adjacent-unique / searchsorted sequence — all static shapes;
+* the sampled block feeds the same ELL hop compute as the host path.
+
+Everything is jit-compatible: one compiled function per (batch, fanout)
+configuration performs sample → dedup → gather → forward → backward →
+update with zero host round trips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_hop(key: jax.Array, offsets: jax.Array, nbr: jax.Array,
+               seeds: jax.Array, fanout: int, num_vertices: int):
+    """One hop: [cap] seeds → ([cap, fanout] global ids, valid mask).
+
+    Invalid (padding) seeds (< 0) and empty slots yield id ``num_vertices``
+    (the sentinel every consumer treats as padding).
+    """
+    cap = seeds.shape[0]
+    safe = jnp.clip(seeds, 0, num_vertices - 1)
+    lo = jnp.take(offsets, safe)
+    deg = jnp.take(offsets, safe + 1) - lo
+    # uniform slot draws; slot j of row r picks edge (lo + u_rj mod deg)
+    u = jax.random.randint(key, (cap, fanout), 0, jnp.iinfo(jnp.int32).max)
+    take_all = deg[:, None] <= fanout
+    idx_all = jnp.minimum(jnp.arange(fanout)[None, :], deg[:, None] - 1)
+    idx_rand = u % jnp.maximum(deg, 1)[:, None]
+    pick = lo[:, None] + jnp.where(take_all, idx_all, idx_rand)
+    ids = jnp.take(nbr, jnp.clip(pick, 0, nbr.shape[0] - 1))
+    valid = (seeds >= 0)[:, None] & (deg > 0)[:, None] & (
+        jnp.arange(fanout)[None, :] < jnp.maximum(deg, 1)[:, None])
+    return jnp.where(valid, ids, num_vertices).astype(jnp.int32), valid
+
+
+def dedup_relabel(flat_ids: jax.Array, num_vertices: int, table_cap: int):
+    """[N] global ids (sentinel V = padding) → (table [table_cap] int32
+    (-1 padded), local [N] indices into the table).
+
+    sampCSC::postprocessing with static shapes: sort → adjacent-unique →
+    compact to the front → searchsorted relabel.
+    """
+    s = jnp.sort(flat_ids)
+    first = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
+    first = first & (s < num_vertices)
+    uniq = jnp.where(first, s, num_vertices)
+    uniq = jnp.sort(uniq)[:table_cap]                 # unique ids first
+    table = jnp.where(uniq < num_vertices, uniq, -1).astype(jnp.int32)
+    # relabel: padding ids (==V) get index 0 (consumers mask by weight)
+    local = jnp.searchsorted(uniq, jnp.clip(flat_ids, 0, num_vertices - 1))
+    local = jnp.clip(local, 0, table_cap - 1).astype(jnp.int32)
+    return table, local
+
+
+def sample_block(key: jax.Array, offsets: jax.Array, nbr: jax.Array,
+                 out_degree: jax.Array, in_degree: jax.Array,
+                 seeds: jax.Array, fanout: Sequence[int], num_vertices: int,
+                 caps: Sequence[int], scaps: Sequence[int]):
+    """Full multi-hop block (device analogue of Sampler.sample_one).
+
+    Returns (dst0, tables, idxs, ws) with the same layout the minibatch
+    trainers consume.
+    """
+    hops = len(fanout)
+    dst0 = seeds
+    cur = seeds
+    tables, idxs, ws = [], [], []
+    keys = jax.random.split(key, hops)
+    for h in range(hops):
+        fo = fanout[hops - 1 - h]
+        cap, scap = caps[h], scaps[h]
+        cur_p = jnp.concatenate(
+            [cur, jnp.full(cap - cur.shape[0], -1, jnp.int32)]) \
+            if cur.shape[0] < cap else cur
+        ids, valid = sample_hop(keys[h], offsets, nbr, cur_p, fo,
+                                num_vertices)
+        flat = ids.reshape(-1)
+        table, local = dedup_relabel(flat, num_vertices, scap)
+        nbr_idx = local.reshape(cap, fo)
+        # global-degree norm weights (MiniBatchFuseOp), 0 for padding
+        od = jnp.take(out_degree,
+                      jnp.clip(flat, 0, num_vertices - 1)).reshape(cap, fo)
+        idg = jnp.take(in_degree,
+                       jnp.clip(cur_p, 0, num_vertices - 1))[:, None]
+        w = jnp.where(
+            valid & (ids < num_vertices),
+            1.0 / jnp.sqrt(jnp.maximum(od, 1) * jnp.maximum(idg, 1)), 0.0
+        ).astype(jnp.float32)
+        tables.append(table)
+        idxs.append(nbr_idx)
+        ws.append(w)
+        cur = table
+    return dst0, tuple(tables), tuple(idxs), tuple(ws)
+
+
+class DeviceSampler:
+    """Drop-in block producer backed by the on-device sampler."""
+
+    def __init__(self, graph, fanout: Sequence[int], batch_size: int,
+                 caps: Sequence[int], scaps: Sequence[int]):
+        self.offsets = jnp.asarray(graph.fwd_offsets.astype("int32"))
+        self.nbr = jnp.asarray(graph.fwd_src)
+        self.out_degree = jnp.asarray(graph.out_degree.astype("float32"))
+        self.in_degree = jnp.asarray(graph.in_degree.astype("float32"))
+        self.num_vertices = graph.num_vertices
+        self.fanout = [int(f) for f in fanout]
+        self.batch_size = batch_size
+        self.caps = list(caps)
+        self.scaps = list(scaps)
+        self._fn = jax.jit(partial(
+            sample_block, fanout=tuple(self.fanout),
+            num_vertices=self.num_vertices, caps=tuple(self.caps),
+            scaps=tuple(self.scaps)))
+
+    def __call__(self, key: jax.Array, seeds: jax.Array):
+        """seeds: [batch_size] int32 (pad with -1)."""
+        return self._fn(key, self.offsets, self.nbr, self.out_degree,
+                        self.in_degree, seeds)

@@ -104,6 +104,22 @@ class MinibatchTrainer:
         from neutronstarlite_tpu.utils.timing import PhaseTimer
         self.timer = PhaseTimer()   # DEBUGINFO-style phase breakdown
 
+        # device-side sampling: the whole sample→train pipeline in one jit
+        # (SAMPLER:device; see sampling/device_sampler.py for semantics)
+        self.device_mode = getattr(config, "sampler_backend",
+                                   "host") == "device"
+        if self.device_mode:
+            from neutronstarlite_tpu.sampling.device_sampler import (
+                DeviceSampler)
+            self.dev_sampler = DeviceSampler(g, self.fanout, bs, self.caps,
+                                             self.scaps)
+            self.labels_dev = jnp.asarray(datum.labels.astype(np.int32))
+            self.nids = nids
+            self._train_step_dev = jax.jit(
+                self._make_device_step(training=True))
+            self._eval_step_dev = jax.jit(
+                self._make_device_step(training=False))
+
     # ---- the per-batch jitted step ----
     def _make_step(self, training: bool):
         drop_rate = self.config.drop_rate
@@ -146,6 +162,107 @@ class MinibatchTrainer:
             .astype(np.int32))
         return (dst0, tables, idxs, ws), labels
 
+    def _make_device_step(self, training: bool):
+        drop_rate = self.config.drop_rate
+        n_layers = len(self.config.layer_sizes) - 1
+        ds = self.dev_sampler
+
+        def step(params, opt_state, features, labels_all, seeds, key):
+            ks, kd = jax.random.split(key)
+            from neutronstarlite_tpu.sampling.device_sampler import (
+                sample_block)
+            dst0, tables, idxs, ws = sample_block(
+                ks, ds.offsets, ds.nbr, ds.out_degree, ds.in_degree, seeds,
+                fanout=tuple(ds.fanout), num_vertices=ds.num_vertices,
+                caps=tuple(ds.caps), scaps=tuple(ds.scaps))
+            labels = jnp.where(
+                dst0 >= 0,
+                jnp.take(labels_all, jnp.clip(dst0, 0, None)), 0)
+            valid = dst0 >= 0
+
+            def loss_fn(p):
+                logits = sampled_forward(p, features,
+                                         (dst0, tables, idxs, ws), kd,
+                                         training=training,
+                                         drop_rate=drop_rate,
+                                         n_layers=n_layers)
+                return layers.nll_loss_masked(
+                    layers.log_softmax(logits), labels, valid), logits
+
+            if training:
+                (loss, logits), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                params, opt_state = self.opt_update(grads, opt_state, params)
+            else:
+                loss, logits = loss_fn(params)
+            pred = jnp.argmax(logits, axis=-1).astype(labels.dtype)
+            correct = jnp.sum(jnp.where(
+                valid, (pred == labels).astype(jnp.int32), 0))
+            count = jnp.sum(valid.astype(jnp.int32))
+            return params, opt_state, loss, correct, count
+        return step
+
+    # steps fused per device call: amortizes the per-dispatch host↔device
+    # round trip (~30 ms on the tunnel) over many batches via lax.scan
+    DEVICE_STEPS_PER_CALL = 32
+
+    def _make_device_epoch(self, training: bool):
+        step = self._make_device_step(training)
+        n_steps = self.DEVICE_STEPS_PER_CALL
+
+        def epoch_fn(params, opt_state, features, labels_all, seeds_2d, key):
+            keys = jax.random.split(key, n_steps)
+
+            def body(carry, inp):
+                p, o = carry
+                seeds, k = inp
+                p, o, loss, c, n = step(p, o, features, labels_all, seeds, k)
+                return (p, o), (loss, c, n)
+
+            (params, opt_state), (losses, cs, ns) = jax.lax.scan(
+                body, (params, opt_state), (seeds_2d, keys))
+            live = (ns > 0).astype(jnp.float32)
+            loss_sum = jnp.sum(losses * live)
+            return (params, opt_state, loss_sum, jnp.sum(live),
+                    jnp.sum(cs), jnp.sum(ns))
+        return jax.jit(epoch_fn)
+
+    def run_epoch_device(self, split: str = "train"):
+        """Device-sampled epoch: lax.scan runs DEVICE_STEPS_PER_CALL batches
+        (sample→train) per dispatch; only seed arrays leave the host."""
+        training = split == "train"
+        if not hasattr(self, "_epoch_dev"):
+            self._epoch_dev = {
+                True: self._make_device_epoch(True),
+                False: self._make_device_epoch(False)}
+        epoch_fn = self._epoch_dev[training]
+        nids = self.nids[split]
+        order = np.random.default_rng(
+            int(jax.random.randint(self.run_key, (), 0, 2**31 - 1))
+        ).permutation(nids) if training else nids
+        bs = self.config.batch_size
+        sb = bs * self.DEVICE_STEPS_PER_CALL     # seeds per device call
+        tot_loss = tot_c = tot_n = 0
+        n_live = 0.0
+        for i in range(0, max(order.size, 1), sb):
+            chunk = order[i:i + sb].astype(np.int32)
+            if chunk.size == 0:
+                break
+            if chunk.size < sb:
+                chunk = np.concatenate(
+                    [chunk, np.full(sb - chunk.size, -1, np.int32)])
+            seeds_2d = jnp.asarray(
+                chunk.reshape(self.DEVICE_STEPS_PER_CALL, bs))
+            self.run_key, k = jax.random.split(self.run_key)
+            with self.timer.phase(f"{split}_dev_scan"):
+                (self.params, self.opt_state, loss_sum, live, c, n) =                     epoch_fn(self.params, self.opt_state, self.features,
+                             self.labels_dev, seeds_2d, k)
+                tot_loss += float(loss_sum)
+                n_live += float(live)
+            tot_c += int(c)
+            tot_n += int(n)
+        return tot_loss / max(n_live, 1), tot_c / max(tot_n, 1)
+
     def _prefetch(self, split: str, depth: int = 4):
         """Host-side sampling pipeline: a producer thread runs the sampler
         (C++/OpenMP hot loop) while the device computes the previous batch —
@@ -179,6 +296,8 @@ class MinibatchTrainer:
 
     def run_epoch(self, split: str = "train"):
         """One pass over a split; returns (mean_loss, accuracy)."""
+        if getattr(self, "device_mode", False):
+            return self.run_epoch_device(split)
         training = split == "train"
         step = self._train_step if training else self._eval_step
         tot_loss, tot_correct, tot_count, n_batches = 0.0, 0, 0, 0

@@ -121,3 +121,52 @@ class TestMinibatchCheckpoint:
         for a, b in zip(tr.params, tr2.params):
             np.testing.assert_array_equal(np.asarray(a["w"]),
                                           np.asarray(b["w"]))
+
+
+class TestDeviceSampler:
+    def test_hop_valid_neighbors(self, sbm):
+        import jax
+        from neutronstarlite_tpu.sampling.device_sampler import sample_hop
+        import jax.numpy as jnp
+        g = sbm.graph
+        seeds = jnp.asarray(np.arange(32, dtype=np.int32))
+        ids, valid = sample_hop(jax.random.PRNGKey(0),
+                                jnp.asarray(g.fwd_offsets.astype("int32")),
+                                jnp.asarray(g.fwd_src), seeds, 4,
+                                g.num_vertices)
+        ids, valid = np.asarray(ids), np.asarray(valid)
+        for r in range(32):
+            nbrs = set(g.fwd_src[g.fwd_offsets[r]:g.fwd_offsets[r + 1]])
+            deg = len(g.fwd_src[g.fwd_offsets[r]:g.fwd_offsets[r + 1]])
+            for j in range(4):
+                if valid[r, j]:
+                    assert ids[r, j] in nbrs
+                else:
+                    assert ids[r, j] == g.num_vertices
+            # degree <= fanout → exactly all neighbors present
+            if deg <= 4:
+                assert set(ids[r][valid[r]]) == nbrs
+
+    def test_dedup_relabel(self, sbm):
+        from neutronstarlite_tpu.sampling.device_sampler import dedup_relabel
+        import jax.numpy as jnp
+        v = sbm.num_vertices
+        flat = np.array([5, 3, 5, v, 9, 3, v, v], np.int32)
+        table, local = dedup_relabel(jnp.asarray(flat), v, 8)
+        table, local = np.asarray(table), np.asarray(local)
+        assert set(table[table >= 0]) == {3, 5, 9}
+        for i, x in enumerate(flat):
+            if x < v:
+                assert table[local[i]] == x
+
+    def test_device_trainer_converges(self, sbm):
+        cfg = InputInfo(vertices=sbm.num_vertices, epochs=10,
+                        layer_string="16-16-3", fanout_string="4-4",
+                        batch_size=32, learn_rate=0.01, weight_decay=1e-4,
+                        drop_rate=0.1, seed=5)
+        cfg.sampler_backend = "device"
+        tr = MinibatchTrainer(sbm, cfg)
+        assert tr.device_mode
+        hist = tr.run()
+        assert hist[-1]["loss"] < hist[0]["loss"]
+        assert hist[-1]["test"] > 0.6, f"device-sampled GCN failed: {hist[-1]}"
