@@ -57,6 +57,10 @@ class InputInfo:
     sampler_backend: str = "host"   # SAMPLER: host (C++ reservoir, exact
                                     # reference semantics) | device (on-TPU,
                                     # fused into the train step)
+    fuse_epochs: int = 1            # FUSE_EPOCHS: full-graph epochs fused
+                                    # per device dispatch (lax.scan) — big
+                                    # win on small graphs where the per-call
+                                    # round trip dominates
 
     @property
     def layer_sizes(self) -> List[int]:
@@ -122,6 +126,7 @@ class InputInfo:
                                                 flag(val)),
             "REP_MODE": lambda: setattr(self, "rep_mode", val),
             "SAMPLER": lambda: setattr(self, "sampler_backend", val),
+            "FUSE_EPOCHS": lambda: setattr(self, "fuse_epochs", int(val)),
         }
         fn = dispatch.get(key)
         if fn is None:

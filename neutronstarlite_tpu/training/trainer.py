@@ -55,6 +55,7 @@ class FullGraphTrainer:
         self.labels = jnp.asarray(datum.labels)
         self.masks = jnp.asarray(datum.masks)
         self._step = jax.jit(partial(self._train_step, drop_rate=config.drop_rate))
+        self._fused = None   # built lazily when config.fuse_epochs > 1
 
     # one full epoch on device
     def _train_step(self, gt, params, bn, opt_state, key, x, labels, masks,
@@ -79,6 +80,26 @@ class FullGraphTrainer:
             accs[name] = c / jnp.maximum(n, 1)
         return new_params, new_bn, new_opt, loss, accs
 
+    def _make_fused(self, n: int):
+        """Scan ``n`` epochs per device dispatch (FUSE_EPOCHS): amortizes
+        the per-call host↔device round trip — the dominant cost on small
+        graphs (e.g. Cora epochs are sub-ms of compute)."""
+        step = partial(self._train_step, drop_rate=self.config.drop_rate)
+
+        def fused(gt, params, bn, opt_state, key, x, labels, masks):
+            keys = jax.random.split(key, n)
+
+            def body(carry, k):
+                params, bn, opt_state = carry
+                params, bn, opt_state, loss, accs = step(
+                    gt, params, bn, opt_state, k, x, labels, masks)
+                return (params, bn, opt_state), (loss, accs)
+
+            (params, bn, opt_state), (losses, accs) = jax.lax.scan(
+                body, (params, bn, opt_state), keys)
+            return params, bn, opt_state, losses, accs
+        return jax.jit(fused)
+
     def run(self, epochs: int | None = None, log_every: int = 0):
         """Train; returns history list of per-epoch dicts.
 
@@ -86,6 +107,9 @@ class FullGraphTrainer:
         epochs (and at the end); an improvement over the reference, which
         has no training persistence (SURVEY.md §5)."""
         epochs = epochs if epochs is not None else self.config.epochs
+        fuse = max(1, int(getattr(self.config, "fuse_epochs", 1)))
+        if fuse > 1:
+            return self._run_fused(epochs, fuse, log_every)
         ckpt_path = self.config.checkpoint_path
         ckpt_every = self.config.checkpoint_every
         history = []
@@ -111,6 +135,46 @@ class FullGraphTrainer:
         self.opt_state = opt_state
         if ckpt_path:
             self._save(ckpt_path, params, bn, opt_state, epochs)
+        return history
+
+    def _run_fused(self, epochs: int, fuse: int, log_every: int):
+        if self._fused is None or self._fused[0] != fuse:
+            self._fused = (fuse, self._make_fused(fuse))
+        fused = self._fused[1]
+        history = []
+        params, bn, opt_state = (self.state.params, self.state.bn,
+                                 self.opt_state)
+        t0 = time.time()
+        done = 0
+        while done + fuse <= epochs:
+            self.run_key, k = jax.random.split(self.run_key)
+            params, bn, opt_state, losses, accs = fused(
+                self.gt, params, bn, opt_state, k, self.x, self.labels,
+                self.masks)
+            for j in range(fuse):
+                rec = {"epoch": done + j, "loss": float(losses[j]),
+                       **{k2: float(v[j]) for k2, v in accs.items()}}
+                history.append(rec)
+                if log_every and (rec["epoch"] % log_every == 0):
+                    print(f"epoch {rec['epoch']:4d} loss {rec['loss']:.4f} "
+                          f"train {rec['train']:.4f} val {rec['val']:.4f} "
+                          f"test {rec['test']:.4f}")
+            done += fuse
+        # remainder epochs run unfused (must not over-train past ``epochs``)
+        for ep in range(done, epochs):
+            self.run_key, k = jax.random.split(self.run_key)
+            params, bn, opt_state, loss, accs = self._step(
+                self.gt, params, bn, opt_state, k, self.x, self.labels,
+                self.masks)
+            history.append({"epoch": ep, "loss": float(loss),
+                            **{k2: float(v) for k2, v in accs.items()}})
+        jax.block_until_ready(params)
+        self.exec_time = time.time() - t0
+        self.state = type(self.state)(params=params, bn=bn)
+        self.opt_state = opt_state
+        if self.config.checkpoint_path:
+            self._save(self.config.checkpoint_path, params, bn, opt_state,
+                       epochs)
         return history
 
     # ---- checkpoint/resume ----

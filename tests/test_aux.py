@@ -137,3 +137,32 @@ class TestDistCheckpoint:
         h_b = tr2.run(epochs=3)
         for a, b in zip(h_a, h_b):
             assert abs(a["loss"] - b["loss"]) < 1e-6
+
+
+class TestFusedEpochs:
+    def test_fused_matches_unfused(self, sbm):
+        cfg = make_config(sbm)
+        a = FullGraphTrainer(sbm, cfg, model=gcn, backend="xla").run(epochs=6)
+        cfg2 = make_config(sbm)
+        cfg2.fuse_epochs = 3
+        b = FullGraphTrainer(sbm, cfg2, model=gcn, backend="xla").run(epochs=6)
+        assert len(b) == 6
+        for ra, rb in zip(a, b):
+            assert abs(ra["loss"] - rb["loss"]) < 1e-6, (ra, rb)
+            assert abs(ra["test"] - rb["test"]) < 1e-6
+
+    def test_fused_partial_tail_matches(self, sbm):
+        """epochs not a multiple of fuse: remainder runs unfused — final
+        state must equal fully-unfused training (no over-training)."""
+        cfg = make_config(sbm)
+        a = FullGraphTrainer(sbm, cfg, model=gcn, backend="xla")
+        ha = a.run(epochs=6)
+        cfg2 = make_config(sbm)
+        cfg2.fuse_epochs = 4
+        b = FullGraphTrainer(sbm, cfg2, model=gcn, backend="xla")
+        hb = b.run(epochs=6)
+        assert len(hb) == 6
+        assert abs(ha[-1]["loss"] - hb[-1]["loss"]) < 1e-6
+        for pa, pb in zip(a.state.params, b.state.params):
+            np.testing.assert_allclose(np.asarray(pa["w"]),
+                                       np.asarray(pb["w"]), atol=1e-7)
