@@ -61,6 +61,10 @@ class InputInfo:
                                     # per device dispatch (lax.scan) — big
                                     # win on small graphs where the per-call
                                     # round trip dominates
+    profile_dir: str = ""           # PROFILE_DIR: write a jax profiler
+                                    # trace of the run (the reference's
+                                    # DEBUGINFO/timers, SURVEY.md §5, as
+                                    # first-class tracing)
 
     @property
     def layer_sizes(self) -> List[int]:
@@ -127,6 +131,7 @@ class InputInfo:
             "REP_MODE": lambda: setattr(self, "rep_mode", val),
             "SAMPLER": lambda: setattr(self, "sampler_backend", val),
             "FUSE_EPOCHS": lambda: setattr(self, "fuse_epochs", int(val)),
+            "PROFILE_DIR": lambda: setattr(self, "profile_dir", val),
         }
         fn = dispatch.get(key)
         if fn is None:
