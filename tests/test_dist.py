@@ -263,3 +263,29 @@ class TestRepModes:
         hist = tr.run()
         assert np.isfinite(hist[-1]["loss"])
         assert hist[-1]["loss"] < hist[0]["loss"]
+
+
+class TestDistBatchNorm:
+    def test_masked_bn_ignores_padding(self):
+        """Masked batch stats must equal stats over only the real rows."""
+        import jax.numpy as jnp
+        from neutronstarlite_tpu.nn import layers
+        r = np.random.default_rng(3)
+        real = r.standard_normal((20, 6)).astype(np.float32) * 2 + 1
+        x = np.concatenate([real, np.zeros((12, 6), np.float32)])
+        mask = jnp.asarray(np.arange(32) < 20)
+        bn = layers.batch_norm_init(6)
+        y, bn2 = layers.batch_norm_apply(bn, jnp.asarray(x), training=True,
+                                         row_mask=mask)
+        np.testing.assert_allclose(np.asarray(y)[:20].mean(0), 0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(bn2["mean"]),
+                                   0.1 * real.mean(0), rtol=1e-4, atol=1e-5)
+
+    def test_dist_gin_converges(self, sbm):
+        """GIN distributed: batchnorm over padded blocks uses row_mask."""
+        from neutronstarlite_tpu.models import gin
+        tr = DistTrainer(sbm, make_config(sbm, epochs=20), model=gin,
+                         num_partitions=4)
+        hist = tr.run()
+        assert hist[-1]["loss"] < hist[0]["loss"]
+        assert hist[-1]["test"] > 0.6, f"dist GIN failed: {hist[-1]}"
