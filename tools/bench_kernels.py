@@ -15,13 +15,13 @@ import numpy as np
 
 
 def timeit(fn, *args, iters=10):
-    import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
+    # force a device→host transfer per iteration: on the axon platform
+    # block_until_ready does not reliably block (see CLAUDE.md)
+    import jax.numpy as jnp
+    s = float(jnp.sum(fn(*args)))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        s = float(jnp.sum(fn(*args)))
     return (time.perf_counter() - t0) / iters
 
 
@@ -41,20 +41,15 @@ def main():
         (v, f)).astype(np.float32))
 
     results = {}
+    # pass gt as a jit ARGUMENT: closing over it would bake the slabs in as
+    # HLO constants, which the remote compiler uploads (multi-minute stalls)
+    fwd = jax.jit(lambda gt, x: gt.aggregate_neighbors(x))
+    fwdbwd = jax.jit(lambda gt, x: jax.grad(
+        lambda x_: jnp.sum(gt.aggregate_neighbors(x_) ** 2))(x))
     for backend in ("xla", "pallas"):
         gt = GraphTensors.from_graph(g, backend=backend)
-
-        @jax.jit
-        def fwd(x, gt=gt):
-            return gt.aggregate_neighbors(x)
-
-        @jax.jit
-        def fwdbwd(x, gt=gt):
-            return jax.grad(lambda x_: jnp.sum(gt.aggregate_neighbors(x_) ** 2)
-                            )(x)
-
-        t_f = timeit(fwd, x)
-        t_fb = timeit(fwdbwd, x)
+        t_f = timeit(fwd, gt, x)
+        t_fb = timeit(fwdbwd, gt, x)
         results[backend] = {"fwd_ms": round(t_f * 1e3, 3),
                             "fwdbwd_ms": round(t_fb * 1e3, 3),
                             "fwd_gedges_s": round(g.num_edges / t_f / 1e9, 3)}
