@@ -41,9 +41,7 @@ def load_dataset(config: InputInfo, weight: str = "norm_degree") -> GNNDatum:
     src, dst = io.read_edge_file(config.edge_file, v)
     graph = build_graph(src, dst, v, weight=weight)
 
-    use_random = (config.feature_file == "random"
-                  or not os.path.exists(config.feature_file))
-    if use_random:
+    if config.feature_file == "random":
         feats, labels, masks = io.random_generate(v, feat_dim, num_classes,
                                                   seed=config.seed)
         # prefer real labels/masks when present even if features are random
@@ -52,6 +50,12 @@ def load_dataset(config: InputInfo, weight: str = "norm_degree") -> GNNDatum:
         if config.mask_file and os.path.exists(config.mask_file):
             masks = io.read_masks(config.mask_file, v)
     else:
+        # A typo'd path must NOT silently train on random data (ADVICE.md r1):
+        # only the literal FEATURE_FILE:random opts into generated data.
+        if not os.path.exists(config.feature_file):
+            raise FileNotFoundError(
+                f"FEATURE_FILE {config.feature_file!r} does not exist "
+                "(use FEATURE_FILE:random for generated features)")
         feats = io.read_features(config.feature_file, v, feat_dim)
         labels = io.read_labels(config.label_file, v)
         masks = io.read_masks(config.mask_file, v)

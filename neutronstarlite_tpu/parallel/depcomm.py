@@ -291,22 +291,30 @@ def build_dist_graph(g: Graph, num_partitions: int,
                                              num_src_rows, kf=kf, kb=kb)
                    for (es, ed, ew) in edge_sets]
 
-        def stack(key, pad_rows=None):
+        def stack(key, pad_rows=None, fill=0):
             arrs = [d[key] for d in per_dev]
             if pad_rows is not None:
                 mx = max(a.shape[0] for a in arrs)
                 arrs = [np.pad(a, ((0, mx - a.shape[0]),) + ((0, 0),) *
-                               (a.ndim - 1)) for a in arrs]
+                               (a.ndim - 1), constant_values=fill)
+                        for a in arrs]
             return np.stack(arrs)
+        # *_tail_rows padding MUST use the out-of-range sentinel (num_rows),
+        # matching pack_slab's own convention: the arrays feed _tail_combine
+        # with indices_are_sorted=True, and a trailing 0 would violate the
+        # sorted contract (implementation-defined results on TPU) — see
+        # ADVICE.md r1 (medium).
         return {
             "f_idx": stack("f_idx"), "f_w": stack("f_w"),
             "f_tail_idx": stack("f_tail_idx", pad_rows=True),
             "f_tail_w": stack("f_tail_w", pad_rows=True),
-            "f_tail_rows": stack("f_tail_rows", pad_rows=True),
+            "f_tail_rows": stack("f_tail_rows", pad_rows=True,
+                                 fill=num_dst_rows),
             "b_idx": stack("b_idx"), "b_w": stack("b_w"),
             "b_tail_idx": stack("b_tail_idx", pad_rows=True),
             "b_tail_w": stack("b_tail_w", pad_rows=True),
-            "b_tail_rows": stack("b_tail_rows", pad_rows=True),
+            "b_tail_rows": stack("b_tail_rows", pad_rows=True,
+                                 fill=num_src_rows),
             "b_perm": stack("b_perm"),
             "b_tail_perm": stack("b_tail_perm", pad_rows=True),
         }

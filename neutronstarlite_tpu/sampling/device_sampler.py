@@ -118,7 +118,10 @@ class DeviceSampler:
 
     def __init__(self, graph, fanout: Sequence[int], batch_size: int,
                  caps: Sequence[int], scaps: Sequence[int]):
-        self.offsets = jnp.asarray(graph.fwd_offsets.astype("int32"))
+        # int32 offsets halve HBM traffic but overflow at 2^31 edges
+        # (ADVICE.md r1); keep int64 for graphs that big.
+        off_dtype = "int32" if graph.num_edges < 2 ** 31 else "int64"
+        self.offsets = jnp.asarray(graph.fwd_offsets.astype(off_dtype))
         self.nbr = jnp.asarray(graph.fwd_src)
         self.out_degree = jnp.asarray(graph.out_degree.astype("float32"))
         self.in_degree = jnp.asarray(graph.in_degree.astype("float32"))

@@ -47,15 +47,27 @@ def save_checkpoint(path: str, state: dict) -> None:
 
 
 def restore_checkpoint(path: str, template: dict) -> dict:
-    """Restore into the structure of ``template`` (same pytree as saved)."""
+    """Restore into the structure of ``template`` (same pytree as saved).
+
+    Probes BOTH on-disk formats so a checkpoint written by either writer
+    restores in either environment (ADVICE.md r1: orbax-written checkpoints
+    must not require orbax at restore time and vice versa): an orbax
+    checkpoint is a directory at ``path``; the npz fallback is ``path.npz``.
+    """
     path = os.path.abspath(path)
     ocp = _orbax()
-    if ocp is not None:
+    if os.path.isdir(path):
+        if ocp is None:
+            raise RuntimeError(
+                f"checkpoint {path} is an orbax directory but orbax is not "
+                "importable here")
         restored = ocp.PyTreeCheckpointer().restore(path,
                                                     item=_to_host(template))
-    else:
+    elif os.path.exists(path + ".npz"):
         data = np.load(path + ".npz", allow_pickle=False)
         flat, treedef = jax.tree.flatten(template)
         restored = treedef.unflatten(
             [data[f"leaf_{i}"] for i in range(len(flat))])
+    else:
+        raise FileNotFoundError(f"no checkpoint at {path} (or {path}.npz)")
     return jax.tree.map(lambda t, r: jnp.asarray(r), template, restored)

@@ -289,3 +289,21 @@ class TestDistBatchNorm:
         hist = tr.run()
         assert hist[-1]["loss"] < hist[0]["loss"]
         assert hist[-1]["test"] > 0.6, f"dist GIN failed: {hist[-1]}"
+
+
+class TestSlabPadding:
+    def test_tail_rows_padding_stays_sorted(self, sbm):
+        """ADVICE r1 (medium): cross-device tail padding must keep
+        *_tail_rows non-decreasing AND out-of-range, because _tail_combine
+        consumes them with indices_are_sorted=True (violating the sorted
+        hint is implementation-defined on TPU)."""
+        # skewed partition counts -> devices have unequal tail row counts
+        dg = build_dist_graph(sbm.graph, 4)
+        for key, num_rows_key in (("f_tail_rows", "num_dst"),
+                                  ("b_tail_rows", "num_src")):
+            slabs = dg.ell_np["comb"]
+            arr = slabs[key]          # [P, Rv_pad]
+            for d in range(arr.shape[0]):
+                row = arr[d]
+                assert np.all(np.diff(row.astype(np.int64)) >= 0), (
+                    f"{key} device {d} not sorted: {row}")
