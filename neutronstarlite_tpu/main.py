@@ -38,7 +38,16 @@ def run_from_config(config: InputInfo, log_every: int = 1):
         print(f"#run_time={time.time() - t0:.3f}(s)")
         return None, []
     if algo == "GCNSAMPLESINGLE":
-        trainer = MinibatchTrainer(datum, config)
+        if config.num_partitions > 1:
+            # data-parallel sampled training over the mesh (our extension of
+            # the reference's single-node sampled mode; the per-batch grad
+            # allreduce mirrors GCN_CPU_SAMPLE.hpp Update +
+            # all_reduce_to_gradient)
+            from neutronstarlite_tpu.training.minibatch import \
+                DistMinibatchTrainer
+            trainer = DistMinibatchTrainer(datum, config)
+        else:
+            trainer = MinibatchTrainer(datum, config)
     else:
         model = ALGORITHMS.get(algo, gcn)
         eager = "EAGER" in algo
@@ -46,6 +55,9 @@ def run_from_config(config: InputInfo, log_every: int = 1):
         if not config.optim_kernel_enable and backend == "auto":
             backend = "xla"
         kwargs = {"eager": True} if eager and model is gcn else {}
+        if config.process_local and config.num_partitions <= 1:
+            print("PROC_LOCAL:1 has no effect with NUM_PARTITIONS:1 "
+                  "(everything is local); ignoring")
         if config.num_partitions > 1:
             from neutronstarlite_tpu.training.dist_trainer import DistTrainer
             trainer = DistTrainer(datum, config, model=model, **kwargs)

@@ -11,7 +11,8 @@ DistGraphTensors) — the analogue of the reference's op-chain reuse across
 GCN_CPU / GCN_CPU_DIST / GCN (toolkits dispatch, main.cpp:53-188).
 """
 
-from neutronstarlite_tpu.models import gcn, gat, gin, commnet, ggcn  # noqa: F401
+from neutronstarlite_tpu.models import (gcn, gat, gin, commnet, ggcn,  # noqa: F401
+                                         sage)
 
 ALGORITHMS = {
     # reference algorithm strings (toolkits/main.cpp:53-188) → model module.
@@ -23,4 +24,6 @@ ALGORITHMS = {
     "GINCPU": gin, "GINGPU": gin,
     "COMMNETGPU": commnet,
     "GGCN_CPU": ggcn, "GGNN_CPU": ggcn, "GGCN": ggcn,
+    # extension beyond the reference zoo (max/min-pool aggregator)
+    "SAGE": sage, "SAGECPU": sage,
 }

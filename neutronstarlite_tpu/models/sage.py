@@ -1,0 +1,75 @@
+"""GraphSAGE-style pooling model (max/min neighbor aggregator).
+
+An extension beyond the reference's model zoo, added to exercise the
+extremal-aggregation operators end-to-end on BOTH engines: the single-chip
+ops (SingleCPUDstAggregateOpMin/Max, ref: core/ntsSingleCPUGraphOp.hpp:206-340)
+and their distributed counterparts (DistAggregateDstMin/Max,
+ref: core/ntsDistCPUGraphOp.hpp:306-440) now both have a model family that
+trains through them.
+
+Layer i: pool = max_e(relu(h_src(e) · W_pool)) per dst;
+         h'   = relu([h ∥ pool] · W)   (last layer: no relu)
+
+The gradient routes to the first extremal edge per lane — the reference's
+``record[]`` + ``nts_assign`` semantics — on both engines.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from neutronstarlite_tpu.nn import layers, param
+
+
+class SageState(NamedTuple):
+    params: list   # per layer: {"w_pool": [F_in, F_in], "w": [2*F_in, F_out]}
+    bn: list       # unused (kept for trainer-interface parity)
+
+
+def init(key: jax.Array, layer_sizes: Sequence[int], dtype=jnp.float32
+         ) -> SageState:
+    n_layers = len(layer_sizes) - 1
+    keys = jax.random.split(key, 2 * n_layers)
+    params = []
+    for i in range(n_layers):
+        f_in, f_out = layer_sizes[i], layer_sizes[i + 1]
+        params.append({
+            "w_pool": param.init_linear(keys[2 * i], f_in, f_in,
+                                        dtype)["w"],
+            "w": param.init_linear(keys[2 * i + 1], 2 * f_in, f_out,
+                                   dtype)["w"],
+        })
+    return SageState(params=params, bn=[])
+
+
+def forward(state: SageState, gt, x: jax.Array, key: jax.Array | None,
+            training: bool, drop_rate: float = 0.0, aggregator: str = "max"):
+    """Engine-agnostic: ``gt`` is GraphTensors or DistGraphTensors —
+    get_dep_nbr is the identity single-chip and the boundary all_to_all
+    distributed (DistGetDepNbrOp, ref: core/ntsDistCPUGraphOp.hpp:34-126)."""
+    n_layers = len(state.params)
+    if training and key is not None:
+        drop_keys = jax.random.split(key, n_layers)
+    for i, p in enumerate(state.params):
+        table = gt.get_dep_nbr(x)
+        e = gt.scatter_src(jax.nn.relu(table @ p["w_pool"]))
+        if aggregator == "max":
+            pool = gt.aggregate_dst_max(e)
+        elif aggregator == "min":
+            pool = gt.aggregate_dst_min(e)
+        else:
+            raise ValueError(aggregator)
+        x = jnp.concatenate([x, pool], axis=-1) @ p["w"]
+        if i < n_layers - 1:
+            x = jax.nn.relu(x)
+            if training and drop_rate > 0.0 and key is not None:
+                x = layers.dropout(drop_keys[i], x, drop_rate, training)
+    return x, []
+
+
+def loss_fn(logits, labels, train_mask):
+    return layers.nll_loss_masked(layers.log_softmax(logits), labels,
+                                  train_mask)

@@ -136,6 +136,82 @@ def _agg_max_bwd(num_vertices, res, g):
 aggregate_dst_max.defvjp(_agg_max_fwd, _agg_max_bwd)
 
 
+def _masked_extremal(edge_val, dst_ids, valid, num_vertices, op):
+    """Shared forward for the masked min/max: invalid edges are pushed to
+    the losing extreme and rows with NO valid edge give 0."""
+    big = jnp.asarray(jnp.finfo(edge_val.dtype).max
+                      if op == "min" else -jnp.finfo(edge_val.dtype).max,
+                      edge_val.dtype)
+    vmask = valid.reshape((-1,) + (1,) * (edge_val.ndim - 1))
+    mv = jnp.where(vmask, edge_val, big)
+    seg = jax.ops.segment_min if op == "min" else jax.ops.segment_max
+    m = seg(mv, dst_ids, num_segments=num_vertices, indices_are_sorted=True)
+    cnt = jax.ops.segment_sum(valid.astype(jnp.int32), dst_ids,
+                              num_segments=num_vertices,
+                              indices_are_sorted=True)
+    return jnp.where((cnt > 0).reshape((-1,) + (1,) * (m.ndim - 1)), m, 0)
+
+
+def _masked_extremal_bwd(edge_val, dst_ids, valid, out, g):
+    """Grad routed to the FIRST valid extremal edge per segment/lane
+    (the reference's record[] + nts_assign semantics)."""
+    num_edges = edge_val.shape[0]
+    vmask = valid.reshape((-1,) + (1,) * (edge_val.ndim - 1))
+    is_ext = vmask & (edge_val == jnp.take(out, dst_ids, axis=0))
+    eidx = jnp.arange(num_edges, dtype=jnp.int32)
+    eidx = eidx.reshape((-1,) + (1,) * (edge_val.ndim - 1))
+    cand = jnp.where(is_ext, eidx, num_edges)
+    winner = jax.ops.segment_min(cand, dst_ids, num_segments=out.shape[0],
+                                 indices_are_sorted=True)
+    mask = eidx == jnp.take(winner, dst_ids, axis=0)
+    ge = jnp.take(g, dst_ids, axis=0)
+    return jnp.where(mask, ge, 0).astype(edge_val.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def aggregate_dst_min_masked(edge_val, dst_ids, valid, num_vertices):
+    """Masked E→V min for engines with padding edges (the distributed ELL
+    edge arrays): ``valid`` [E] bool excludes padding from both the value
+    and the empty-segment count. Matches DistAggregateDstMin semantics
+    (ref: core/ntsDistCPUGraphOp.hpp:306-372)."""
+    return _masked_extremal(edge_val, dst_ids, valid, num_vertices, "min")
+
+
+def _agg_minm_fwd(edge_val, dst_ids, valid, num_vertices):
+    out = aggregate_dst_min_masked(edge_val, dst_ids, valid, num_vertices)
+    return out, (edge_val, dst_ids, valid, out)
+
+
+def _agg_minm_bwd(num_vertices, res, g):
+    edge_val, dst_ids, valid, out = res
+    return (_masked_extremal_bwd(edge_val, dst_ids, valid, out, g),
+            None, None)
+
+
+aggregate_dst_min_masked.defvjp(_agg_minm_fwd, _agg_minm_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def aggregate_dst_max_masked(edge_val, dst_ids, valid, num_vertices):
+    """Masked E→V max (DistAggregateDstMax,
+    ref: core/ntsDistCPUGraphOp.hpp:374-440); see aggregate_dst_min_masked."""
+    return _masked_extremal(edge_val, dst_ids, valid, num_vertices, "max")
+
+
+def _agg_maxm_fwd(edge_val, dst_ids, valid, num_vertices):
+    out = aggregate_dst_max_masked(edge_val, dst_ids, valid, num_vertices)
+    return out, (edge_val, dst_ids, valid, out)
+
+
+def _agg_maxm_bwd(num_vertices, res, g):
+    edge_val, dst_ids, valid, out = res
+    return (_masked_extremal_bwd(edge_val, dst_ids, valid, out, g),
+            None, None)
+
+
+aggregate_dst_max_masked.defvjp(_agg_maxm_fwd, _agg_maxm_bwd)
+
+
 def edge_softmax(edge_val: jax.Array, dst_ids: jax.Array, num_vertices: int
                  ) -> jax.Array:
     """Per-dst-segment softmax over incoming edges (numerically stabilized by

@@ -465,6 +465,51 @@ class DistGraphTensors:
         return segment.aggregate_dst_sum(masked, self.e_dst,
                                          self.num_vertices)
 
+    def scatter_src(self, table: jax.Array) -> jax.Array:
+        """V→E per-edge src rows from the combined [local∪mirror∪hot]
+        table (DistScatterSrc, ref: core/ntsDistCPUGraphOp.hpp:127-185);
+        padding edges (w==0) are zeroed so downstream reductions are
+        unaffected, and their gradient contribution vanishes."""
+        e = jnp.take(table, self.e_src, axis=0)
+        return jnp.where((self.e_w != 0)[:, None], e, 0.0)
+
+    def scatter_dst(self, x_local: jax.Array) -> jax.Array:
+        """V→E per-edge local dst rows (DistScatterDst,
+        ref: core/ntsDistCPUGraphOp.hpp:186-242); padding edges zeroed."""
+        e = jnp.take(x_local, self.e_dst, axis=0)
+        return jnp.where((self.e_w != 0)[:, None], e, 0.0)
+
+    def scatter_src_dst(self, table: jax.Array) -> jax.Array:
+        """V→E per-edge [h_src ∥ h_dst] concat (the dist analogue of
+        SingleCPUSrcDstScatterOp, ref: core/ntsSingleCPUGraphOp.hpp:34-92);
+        dst rows are the first v_pad rows of the combined table."""
+        return jnp.concatenate(
+            [self.scatter_src(table), self.scatter_dst(table[:self.num_vertices])],
+            axis=-1)
+
+    def aggregate_dst_min(self, edge_val: jax.Array) -> jax.Array:
+        """E→V per-lane min over REAL local edges, first-extremal-edge
+        gradient routing (DistAggregateDstMin,
+        ref: core/ntsDistCPUGraphOp.hpp:306-372)."""
+        return segment.aggregate_dst_min_masked(edge_val, self.e_dst,
+                                                self.e_w != 0,
+                                                self.num_vertices)
+
+    def aggregate_dst_max(self, edge_val: jax.Array) -> jax.Array:
+        """E→V per-lane max (DistAggregateDstMax,
+        ref: core/ntsDistCPUGraphOp.hpp:374-440)."""
+        return segment.aggregate_dst_max_masked(edge_val, self.e_dst,
+                                                self.e_w != 0,
+                                                self.num_vertices)
+
+    def sddmm_dot(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        """Per-edge dot(a[src], b[dst]) with a in the combined table space
+        (the SDDMM inside DistAggregateDstFuseWeight::backward,
+        ref: core/ntsDistCPUGraphOp.hpp:566-585); padding edges give 0."""
+        d = jnp.sum(jnp.take(a, self.e_src, axis=0)
+                    * jnp.take(b, self.e_dst, axis=0), axis=-1)
+        return jnp.where(self.e_w != 0, d, 0.0)
+
     def edge_softmax(self, edge_val: jax.Array) -> jax.Array:
         # padding edges (w==0) must not perturb real segments: push their
         # logits to -inf-ish before the segment softmax

@@ -70,8 +70,24 @@ class DistTrainer:
             from neutronstarlite_tpu.graph.reorder import random_shuffle
             datum = random_shuffle(datum, seed=config.seed)
             self.datum = datum
+        # PROC_LOCAL (hybrid local processing, ref: core/graph.hpp:3464,3645
+        # — process local edges while communication is in flight) maps to the
+        # local/remote slab split: the local-edge aggregate has no data
+        # dependency on the exchange, so XLA overlaps them. Same mechanism
+        # as PROC_OVERLAP here, by design.
+        overlap = bool(config.overlap or config.process_local)
+        if overlap and getattr(model, "__name__", "").rsplit(".", 1)[-1] in \
+                ("gat", "ggcn"):
+            import warnings
+            warnings.warn(
+                "PROC_OVERLAP/PROC_LOCAL splits the edge slabs into "
+                "local/remote sets, which disables the fused ELL attention "
+                "path for attention models (softmax couples local+remote "
+                "edges); falling back to segment ops — expect slower "
+                "epochs. Set PROC_OVERLAP:0 to keep the fused path.",
+                stacklevel=2)
         self.dg = build_dist_graph(datum.graph, self.p, rep_threshold=rep,
-                                   overlap=config.overlap,
+                                   overlap=overlap,
                                    rep_mode=config.rep_mode)
         self.arrs = device_view(self.dg)
 
@@ -194,19 +210,40 @@ class DistTrainer:
 
         return jax.jit(jit_step)
 
+    def _stage(self, tree, spec):
+        """Host arrays → global device arrays with an explicit mesh
+        sharding. With one process this is a plain transfer; with several
+        (jax.distributed — the reference's MPI world, dep/gemini/mpi.hpp)
+        each process materializes only its addressable shards from the
+        replicated host copy, so the same trainer runs N real processes."""
+        from jax.sharding import NamedSharding
+        sh = NamedSharding(self.mesh, spec)
+
+        def put(a):
+            a = np.asarray(a)
+            if jax.process_count() > 1:
+                return jax.make_array_from_callback(
+                    a.shape, sh, lambda idx: a[idx])
+            return jax.device_put(a, sh)
+        return jax.tree.map(put, tree)
+
     def run(self, epochs: int | None = None, log_every: int = 0):
         epochs = epochs if epochs is not None else self.config.epochs
         history = []
-        params, bn, opt_state = self.state.params, self.bn, self.opt_state
-        arrs = jax.tree.map(jnp.asarray, self.arrs)
-        x = jnp.asarray(self.x)
-        labels = jnp.asarray(self.labels)
-        masks = jnp.asarray(self.masks)
-        row_valid = jnp.asarray(self.row_valid)
+        params = self._stage(self.state.params, P())
+        bn = self._stage(self.bn, P("p"))
+        opt_state = self._stage(self.opt_state, P())
+        arrs = self._stage(self.arrs, P("p"))
+        x = self._stage(self.x, P("p"))
+        labels = self._stage(self.labels, P("p"))
+        masks = self._stage(self.masks, P("p"))
+        row_valid = self._stage(self.row_valid, P("p"))
         t0 = time.time()
         ep_global = 0
         for ep in range(epochs):
             self.run_key, k = jax.random.split(self.run_key)
+            if jax.process_count() > 1:
+                k = self._stage(k, P())
             if not self.use_stale_cache:
                 params, bn, opt_state, loss, accs, _ = self._step(
                     arrs, x, labels, masks, row_valid, params, bn, opt_state,
@@ -245,6 +282,12 @@ class DistTrainer:
     # ---- checkpoint/resume (same format as FullGraphTrainer) ----
     def _save(self, path, params, bn, opt_state, epoch):
         from neutronstarlite_tpu.utils import checkpoint as ckpt
+        if jax.process_count() > 1:
+            # sharded leaves (bn) are not process-addressable: gather first
+            from jax.experimental import multihost_utils
+            bn = multihost_utils.process_allgather(bn, tiled=True)
+            if jax.process_index() != 0:
+                return
         ckpt.save_checkpoint(path, ckpt.make_state(
             params=params, bn=bn, opt_state=opt_state, run_key=self.run_key,
             epoch=epoch))

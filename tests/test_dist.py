@@ -307,3 +307,48 @@ class TestSlabPadding:
                 row = arr[d]
                 assert np.all(np.diff(row.astype(np.int64)) >= 0), (
                     f"{key} device {d} not sorted: {row}")
+
+
+class TestCfgWiring:
+    """Cfg-surface wiring added in r2 (VERDICT r1 item 7)."""
+
+    def _sbm_cfg(self, sbm, tmp_path, extra=""):
+        import numpy as np
+        from neutronstarlite_tpu.graph import io as gio
+        edge = tmp_path / "g.edge"
+        pairs = np.stack([sbm.graph.fwd_src, sbm.graph.fwd_dst], 1)
+        pairs.astype("<u4").tofile(edge)
+        cfg = tmp_path / "t.cfg"
+        cfg.write_text(
+            "ALGORITHM:GCNSAMPLESINGLE\n"
+            f"VERTICES:{sbm.num_vertices}\n"
+            "EPOCHS:1\nLAYERS:16-8-3\nFANOUT:3-3\nBATCH_SIZE:64\n"
+            f"EDGE_FILE:{edge}\nFEATURE_FILE:random\n"
+            "LEARN_RATE:0.01\nWEIGHT_DECAY:0.0001\nDROP_RATE:0.0\n"
+            + extra)
+        return str(cfg)
+
+    def test_sampled_dist_dispatch(self, sbm, tmp_path):
+        """GCNSAMPLESINGLE + NUM_PARTITIONS>1 must reach the dist sampled
+        trainer (was: silently single-device)."""
+        from neutronstarlite_tpu.main import run_from_config
+        from neutronstarlite_tpu.training.minibatch import \
+            DistMinibatchTrainer
+        cfg = InputInfo.from_cfg_file(
+            self._sbm_cfg(sbm, tmp_path, "NUM_PARTITIONS:2\n"))
+        tr, hist = run_from_config(cfg, log_every=0)
+        assert isinstance(tr, DistMinibatchTrainer)
+        assert np.isfinite(hist[-1]["loss"])
+
+    def test_proc_local_maps_to_split_slabs(self, sbm):
+        """PROC_LOCAL is the local/remote overlap split, not a no-op."""
+        cfg = make_config(sbm, epochs=1)
+        cfg.process_local = True
+        tr = DistTrainer(sbm, cfg, model=gcn, num_partitions=2)
+        assert tr.dg.ell_mode == "split"
+
+    def test_overlap_attention_downgrade_warns(self, sbm):
+        cfg = make_config(sbm, epochs=1)
+        cfg.overlap = True
+        with pytest.warns(UserWarning, match="fused ELL attention"):
+            DistTrainer(sbm, cfg, model=gat, num_partitions=2)
