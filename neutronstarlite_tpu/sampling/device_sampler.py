@@ -9,9 +9,11 @@ moves the hop sampling onto the device:
   lives in HBM;
 * per seed, ``fanout`` neighbor slots are drawn with the TPU PRNG — rows
   with degree ≤ fanout take all neighbors exactly (matching the reference);
-  higher-degree rows sample uniformly WITH replacement (the reference's
-  reservoir is without replacement — a documented deviation that vanishes
-  as degree grows; duplicates are legal multi-edges to the estimator);
+  higher-degree rows sample uniformly WITHOUT replacement by default
+  (Floyd's algorithm — same distribution as the reference's reservoir,
+  ntsSampler.hpp:113-172); ``replace=True`` (cfg SAMPLER:device_wr) is a
+  cheaper with-replacement mode whose estimator bias vanishes as degree
+  grows (measured <1pt accuracy delta in tests/test_sampler.py);
 * source dedup + local relabel (sampCSC::postprocessing) is a sort /
   adjacent-unique / searchsorted sequence — all static shapes;
 * the sampled block feeds the same ELL hop compute as the host path.
@@ -30,12 +32,38 @@ import jax
 import jax.numpy as jnp
 
 
+def _floyd_distinct(u: jax.Array, deg: jax.Array, fanout: int) -> jax.Array:
+    """Uniform WITHOUT-replacement positions: Floyd's algorithm, unrolled
+    over the (small, static) fanout. For each row with degree d > fanout,
+    step j draws t ~ U[0, d-f+j]; if t was already chosen, take d-f+j
+    instead (fresh by construction) — yielding a uniform f-subset of
+    [0, d). This matches the reference reservoir's distribution
+    (ntsSampler.hpp:138-158) with O(f²) vectorized compares and no
+    dynamic shapes."""
+    cap = u.shape[0]
+    chosen = jnp.full((cap, fanout), -1, jnp.int32)
+    for j in range(fanout):
+        hi = jnp.maximum(deg - fanout + j + 1, 1)       # [cap]
+        t = u[:, j] % hi
+        dup = jnp.any(chosen == t[:, None], axis=1)
+        pick = jnp.where(dup, deg - fanout + j, t)
+        chosen = chosen.at[:, j].set(pick.astype(jnp.int32))
+    return chosen
+
+
 def sample_hop(key: jax.Array, offsets: jax.Array, nbr: jax.Array,
-               seeds: jax.Array, fanout: int, num_vertices: int):
+               seeds: jax.Array, fanout: int, num_vertices: int,
+               replace: bool = False):
     """One hop: [cap] seeds → ([cap, fanout] global ids, valid mask).
 
     Invalid (padding) seeds (< 0) and empty slots yield id ``num_vertices``
     (the sentinel every consumer treats as padding).
+
+    ``replace=False`` (default) samples WITHOUT replacement via Floyd's
+    algorithm — same distribution as the reference's reservoir
+    (ntsSampler.hpp:113-172); ``replace=True`` is the cheaper
+    with-replacement mode (duplicates are legal multi-edges to the
+    estimator, bias vanishing as degree grows).
     """
     cap = seeds.shape[0]
     safe = jnp.clip(seeds, 0, num_vertices - 1)
@@ -45,7 +73,10 @@ def sample_hop(key: jax.Array, offsets: jax.Array, nbr: jax.Array,
     u = jax.random.randint(key, (cap, fanout), 0, jnp.iinfo(jnp.int32).max)
     take_all = deg[:, None] <= fanout
     idx_all = jnp.minimum(jnp.arange(fanout)[None, :], deg[:, None] - 1)
-    idx_rand = u % jnp.maximum(deg, 1)[:, None]
+    if replace:
+        idx_rand = u % jnp.maximum(deg, 1)[:, None]
+    else:
+        idx_rand = _floyd_distinct(u, deg.astype(jnp.int32), fanout)
     pick = lo[:, None] + jnp.where(take_all, idx_all, idx_rand)
     ids = jnp.take(nbr, jnp.clip(pick, 0, nbr.shape[0] - 1))
     valid = (seeds >= 0)[:, None] & (deg > 0)[:, None] & (
@@ -75,7 +106,8 @@ def dedup_relabel(flat_ids: jax.Array, num_vertices: int, table_cap: int):
 def sample_block(key: jax.Array, offsets: jax.Array, nbr: jax.Array,
                  out_degree: jax.Array, in_degree: jax.Array,
                  seeds: jax.Array, fanout: Sequence[int], num_vertices: int,
-                 caps: Sequence[int], scaps: Sequence[int]):
+                 caps: Sequence[int], scaps: Sequence[int],
+                 replace: bool = False):
     """Full multi-hop block (device analogue of Sampler.sample_one).
 
     Returns (dst0, tables, idxs, ws) with the same layout the minibatch
@@ -93,7 +125,7 @@ def sample_block(key: jax.Array, offsets: jax.Array, nbr: jax.Array,
             [cur, jnp.full(cap - cur.shape[0], -1, jnp.int32)]) \
             if cur.shape[0] < cap else cur
         ids, valid = sample_hop(keys[h], offsets, nbr, cur_p, fo,
-                                num_vertices)
+                                num_vertices, replace=replace)
         flat = ids.reshape(-1)
         table, local = dedup_relabel(flat, num_vertices, scap)
         nbr_idx = local.reshape(cap, fo)
@@ -117,7 +149,8 @@ class DeviceSampler:
     """Drop-in block producer backed by the on-device sampler."""
 
     def __init__(self, graph, fanout: Sequence[int], batch_size: int,
-                 caps: Sequence[int], scaps: Sequence[int]):
+                 caps: Sequence[int], scaps: Sequence[int],
+                 replace: bool = False):
         # int32 offsets halve HBM traffic but overflow at 2^31 edges
         # (ADVICE.md r1); keep int64 for graphs that big.
         off_dtype = "int32" if graph.num_edges < 2 ** 31 else "int64"
@@ -130,10 +163,11 @@ class DeviceSampler:
         self.batch_size = batch_size
         self.caps = list(caps)
         self.scaps = list(scaps)
+        self.replace = replace
         self._fn = jax.jit(partial(
             sample_block, fanout=tuple(self.fanout),
             num_vertices=self.num_vertices, caps=tuple(self.caps),
-            scaps=tuple(self.scaps)))
+            scaps=tuple(self.scaps), replace=replace))
 
     def __call__(self, key: jax.Array, seeds: jax.Array):
         """seeds: [batch_size] int32 (pad with -1)."""

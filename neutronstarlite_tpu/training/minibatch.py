@@ -105,14 +105,17 @@ class MinibatchTrainer:
         self.timer = PhaseTimer()   # DEBUGINFO-style phase breakdown
 
         # device-side sampling: the whole sample→train pipeline in one jit
-        # (SAMPLER:device; see sampling/device_sampler.py for semantics)
-        self.device_mode = getattr(config, "sampler_backend",
-                                   "host") == "device"
+        # (SAMPLER:device = without-replacement Floyd, the reference
+        # reservoir's distribution; SAMPLER:device_wr = cheaper
+        # with-replacement mode; see sampling/device_sampler.py)
+        sb = getattr(config, "sampler_backend", "host")
+        self.device_mode = sb in ("device", "device_wr")
         if self.device_mode:
             from neutronstarlite_tpu.sampling.device_sampler import (
                 DeviceSampler)
             self.dev_sampler = DeviceSampler(g, self.fanout, bs, self.caps,
-                                             self.scaps)
+                                             self.scaps,
+                                             replace=(sb == "device_wr"))
             self.labels_dev = jnp.asarray(datum.labels.astype(np.int32))
             self.nids = nids
             self._train_step_dev = jax.jit(
@@ -174,7 +177,8 @@ class MinibatchTrainer:
             dst0, tables, idxs, ws = sample_block(
                 ks, ds.offsets, ds.nbr, ds.out_degree, ds.in_degree, seeds,
                 fanout=tuple(ds.fanout), num_vertices=ds.num_vertices,
-                caps=tuple(ds.caps), scaps=tuple(ds.scaps))
+                caps=tuple(ds.caps), scaps=tuple(ds.scaps),
+                replace=ds.replace)
             labels = jnp.where(
                 dst0 >= 0,
                 jnp.take(labels_all, jnp.clip(dst0, 0, None)), 0)
@@ -379,6 +383,11 @@ class DistMinibatchTrainer(MinibatchTrainer):
         super().__init__(datum, config, **kw)
         self._train_step_dist = jax.jit(self._make_dist_step(training=True))
         self._eval_step_dist = jax.jit(self._make_dist_step(training=False))
+        if self.device_mode:
+            self._train_step_dev_dist = jax.jit(
+                self._make_dist_device_step(training=True))
+            self._eval_step_dev_dist = jax.jit(
+                self._make_dist_device_step(training=False))
 
     def _make_dist_step(self, training: bool):
         from jax.sharding import PartitionSpec as P
@@ -433,7 +442,106 @@ class DistMinibatchTrainer(MinibatchTrainer):
             return f(params, opt_state, features, blocks, labels, key)
         return jit_step
 
+    def _make_dist_device_step(self, training: bool):
+        """Per-device sample→train fused step over the mesh: each device
+        samples ITS seed block with the on-device sampler and the per-batch
+        gradient allreduce follows (SAMPLER:device × NUM_PARTITIONS>1)."""
+        from jax.sharding import PartitionSpec as P
+        from neutronstarlite_tpu.training.dist_trainer import _shard_map
+        mesh = self.mesh
+        ds = self.dev_sampler
+        drop_rate = self.config.drop_rate
+        n_layers = len(self.config.layer_sizes) - 1
+        pspec, rspec = P("p"), P()
+
+        def per_device(params, opt_state, features, labels_all, samp, seeds,
+                       key):
+            from neutronstarlite_tpu.sampling.device_sampler import (
+                sample_block)
+            seeds = seeds[0]
+            key = jax.random.fold_in(key, jax.lax.axis_index("p"))
+            ks, kd = jax.random.split(key)
+            offsets, nbr, out_deg, in_deg = samp
+            dst0, tables, idxs, ws = sample_block(
+                ks, offsets, nbr, out_deg, in_deg, seeds,
+                fanout=tuple(ds.fanout), num_vertices=ds.num_vertices,
+                caps=tuple(ds.caps), scaps=tuple(ds.scaps),
+                replace=ds.replace)
+            labels = jnp.where(dst0 >= 0,
+                               jnp.take(labels_all, jnp.clip(dst0, 0)), 0)
+            valid = dst0 >= 0
+
+            def lf(prm):
+                logits = sampled_forward(prm, features,
+                                         (dst0, tables, idxs, ws), kd,
+                                         training=training,
+                                         drop_rate=drop_rate,
+                                         n_layers=n_layers)
+                return layers.nll_loss_masked(
+                    layers.log_softmax(logits), labels, valid), logits
+
+            if training:
+                (loss, logits), grads = jax.value_and_grad(
+                    lf, has_aux=True)(params)
+                grads = jax.lax.psum(grads, "p")
+                params, opt_state = self.opt_update(grads, opt_state, params)
+            else:
+                loss, logits = lf(params)
+            pred = jnp.argmax(logits, axis=-1).astype(labels.dtype)
+            c = jax.lax.psum(jnp.sum(jnp.where(
+                valid, (pred == labels).astype(jnp.int32), 0)), "p")
+            n = jax.lax.psum(jnp.sum(valid.astype(jnp.int32)), "p")
+            live = jax.lax.psum(
+                (jnp.sum(valid.astype(jnp.int32)) > 0).astype(jnp.float32),
+                "p")
+            loss = jax.lax.psum(loss, "p") / jnp.maximum(live, 1.0)
+            return params, opt_state, loss, c, n
+
+        def jit_step(params, opt_state, features, labels_all, samp, seeds,
+                     key):
+            f = _shard_map(per_device, mesh,
+                           in_specs=(rspec, rspec, rspec, rspec, rspec,
+                                     pspec, rspec),
+                           out_specs=(rspec, rspec, rspec, rspec, rspec))
+            return f(params, opt_state, features, labels_all, samp, seeds,
+                     key)
+        return jit_step
+
+    def _run_epoch_device_dist(self, split: str):
+        training = split == "train"
+        step = (self._train_step_dev_dist if training
+                else self._eval_step_dev_dist)
+        ds = self.dev_sampler
+        samp = (ds.offsets, ds.nbr, ds.out_degree, ds.in_degree)
+        nids = self.nids[split]
+        order = np.random.default_rng(
+            int(jax.random.randint(self.run_key, (), 0, 2 ** 31 - 1))
+        ).permutation(nids) if training else nids
+        bs = self.config.batch_size
+        gs = bs * self.p
+        tot_loss = tot_c = tot_n = 0
+        n_steps = 0
+        for i in range(0, max(order.size, 1), gs):
+            chunk = order[i:i + gs].astype(np.int32)
+            if chunk.size == 0:
+                break
+            if chunk.size < gs:
+                chunk = np.concatenate(
+                    [chunk, np.full(gs - chunk.size, -1, np.int32)])
+            seeds = jnp.asarray(chunk.reshape(self.p, bs))
+            self.run_key, k = jax.random.split(self.run_key)
+            self.params, self.opt_state, loss, c, n = step(
+                self.params, self.opt_state, self.features, self.labels_dev,
+                samp, seeds, k)
+            tot_loss += float(loss)
+            tot_c += int(c)
+            tot_n += int(n)
+            n_steps += 1
+        return tot_loss / max(n_steps, 1), tot_c / max(tot_n, 1)
+
     def run_epoch(self, split: str = "train"):
+        if getattr(self, "device_mode", False):
+            return self._run_epoch_device_dist(split)
         training = split == "train"
         step = self._train_step_dist if training else self._eval_step_dist
         tot_loss, tot_correct, tot_count, n_steps = 0.0, 0, 0, 0
