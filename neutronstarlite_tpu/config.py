@@ -57,6 +57,10 @@ class InputInfo:
     sampler_backend: str = "host"   # SAMPLER: host (C++ reservoir, exact
                                     # reference semantics) | device (on-TPU,
                                     # fused into the train step)
+    exchange: str = "uniform"       # EXCHANGE: uniform (one all_to_all,
+                                    # global max pad) | ring (P-1 ppermutes
+                                    # with exact per-step sizes — less
+                                    # volume on skewed graphs, P7 order)
     fuse_epochs: int = 1            # FUSE_EPOCHS: full-graph epochs fused
                                     # per device dispatch (lax.scan) — big
                                     # win on small graphs where the per-call
@@ -130,6 +134,7 @@ class InputInfo:
                                                 flag(val)),
             "REP_MODE": lambda: setattr(self, "rep_mode", val),
             "SAMPLER": lambda: setattr(self, "sampler_backend", val),
+            "EXCHANGE": lambda: setattr(self, "exchange", val),
             "FUSE_EPOCHS": lambda: setattr(self, "fuse_epochs", int(val)),
             "PROFILE_DIR": lambda: setattr(self, "profile_dir", val),
         }

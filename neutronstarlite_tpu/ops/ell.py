@@ -446,9 +446,13 @@ def attention_aggregate(ell: EllGraph, x: jax.Array, s_src: jax.Array,
 
 def _attn_fwd_impl(ell, x, s_src, s_dst, slope):
     a, a_t, (pre, pre_t) = _attention_scores(ell, s_src, s_dst, slope)
-    out = slab_matvec(ell.f_idx, a, x)[:ell.num_dst]
-    tail = slab_matvec(ell.f_tail_idx, a_t, x)
-    out = _tail_combine(out, tail, ell.f_tail_rows, ell.num_dst)
+    # bf16 feature gathers (agg_dtype): the [rows,K,F] gather is the
+    # dominant HBM cost; scores/softmax stay f32 for numerics
+    xc = ell.cast_in(x)
+    out = slab_matvec(ell.f_idx, a, xc)[:ell.num_dst]
+    tail = slab_matvec(ell.f_tail_idx, a_t, xc)
+    out = _tail_combine(out, tail, ell.f_tail_rows,
+                        ell.num_dst).astype(x.dtype)
     return out, (a, a_t, pre, pre_t)
 
 
@@ -463,12 +467,17 @@ def _attn_bwd(slope, res, g):
     f_valid = ell.f_w != 0
     t_valid = ell.f_tail_w != 0
     g_pad = jnp.pad(g, ((0, ell.f_idx.shape[0] - ell.num_dst), (0, 0)))
+    # the two [rows,K,F] feature gathers (SDDMM over x, transposed matvec
+    # over g) dominate the backward's HBM traffic — bf16 them (agg_dtype);
+    # score math stays f32
+    xc = ell.cast_in(x)
+    gc = ell.cast_in(g_pad)
 
     # da[r,k] = dot(x[idx], g[r])
-    da = slab_sddmm(ell.f_idx, f_valid, x, g_pad)
+    da = slab_sddmm(ell.f_idx, f_valid, xc, g_pad)
     if has_tail:
         g_tail = jnp.take(g_pad, ell.f_tail_rows, axis=0)
-        da_t = slab_sddmm(ell.f_tail_idx, t_valid, x, g_tail)
+        da_t = slab_sddmm(ell.f_tail_idx, t_valid, xc, g_tail)
     else:
         da_t = jnp.zeros_like(a_t)
 
@@ -521,13 +530,13 @@ def _attn_bwd(slope, res, g):
     a_flat = jnp.concatenate(
         [a.reshape(-1), a_t.reshape(-1), jnp.zeros(1, a.dtype)])
     a_bwd = jnp.where(b_valid, jnp.take(a_flat, ell.b_perm), 0.0)
-    dx = slab_matvec(ell.b_idx, a_bwd, g_pad)[:ell.num_src]
+    dx = slab_matvec(ell.b_idx, a_bwd, gc)[:ell.num_src]
     if ell.b_tail_idx.shape[0]:
         a_bwd_t = jnp.where(ell.b_tail_w != 0,
                             jnp.take(a_flat, ell.b_tail_perm), 0.0)
-        dx = _tail_combine(dx, slab_matvec(ell.b_tail_idx, a_bwd_t, g_pad),
+        dx = _tail_combine(dx, slab_matvec(ell.b_tail_idx, a_bwd_t, gc),
                            ell.b_tail_rows, ell.num_src)
-    dx = dx[:x.shape[0]]
+    dx = dx[:x.shape[0]].astype(x.dtype)
 
     return None, dx, ds_src, ds_dst
 
@@ -642,9 +651,11 @@ def gated_aggregate(ell: EllGraph, x: jax.Array, g_src: jax.Array,
 
 def _gated_fwd_impl(ell, x, g_src, g_dst, slope):
     a, a_t, pre, pre_t = _gated_scores(ell, g_src, g_dst, slope)
-    out = slab_gated_matvec(ell.f_idx, a, x)[:ell.num_dst]
-    tail = slab_gated_matvec(ell.f_tail_idx, a_t, x)
-    out = _tail_combine(out, tail, ell.f_tail_rows, ell.num_dst)
+    xc = ell.cast_in(x)
+    out = slab_gated_matvec(ell.f_idx, a, xc)[:ell.num_dst]
+    tail = slab_gated_matvec(ell.f_tail_idx, a_t, xc)
+    out = _tail_combine(out, tail, ell.f_tail_rows,
+                        ell.num_dst).astype(x.dtype)
     return out, (a, a_t, pre, pre_t)
 
 
@@ -664,12 +675,14 @@ def _gated_bwd(slope, resid, g):
     f_valid = (ell.f_w != 0)[:, :, None]
     g_pad = jnp.pad(g, ((0, vd_pad - ell.num_dst), (0, 0)))
     trows = jnp.clip(ell.f_tail_rows, 0, vd_pad - 1)
+    xc = ell.cast_in(x)          # bf16 feature gathers (see _attn_bwd)
+    gc = ell.cast_in(g_pad)
 
     # da[r,k,f] = x[idx][f] · g[r,f]
-    da = jnp.take(x, ell.f_idx, axis=0) * g_pad[:, None, :]
+    da = jnp.take(xc, ell.f_idx, axis=0) * g_pad[:, None, :]
     if has_tail:
         t_valid = (ell.f_tail_w != 0)[:, :, None]
-        da_t = (jnp.take(x, ell.f_tail_idx, axis=0)
+        da_t = (jnp.take(xc, ell.f_tail_idx, axis=0)
                 * jnp.take(g_pad, trows, axis=0)[:, None, :])
     else:
         da_t = jnp.zeros_like(a_t)
@@ -709,7 +722,7 @@ def _gated_bwd(slope, resid, g):
                                jnp.take(dpre_flat, ell.b_perm, axis=0), 0.0),
                      axis=1)
     a_bwd = jnp.where(b_valid, jnp.take(a_flat, ell.b_perm, axis=0), 0.0)
-    dx = slab_gated_matvec(ell.b_idx, a_bwd, g_pad)[:ell.num_src]
+    dx = slab_gated_matvec(ell.b_idx, a_bwd, gc)[:ell.num_src]
     if ell.b_tail_idx.shape[0]:
         bt_valid = (ell.b_tail_w != 0)[:, :, None]
         dg_src_t = jnp.sum(
@@ -721,12 +734,12 @@ def _gated_bwd(slope, resid, g):
         a_bwd_t = jnp.where(bt_valid,
                             jnp.take(a_flat, ell.b_tail_perm, axis=0), 0.0)
         dx = _tail_combine(dx, slab_gated_matvec(ell.b_tail_idx, a_bwd_t,
-                                                 g_pad),
+                                                 gc),
                            ell.b_tail_rows, ell.num_src)
     else:
         dg_src = dg_src[:ell.num_src]
     dg_src = dg_src[:g_src.shape[0]]
-    dx = dx[:x.shape[0]]
+    dx = dx[:x.shape[0]].astype(x.dtype)
     return None, dx, dg_src, dg_dst
 
 

@@ -76,6 +76,11 @@ class DistGraph:
     # across devices (shared K, tails padded to the max)
     ell_np: dict = None
     ell_mode: str = "comb"   # "comb" (one slab set) | "split" (local/remote)
+    # ring exchange (EXCHANGE:ring — the two-tier/exact-count boundary
+    # exchange): per-step exact-max sizes + send schedules; None = uniform
+    # m_pad all_to_all. See build_dist_graph(exchange=...).
+    ring_sizes: list = None       # [P-1] ints: step s=idx+1 padded size
+    send_ring: list = None        # [P-1] arrays [P, ring_sizes[idx]]
 
     def shard_features(self, feats: np.ndarray) -> np.ndarray:
         """[V, F] global → [P, v_pad, F] stacked local blocks (0-padded)."""
@@ -102,7 +107,8 @@ def build_dist_graph(g: Graph, num_partitions: int,
                      rep_threshold: int = 0,
                      partition: Partition | None = None,
                      overlap: bool = False,
-                     rep_mode: str = "degree") -> DistGraph:
+                     rep_mode: str = "degree",
+                     exchange: str = "uniform") -> DistGraph:
     """Partition + mirror/send-map construction (the reference's
     PartitionedGraph::GenerateAll pipeline, core/PartitionedGraph.hpp:80-104,
     re-done with numpy set ops instead of ring bitmap exchange).
@@ -126,6 +132,19 @@ def build_dist_graph(g: Graph, num_partitions: int,
     core/graph.hpp:3490-3535). The fused GAT attention needs the combined
     slabs (softmax couples local+remote edges), so with overlap=True the
     attention path falls back to segment ops.
+
+    ``exchange`` selects the boundary-exchange schedule:
+
+    * "uniform": ONE all_to_all with every (receiver, sender) pair padded
+      to the global max count ``m_pad`` — minimal latency, but on skewed
+      graphs moves 2-3× the exact dependency volume.
+    * "ring": P-1 chained ``ppermute`` steps in ring order — the
+      reference's ring schedule (comm/network.cpp:612-633, SURVEY.md P7) —
+      where step s is padded only to max_i |mirrors[i][(i-s)%P]|, the
+      EXACT per-offset maximum known at preprocessing (the reference also
+      knows them: DetermineMirror, PartitionedGraph.hpp:174-209). Volume
+      = Σ_s max_i c[i,s] instead of P(P-1)·m_pad; XLA overlaps the chained
+      permutes with the local gathers.
     """
     p = num_partitions
     if partition is None:
@@ -147,11 +166,14 @@ def build_dist_graph(g: Graph, num_partitions: int,
         return mult
 
     if rep_mode == "auto" and p > 1:
-        # choose the multiplicity threshold minimizing total exchanged rows:
-        # p·m_pad(T) (padded all_to_all) + h_pad(T) (all_gather), including
-        # T=∞ (no replication). Exact from per-pair multiplicity histograms.
+        # choose the multiplicity threshold minimizing total exchanged rows
+        # per device — the cost model matches the exchange schedule:
+        #   uniform: p·m_pad(T) (every pair padded to the global max)
+        #   ring:    Σ_s max over pairs at ring offset s of c(T)
+        # plus h_pad(T) (all_gather), including T=∞ (no replication).
+        # Exact from per-pair multiplicity histograms.
         mult = _multiplicity()
-        pair_mult = []
+        pair_mult = {}           # (i, q) → histogram of mult among mirrors
         for i in range(p):
             lo = int(g.fwd_offsets[off[i]])
             hi = int(g.fwd_offsets[off[i + 1]])
@@ -161,12 +183,21 @@ def build_dist_graph(g: Graph, num_partitions: int,
                 if q == i:
                     continue
                 u = np.unique(rem[partition.owner[rem] == q])
-                pair_mult.append(np.bincount(mult[u], minlength=p + 2))
+                pair_mult[(i, q)] = np.bincount(mult[u], minlength=p + 2)
         best_t, best_cost = None, None
         for t in list(range(2, p + 1)) + [p + 1]:   # p+1 ≈ no replication
-            m_max = max(int(h[:t].sum()) for h in pair_mult) if pair_mult                 else 0
+            if exchange == "ring":
+                vol = 0
+                for s in range(1, p):
+                    c_s = max(int(pair_mult[(i, (i - s) % p)][:t].sum())
+                              for i in range(p))
+                    vol += -(-max(c_s, 1) // 8) * 8
+            else:
+                m_max = (max(int(h[:t].sum()) for h in pair_mult.values())
+                         if pair_mult else 0)
+                vol = p * (-(-max(m_max, 1) // 8) * 8)
             h_cnt = int((mult >= t).sum())
-            cost = p * (-(-max(m_max, 1) // 8) * 8) + h_cnt
+            cost = vol + h_cnt
             if best_cost is None or cost < best_cost:
                 best_t, best_cost = t, cost
         if best_t <= p:
@@ -217,6 +248,27 @@ def build_dist_graph(g: Graph, num_partitions: int,
             m_max = max(m_max, u.size)
     m_pad = max(1, -(-max(m_max, 1) // 8) * 8)
 
+    # ring mode: per-step exact-max sizes + mirror-block offsets
+    # step s (1..P-1): receiver i hears from sender (i-s) % P
+    if exchange == "ring":
+        ring_sizes = []
+        for s in range(1, p):
+            c = max(mirrors[i][(i - s) % p].size for i in range(p))
+            ring_sizes.append(max(8, -(-c // 8) * 8))
+        step_off = np.zeros(p, np.int64)          # step s → block offset
+        for s in range(2, p):
+            step_off[s] = step_off[s - 1] + ring_sizes[s - 2]
+        m_total = int(sum(ring_sizes))
+
+        def mirror_slot_base(i, q):
+            return int(step_off[(i - q) % p])
+    else:
+        ring_sizes = None
+        m_total = p * m_pad
+
+        def mirror_slot_base(i, q):
+            return q * m_pad
+
     # combined-space remap + stacked arrays. Padding edges carry dst id
     # v_pad-1: keeps the id array sorted (segment ops run with
     # indices_are_sorted=True) while staying IN RANGE — out-of-range ids
@@ -237,7 +289,7 @@ def build_dist_graph(g: Graph, num_partitions: int,
         own_sel = owner[esrc] == i
         hot_sel = is_hot[esrc] & ~own_sel
         remap[own_sel] = (esrc[own_sel] - off[i]).astype(np.int32)
-        remap[hot_sel] = (v_pad + p * m_pad
+        remap[hot_sel] = (v_pad + m_total
                           + hot_slot[esrc[hot_sel]]).astype(np.int32)
         # one reusable lookup buffer (filled/reset per peer) instead of an
         # O(V) allocation per (device, peer) pair
@@ -250,7 +302,7 @@ def build_dist_graph(g: Graph, num_partitions: int,
                 continue
             lookup[u] = np.arange(u.size, dtype=np.int32)
             sel = (~own_sel) & (~hot_sel) & (owner[esrc] == q)
-            remap[sel] = v_pad + q * m_pad + lookup[esrc[sel]]
+            remap[sel] = v_pad + mirror_slot_base(i, q) + lookup[esrc[sel]]
             lookup[u] = -1
         e_src[i, :n] = remap
         e_dst[i, :n] = (edst - off[i]).astype(np.int32)
@@ -267,6 +319,19 @@ def build_dist_graph(g: Graph, num_partitions: int,
             if u.size:
                 send_idx[q, i, :u.size] = (u - off[q]).astype(np.int32)
 
+    # ring send schedule: at step s, q sends to (q+s)%p exactly that
+    # receiver's mirror rows, padded to the per-step max (padding rows
+    # repeat row 0 — never referenced by real edges)
+    send_ring = None
+    if exchange == "ring":
+        send_ring = []
+        for s in range(1, p):
+            arr = np.zeros((p, ring_sizes[s - 1]), np.int32)
+            for q in range(p):
+                u = mirrors[(q + s) % p][q]
+                arr[q, :u.size] = (u - off[q]).astype(np.int32)
+            send_ring.append(arr)
+
     row_valid = np.zeros((p, v_pad), bool)
     global_ids = np.full((p, v_pad), -1, np.int32)
     for i in range(p):
@@ -277,7 +342,7 @@ def build_dist_graph(g: Graph, num_partitions: int,
     # per-device dual-ELL slabs (scatter-free local aggregate). SPMD needs
     # identical shapes: share the max K across devices and pad tails.
     from neutronstarlite_tpu.ops import ell as ell_mod
-    comb = v_pad + p * m_pad + h_pad
+    comb = v_pad + m_total + h_pad
 
     def build_slab_set(edge_sets, num_dst_rows, num_src_rows):
         """edge_sets: per-device (src, dst, w); uniform K + padded tails."""
@@ -342,7 +407,8 @@ def build_dist_graph(g: Graph, num_partitions: int,
                      e_pad=e_pad, m_pad=m_pad, h_pad=h_pad,
                      e_src=e_src, e_dst=e_dst, e_w=e_w, send_idx=send_idx,
                      row_valid=row_valid, global_ids=global_ids,
-                     hot_ids=hot_ids, ell_np=ell_np, ell_mode=ell_mode)
+                     hot_ids=hot_ids, ell_np=ell_np, ell_mode=ell_mode,
+                     ring_sizes=ring_sizes, send_ring=send_ring)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -364,6 +430,7 @@ class DistGraphTensors:
     hot_local_idx: jax.Array  # [h_cap] local rows that are globally hot (pad 0)
     hot_slot_of_local: jax.Array  # [h_cap] slot in the replicated hot block
     ell: Any = None        # per-device EllGraph (scatter-free local compute)
+    send_ring: Any = None  # list of [m_s] step schedules (EXCHANGE:ring)
     # DepCache staleness (reference FeatureCache/CachedData,
     # core/NtsScheduler.hpp:556-637 + sync_compute_decoupled_from_cached,
     # graph.hpp:3723-3801): on non-refresh epochs the hot block is read from
@@ -380,27 +447,42 @@ class DistGraphTensors:
     def tree_flatten(self):
         # cache fields are trace-time plumbing, not data — excluded
         children = (self.e_src, self.e_dst, self.e_w, self.send_idx,
-                    self.hot_local_idx, self.hot_slot_of_local, self.ell)
+                    self.hot_local_idx, self.hot_slot_of_local, self.ell,
+                    self.send_ring)
         aux = (self.num_vertices, self.num_partitions, self.m_pad, self.h_pad,
                self.axis_name)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children[:6], ell=children[6], num_vertices=aux[0],
+        return cls(*children[:6], ell=children[6], send_ring=children[7],
+                   num_vertices=aux[0],
                    num_partitions=aux[1], m_pad=aux[2], h_pad=aux[3],
                    axis_name=aux[4])
 
     # ---- DepComm core ----
     def exchange_remote(self, x_local: jax.Array) -> jax.Array:
         """The communicating half of DistGetDepNbrOp: boundary all_to_all
-        (+ DepCache all_gather) → [P*m_pad + h_pad, F] remote table."""
+        (EXCHANGE:uniform) or chained per-step-sized ppermutes
+        (EXCHANGE:ring, the reference's ring order — comm/network.cpp:612-633)
+        (+ DepCache all_gather) → [M + h_pad, F] remote table."""
         p, m = self.num_partitions, self.m_pad
-        send = jnp.take(x_local, self.send_idx.reshape(-1), axis=0)
-        send = send.reshape((p, m) + x_local.shape[1:])
-        recv = jax.lax.all_to_all(send, self.axis_name, split_axis=0,
-                                  concat_axis=0, tiled=False)
-        parts = [recv.reshape((p * m,) + x_local.shape[1:])]
+        if self.send_ring is not None:
+            parts = []
+            for idx, sched in enumerate(self.send_ring):
+                s = idx + 1
+                send = jnp.take(x_local, sched, axis=0)      # [m_s, F]
+                perm = [(q, (q + s) % p) for q in range(p)]
+                parts.append(jax.lax.ppermute(send, self.axis_name,
+                                              perm=perm))
+            if not parts:
+                parts = [jnp.zeros((0,) + x_local.shape[1:], x_local.dtype)]
+        else:
+            send = jnp.take(x_local, self.send_idx.reshape(-1), axis=0)
+            send = send.reshape((p, m) + x_local.shape[1:])
+            recv = jax.lax.all_to_all(send, self.axis_name, split_axis=0,
+                                      concat_axis=0, tiled=False)
+            parts = [recv.reshape((p * m,) + x_local.shape[1:])]
         if self.h_pad > 0:
             parts.append(self._gather_hot(x_local))
         return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
@@ -584,9 +666,18 @@ def device_view(dg: DistGraph) -> dict:
         "hot_local_idx": hot_local, "hot_slot_of_local": hot_slot,
         "row_valid": dg.row_valid,
     }
+    if dg.send_ring is not None:
+        out["send_ring"] = list(dg.send_ring)   # [P, m_s] per step
     if dg.ell_np is not None:
         out["ell"] = dict(dg.ell_np)
     return out
+
+
+def mirror_rows_total(dg: DistGraph) -> int:
+    """Rows in the exchanged mirror block (excl. the DepCache hot block)."""
+    if dg.ring_sizes is not None:
+        return int(sum(dg.ring_sizes))
+    return dg.num_partitions * dg.m_pad
 
 
 def make_tensors(arrs: dict, dg: DistGraph, axis_name: str = "p",
@@ -595,7 +686,7 @@ def make_tensors(arrs: dict, dg: DistGraph, axis_name: str = "p",
     ell_graphs = None
     if "ell" in arrs:
         from neutronstarlite_tpu.ops import ell as ell_mod
-        comb = dg.v_pad + dg.num_partitions * dg.m_pad + dg.h_pad
+        comb = dg.v_pad + mirror_rows_total(dg) + dg.h_pad
         dims = {"comb": (dg.v_pad, comb),
                 "local": (dg.v_pad, dg.v_pad),
                 "remote": (dg.v_pad, comb - dg.v_pad)}
@@ -613,6 +704,7 @@ def make_tensors(arrs: dict, dg: DistGraph, axis_name: str = "p",
         e_src=arrs["e_src"], e_dst=arrs["e_dst"], e_w=arrs["e_w"],
         send_idx=arrs["send_idx"], hot_local_idx=arrs["hot_local_idx"],
         hot_slot_of_local=arrs["hot_slot_of_local"], ell=ell_graphs,
+        send_ring=arrs.get("send_ring"),
         num_vertices=dg.v_pad, num_partitions=dg.num_partitions,
         m_pad=dg.m_pad, h_pad=dg.h_pad, axis_name=axis_name)
 

@@ -88,7 +88,8 @@ class DistTrainer:
                 stacklevel=2)
         self.dg = build_dist_graph(datum.graph, self.p, rep_threshold=rep,
                                    overlap=overlap,
-                                   rep_mode=config.rep_mode)
+                                   rep_mode=config.rep_mode,
+                                   exchange=config.exchange)
         self.arrs = device_view(self.dg)
 
         # sharded data
@@ -278,6 +279,50 @@ class DistTrainer:
             self._save(self.config.checkpoint_path, params, bn, opt_state,
                        epochs)
         return history
+
+    def predict(self):
+        """Eval-mode forward over the mesh (no dropout, running BN stats);
+        returns logits gathered to host in GLOBAL vertex order.
+
+        The reference computes Test() from training-mode outputs
+        (GCN_CPU.hpp:142-171) — we match that in run(); this is the proper
+        inference path FullGraphTrainer.predict() already had."""
+        mesh = self.mesh
+        model, model_kwargs, dg = self.model, self.model_kwargs, self.dg
+        state_cls = type(self.state)
+        pspec = P("p")
+
+        def fwd(arrs, x, row_valid, params, bn):
+            sq = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
+            arrs, x, row_valid, bn = sq(arrs), sq(x), sq(row_valid), sq(bn)
+            gt = make_tensors(arrs, dg, agg_dtype=self.config.dtype)
+            import inspect
+            extra = {}
+            if "row_mask" in inspect.signature(model.forward).parameters:
+                extra["row_mask"] = row_valid
+            st = state_cls(params=params, bn=bn)
+            logits, _ = model.forward(st, gt, x, None, training=False,
+                                      **model_kwargs, **extra)
+            return logits[None]
+
+        sharded = lambda t: jax.tree.map(lambda _: pspec, t)  # noqa: E731
+        rep = lambda t: jax.tree.map(lambda _: P(), t)  # noqa: E731
+        arrs = self._stage(self.arrs, P("p"))
+        x = self._stage(self.x, P("p"))
+        row_valid = self._stage(self.row_valid, P("p"))
+        params = self._stage(self.state.params, P())
+        bn = self.bn
+        f = jax.jit(_shard_map(
+            fwd, mesh,
+            in_specs=(sharded(arrs), pspec, pspec, rep(params), sharded(bn)),
+            out_specs=pspec))
+        y = np.asarray(f(arrs, x, row_valid, params, bn))
+        out = np.zeros((self.datum.num_vertices, y.shape[-1]), y.dtype)
+        off = self.dg.partition.offsets
+        for i in range(self.p):
+            n = off[i + 1] - off[i]
+            out[off[i]:off[i + 1]] = y[i, :n]
+        return out
 
     # ---- checkpoint/resume (same format as FullGraphTrainer) ----
     def _save(self, path, params, bn, opt_state, epoch):

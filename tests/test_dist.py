@@ -352,3 +352,121 @@ class TestCfgWiring:
         cfg.overlap = True
         with pytest.warns(UserWarning, match="fused ELL attention"):
             DistTrainer(sbm, cfg, model=gat, num_partitions=2)
+
+
+class TestRingExchange:
+    """EXCHANGE:ring — P-1 exact-max-sized ppermutes (VERDICT r1 item 3).
+    Must be bit-identical math to the uniform all_to_all."""
+
+    def _agg(self, sbm, exchange, rep=0, n_dev=4):
+        mesh = make_mesh(n_dev)
+        dg = build_dist_graph(sbm.graph, n_dev, rep_threshold=rep,
+                              exchange=exchange)
+        arrs = jax.tree.map(jnp.asarray, device_view(dg))
+        x = jnp.asarray(dg.shard_features(sbm.features))
+
+        def f(arrs, x):
+            sq = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
+            gt = make_tensors(sq(arrs), dg)
+            return gt.aggregate_neighbors(sq(x))[None]
+
+        spec = jax.tree.map(lambda _: P("p"), arrs)
+        y = jax.jit(_shard_map(f, mesh, in_specs=(spec, P("p")),
+                               out_specs=P("p")))(arrs, x)
+        out = np.zeros((sbm.num_vertices, sbm.features.shape[1]), np.float32)
+        off = dg.partition.offsets
+        y = np.asarray(y)
+        for i in range(n_dev):
+            n = off[i + 1] - off[i]
+            out[off[i]:off[i + 1]] = y[i, :n]
+        return out
+
+    def test_ring_matches_uniform(self, sbm):
+        a = self._agg(sbm, "uniform")
+        b = self._agg(sbm, "ring")
+        np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-7)
+
+    def test_ring_with_depcache(self, sbm):
+        a = self._agg(sbm, "uniform", rep=10)
+        b = self._agg(sbm, "ring", rep=10)
+        np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-7)
+
+    def test_ring_trainer_matches_uniform(self, sbm):
+        cfg = make_config(sbm, epochs=6)
+        h1 = DistTrainer(sbm, cfg, model=commnet, num_partitions=4).run()
+        cfg2 = make_config(sbm, epochs=6)
+        cfg2.exchange = "ring"
+        h2 = DistTrainer(sbm, cfg2, model=commnet, num_partitions=4).run()
+        for a, b in zip(h1, h2):
+            assert abs(a["loss"] - b["loss"]) < 2e-5, (a, b)
+            assert a["test"] == b["test"], (a, b)
+
+    def test_ring_gat_runs(self, sbm):
+        cfg = make_config(sbm, epochs=6)
+        cfg.exchange = "ring"
+        tr = DistTrainer(sbm, cfg, model=gat, num_partitions=4)
+        hist = tr.run()
+        assert np.isfinite(hist[-1]["loss"])
+        assert hist[-1]["loss"] < hist[0]["loss"]
+
+    def test_ring_volume_not_worse(self, sbm):
+        """Ring volume ≤ uniform padded volume; both cover every mirror."""
+        dg_u = build_dist_graph(sbm.graph, 4)
+        dg_r = build_dist_graph(sbm.graph, 4, partition=dg_u.partition,
+                                exchange="ring")
+        assert sum(dg_r.ring_sizes) <= 4 * dg_u.m_pad
+
+    def test_shuffle_ring_within_1p3_of_exact(self):
+        """VERDICT r1 item 3 done-criterion: on a zipf-skewed graph the
+        SHUFFLE_VERTICES + EXCHANGE:ring recipe moves ≤1.3× the exact
+        dependency volume (uniform all_to_all moved 2-3×)."""
+        from neutronstarlite_tpu.graph.structure import (add_self_loops,
+                                                         build_graph)
+        v, deg = 8000, 20
+        rng = np.random.default_rng(0)
+        e = v * deg
+        wgt = (np.arange(1, v + 1) ** -0.8)
+        wgt /= wgt.sum()
+        dst = rng.choice(v, size=e, p=wgt).astype(np.int32)
+        src = rng.choice(v, size=e, p=wgt).astype(np.int32)
+        src, dst = add_self_loops(src, dst, v)
+        perm = np.random.default_rng(7).permutation(v).astype(np.int32)
+        g = build_graph(perm[src], perm[dst], v)
+        for p in (4, 8):
+            base = build_dist_graph(g, p)
+            ring = build_dist_graph(g, p, partition=base.partition,
+                                    exchange="ring")
+            owner, off = base.partition.owner, base.partition.offsets
+            real = 0
+            for i in range(p):
+                lo = int(g.fwd_offsets[off[i]])
+                hi = int(g.fwd_offsets[off[i + 1]])
+                esrc = g.fwd_src[lo:hi]
+                real += np.unique(esrc[owner[esrc] != i]).size
+            exact = real / p
+            assert sum(ring.ring_sizes) <= 1.3 * exact, (
+                p, sum(ring.ring_sizes), exact)
+
+
+class TestDistPredict:
+    def test_predict_matches_single_chip(self, sbm):
+        """DistTrainer.predict(): eval-mode logits in global order must
+        match FullGraphTrainer.predict() when both train identically
+        (P=1 ⇒ same objective, same updates)."""
+        cfg = make_config(sbm, epochs=5)
+        single = FullGraphTrainer(sbm, cfg, model=commnet, backend="xla")
+        single.run()
+        dist = DistTrainer(sbm, make_config(sbm, epochs=5), model=commnet,
+                           num_partitions=1)
+        dist.run()
+        a = np.asarray(single.predict())
+        b = dist.predict()
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
+
+    def test_predict_runs_p4(self, sbm):
+        tr = DistTrainer(sbm, make_config(sbm, epochs=3), model=gcn,
+                         num_partitions=4)
+        tr.run()
+        logits = tr.predict()
+        assert logits.shape == (sbm.num_vertices, sbm.num_classes)
+        assert np.isfinite(logits).all()

@@ -48,6 +48,9 @@ def main():
     for p in (2, 4, 8):
         for rep in thresholds:
             dg = build_dist_graph(g, p, rep_threshold=rep)
+            dg_ring = build_dist_graph(g, p, rep_threshold=rep,
+                                       partition=dg.partition,
+                                       exchange="ring")
             # padded all_to_all volume (what the ICI collective actually
             # moves: every pair padded to m_pad)
             a2a_pad = p * dg.m_pad * f * 4 * n_layers
@@ -66,13 +69,43 @@ def main():
                 real += np.unique(rem).size
             a2a_exact = real * f * 4 * n_layers / p  # per device
             ag = dg.h_pad * f * 4 * n_layers
+            # ring (EXCHANGE:ring): Σ_s per-step exact-max rows per device
+            ring_rows = int(sum(dg_ring.ring_sizes))
+            ring = ring_rows * f * 4 * n_layers
             print(json.dumps({
                 "partitions": p, "rep_threshold": rep,
                 "m_pad": dg.m_pad, "h_pad": dg.h_pad,
                 "alltoall_padded_MB_per_device": round(a2a_pad / 1e6, 2),
                 "alltoall_exact_MB_per_device": round(a2a_exact / 1e6, 2),
+                "ring_MB_per_device": round(ring / 1e6, 2),
+                "ring_vs_exact": round(ring / max(a2a_exact, 1), 3),
                 "allgather_MB_per_device": round(ag / 1e6, 2),
             }))
+
+    # the recommended skewed-graph recipe: SHUFFLE_VERTICES (balances
+    # per-pair counts) + EXCHANGE:ring (per-step exact-max sizes) —
+    # measured ≤1.1× of the exact dependency volume on this zipf graph
+    perm = np.random.default_rng(7).permutation(v).astype(np.int32)
+    g_s = build_graph(perm[src], perm[dst], v)
+    for p in (2, 4, 8):
+        base = build_dist_graph(g_s, p)
+        ring = build_dist_graph(g_s, p, partition=base.partition,
+                                exchange="ring")
+        owner, off = base.partition.owner, base.partition.offsets
+        real = 0
+        for i in range(p):
+            lo = int(g_s.fwd_offsets[off[i]])
+            hi = int(g_s.fwd_offsets[off[i + 1]])
+            esrc = g_s.fwd_src[lo:hi]
+            real += np.unique(esrc[owner[esrc] != i]).size
+        ex = real * f * 4 * n_layers / p
+        rr = sum(ring.ring_sizes) * f * 4 * n_layers
+        print(json.dumps({
+            "partitions": p, "variant": "shuffle+ring",
+            "ring_MB_per_device": round(rr / 1e6, 2),
+            "exact_MB_per_device": round(ex / 1e6, 2),
+            "ring_vs_exact": round(rr / max(ex, 1), 3),
+        }))
 
 
 if __name__ == "__main__":
