@@ -47,7 +47,10 @@ def main():
     avg_deg = int(os.environ.get("NSL_BENCH_DEG", 50))
     epochs = int(os.environ.get("NSL_BENCH_EPOCHS", 10))
     backend = os.environ.get("NSL_BENCH_BACKEND", "auto")
-    dtype = os.environ.get("NSL_BENCH_DTYPE", "float32")
+    # bfloat16 aggregate gathers are the default fast path (27.8M edges/s
+    # vs 17.6-20M f32, r2-measured; accuracy parity asserted in
+    # tests/test_real_dataset.py); NSL_BENCH_DTYPE=float32 for the fallback
+    dtype = os.environ.get("NSL_BENCH_DTYPE", "bfloat16")
 
     import jax
     import jax.numpy as jnp
@@ -75,10 +78,15 @@ def main():
     t0 = time.time()
     tr.run(epochs=2)  # warmup + compile
     _log(f"warmup (compile + 2 epochs) {time.time()-t0:.1f}s")
-    t0 = time.time()
-    tr.run(epochs=epochs)
-    wall = time.time() - t0
-    _log(f"{epochs} timed epochs {wall:.2f}s")
+    # three timed windows, report the MEDIAN (the axon tunnel adds
+    # per-dispatch jitter; a single window under-reports by up to ~15%)
+    windows = []
+    for w in range(3):
+        t0 = time.time()
+        tr.run(epochs=epochs)
+        windows.append(time.time() - t0)
+        _log(f"window {w}: {epochs} epochs {windows[-1]:.2f}s")
+    wall = sorted(windows)[1]
     edges_per_sec = g.num_edges * epochs / wall
 
     # baseline comparison
@@ -99,6 +107,7 @@ def main():
             "num_vertices": v, "num_edges": int(g.num_edges),
             "epochs": epochs, "wall_s": round(wall, 3),
             "epoch_s": round(wall / epochs, 4),
+            "windows_s": [round(w, 3) for w in windows],
             "build_s": round(build_s, 2),
             "backend": jax.default_backend(), "dtype": dtype,
         },

@@ -48,3 +48,13 @@ def test_real_features_dist_engine(digits_cfg):
     digits_cfg.epochs = 60
     tr, hist = run_from_config(digits_cfg, log_every=0)
     assert hist[-1]["test"] > 0.95, hist[-1]
+
+
+def test_real_features_bf16_accuracy_parity(digits_cfg):
+    """DTYPE:bfloat16 (the bench default fast path: bf16 aggregate
+    gathers, f32 accumulation) must not cost accuracy on real data."""
+    digits_cfg.num_partitions = 1
+    digits_cfg.dtype = "bfloat16"
+    digits_cfg.kernel_backend = "pallas"   # ELL backend (where agg_dtype acts)
+    tr, hist = run_from_config(digits_cfg, log_every=0)
+    assert hist[-1]["test"] > 0.95, hist[-1]
