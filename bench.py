@@ -72,12 +72,19 @@ def main():
     build_s = time.time() - t0
     _log(f"graph+data built in {build_s:.1f}s (V={v} E={g.num_edges})")
 
+    # eager op order (the reference's GCNCPUEAGER variant,
+    # toolkits/GCN_CPU_EAGER.hpp): transform THEN aggregate — layer 1
+    # aggregates at F=128 instead of F=602, cutting the dominant gather
+    # traffic ~4.7×. NSL_BENCH_EAGER=0 for the aggregate-first order.
+    eager = os.environ.get("NSL_BENCH_EAGER", "1") == "1"
     t0 = time.time()
-    tr = FullGraphTrainer(datum, cfg, model=gcn, backend=backend)
-    _log(f"trainer built in {time.time()-t0:.1f}s")
+    tr = FullGraphTrainer(datum, cfg, model=gcn, backend=backend,
+                          eager=eager)
+    _log(f"trainer built in {time.time()-t0:.1f}s (eager={eager})")
     t0 = time.time()
     tr.run(epochs=2)  # warmup + compile
-    _log(f"warmup (compile + 2 epochs) {time.time()-t0:.1f}s")
+    warmup_s = time.time() - t0
+    _log(f"warmup (compile + 2 epochs) {warmup_s:.1f}s")
     # three timed windows, report the MEDIAN (the axon tunnel adds
     # per-dispatch jitter; a single window under-reports by up to ~15%)
     windows = []
@@ -109,6 +116,7 @@ def main():
             "epoch_s": round(wall / epochs, 4),
             "windows_s": [round(w, 3) for w in windows],
             "build_s": round(build_s, 2),
+            "warmup_s": round(warmup_s, 1), "eager": eager,
             "backend": jax.default_backend(), "dtype": dtype,
         },
     }))

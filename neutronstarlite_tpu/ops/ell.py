@@ -509,17 +509,23 @@ def _attn_bwd(slope, res, g):
             (0, ell.f_idx.shape[0] - ell.num_dst))
     ds_dst = ds_dst[:s_dst.shape[0]]
 
-    # d s_src via the slot permutation: gather dpre in src-major layout
-    dpre_flat = jnp.concatenate(
-        [dpre.reshape(-1), dpre_t.reshape(-1), jnp.zeros(1, dpre.dtype)])
+    # d s_src and the permuted attention weights need the SAME slot
+    # permutation — gather them as ONE [slots, 2] table (one 16M-element
+    # scalar gather instead of two; gathers of this shape are
+    # per-element-overhead-bound on TPU)
+    flat2 = jnp.stack(
+        [jnp.concatenate([dpre.reshape(-1), dpre_t.reshape(-1),
+                          jnp.zeros(1, dpre.dtype)]),
+         jnp.concatenate([a.reshape(-1), a_t.reshape(-1),
+                          jnp.zeros(1, a.dtype)])], axis=-1)
     b_valid = ell.b_w != 0
-    ds_src_base = jnp.sum(
-        jnp.where(b_valid, jnp.take(dpre_flat, ell.b_perm), 0.0), axis=1)
+    g2 = jnp.take(flat2, ell.b_perm, axis=0)        # [Vs_pad, Kb, 2]
+    ds_src_base = jnp.sum(jnp.where(b_valid, g2[..., 0], 0.0), axis=1)
+    a_bwd = jnp.where(b_valid, g2[..., 1], 0.0)
     if ell.b_tail_idx.shape[0]:
         bt_valid = ell.b_tail_w != 0
-        ds_src_tail = jnp.sum(
-            jnp.where(bt_valid, jnp.take(dpre_flat, ell.b_tail_perm), 0.0),
-            axis=1)
+        g2t = jnp.take(flat2, ell.b_tail_perm, axis=0)
+        ds_src_tail = jnp.sum(jnp.where(bt_valid, g2t[..., 0], 0.0), axis=1)
         ds_src = _tail_combine(ds_src_base[:ell.num_src], ds_src_tail,
                                ell.b_tail_rows, ell.num_src)
     else:
@@ -527,13 +533,9 @@ def _attn_bwd(slope, res, g):
     ds_src = ds_src[:s_src.shape[0]]
 
     # dX via transposed aggregate with permuted attention weights
-    a_flat = jnp.concatenate(
-        [a.reshape(-1), a_t.reshape(-1), jnp.zeros(1, a.dtype)])
-    a_bwd = jnp.where(b_valid, jnp.take(a_flat, ell.b_perm), 0.0)
     dx = slab_matvec(ell.b_idx, a_bwd, gc)[:ell.num_src]
     if ell.b_tail_idx.shape[0]:
-        a_bwd_t = jnp.where(ell.b_tail_w != 0,
-                            jnp.take(a_flat, ell.b_tail_perm), 0.0)
+        a_bwd_t = jnp.where(bt_valid, g2t[..., 1], 0.0)
         dx = _tail_combine(dx, slab_matvec(ell.b_tail_idx, a_bwd_t, gc),
                            ell.b_tail_rows, ell.num_src)
     dx = dx[:x.shape[0]].astype(x.dtype)
@@ -709,30 +711,26 @@ def _gated_bwd(slope, resid, g):
         dg_dst = jnp.concatenate([comb, dg_dst[ell.num_dst:]])
     dg_dst = dg_dst[:g_dst.shape[0]]
 
-    # flat slot-major [slots, F] tables for the permutation gathers
-    dpre_flat = jnp.concatenate(
-        [dpre.reshape(-1, f), dpre_t.reshape(-1, f),
-         jnp.zeros((1, f), dpre.dtype)], axis=0)
-    a_flat = jnp.concatenate(
-        [a.reshape(-1, f), a_t.reshape(-1, f), jnp.zeros((1, f), a.dtype)],
-        axis=0)
+    # flat slot-major table for the permutation gathers: dpre and a share
+    # the slot permutation, so gather them as ONE [slots, 2F] table
+    flat2 = jnp.concatenate(
+        [jnp.concatenate([dpre.reshape(-1, f), dpre_t.reshape(-1, f),
+                          jnp.zeros((1, f), dpre.dtype)], axis=0),
+         jnp.concatenate([a.reshape(-1, f), a_t.reshape(-1, f),
+                          jnp.zeros((1, f), a.dtype)], axis=0)], axis=-1)
 
     b_valid = (ell.b_w != 0)[:, :, None]
-    dg_src = jnp.sum(jnp.where(b_valid,
-                               jnp.take(dpre_flat, ell.b_perm, axis=0), 0.0),
-                     axis=1)
-    a_bwd = jnp.where(b_valid, jnp.take(a_flat, ell.b_perm, axis=0), 0.0)
+    g2 = jnp.take(flat2, ell.b_perm, axis=0)      # [Vs_pad, Kb, 2F]
+    dg_src = jnp.sum(jnp.where(b_valid, g2[..., :f], 0.0), axis=1)
+    a_bwd = jnp.where(b_valid, g2[..., f:], 0.0)
     dx = slab_gated_matvec(ell.b_idx, a_bwd, gc)[:ell.num_src]
     if ell.b_tail_idx.shape[0]:
         bt_valid = (ell.b_tail_w != 0)[:, :, None]
-        dg_src_t = jnp.sum(
-            jnp.where(bt_valid,
-                      jnp.take(dpre_flat, ell.b_tail_perm, axis=0), 0.0),
-            axis=1)
+        g2t = jnp.take(flat2, ell.b_tail_perm, axis=0)
+        dg_src_t = jnp.sum(jnp.where(bt_valid, g2t[..., :f], 0.0), axis=1)
         dg_src = _tail_combine(dg_src[:ell.num_src], dg_src_t,
                                ell.b_tail_rows, ell.num_src)
-        a_bwd_t = jnp.where(bt_valid,
-                            jnp.take(a_flat, ell.b_tail_perm, axis=0), 0.0)
+        a_bwd_t = jnp.where(bt_valid, g2t[..., f:], 0.0)
         dx = _tail_combine(dx, slab_gated_matvec(ell.b_tail_idx, a_bwd_t,
                                                  gc),
                            ell.b_tail_rows, ell.num_src)

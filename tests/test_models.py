@@ -38,6 +38,14 @@ class TestGCN:
         hist = tr.run()
         assert np.isfinite(hist[-1]["loss"])
 
+    def test_gcn_eager_converges(self, sbm):
+        """Eager op order (GCNCPUEAGER, now the bench default) must reach
+        the same accuracy class as aggregate-first."""
+        tr = FullGraphTrainer(sbm, make_config(sbm), model=gcn,
+                              backend="xla", eager=True)
+        hist = tr.run()
+        assert hist[-1]["test"] > 0.75, hist[-1]
+
     def test_gcn_ell_backend(self, sbm):
         tr = FullGraphTrainer(sbm, make_config(sbm, epochs=20), model=gcn,
                               backend="pallas")
