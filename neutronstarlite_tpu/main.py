@@ -64,18 +64,10 @@ def run_from_config(config: InputInfo, log_every: int = 1):
         else:
             trainer = FullGraphTrainer(datum, config, model=model,
                                        backend=backend, **kwargs)
-    if config.profile_dir:
-        # on-device tracing (the reference's hand-rolled phase timers +
-        # DEBUGINFO, SURVEY.md §5, replaced by a real profiler)
-        import contextlib
-
-        import jax
-        ctx = jax.profiler.trace(config.profile_dir)
-    else:
-        import contextlib
-        ctx = contextlib.nullcontext()
-    with ctx:
-        history = trainer.run(log_every=log_every)
+    # on-device tracing (the reference's hand-rolled phase timers +
+    # DEBUGINFO, SURVEY.md §5, replaced by a real profiler)
+    history = trainer.run(log_every=log_every,
+                          profile_dir=config.profile_dir)
     exec_time = time.time() - t0
     print(f"#run_time={exec_time:.3f}(s)")  # main.cpp:189-192 format
     return trainer, history

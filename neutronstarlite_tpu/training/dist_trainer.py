@@ -228,7 +228,11 @@ class DistTrainer:
             return jax.device_put(a, sh)
         return jax.tree.map(put, tree)
 
-    def run(self, epochs: int | None = None, log_every: int = 0):
+    def run(self, epochs: int | None = None, log_every: int = 0,
+            profile_dir: str = ""):
+        if profile_dir:
+            with jax.profiler.trace(profile_dir):
+                return self.run(epochs, log_every)
         epochs = epochs if epochs is not None else self.config.epochs
         history = []
         params = self._stage(self.state.params, P())

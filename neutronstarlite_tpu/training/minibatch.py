@@ -341,7 +341,11 @@ class MinibatchTrainer:
         self.run_key = st["run_key"]
         return int(st["epoch"])
 
-    def run(self, epochs: int | None = None, log_every: int = 0):
+    def run(self, epochs: int | None = None, log_every: int = 0,
+            profile_dir: str = ""):
+        if profile_dir:
+            with jax.profiler.trace(profile_dir):
+                return self.run(epochs, log_every)
         epochs = epochs if epochs is not None else self.config.epochs
         history = []
         t0 = time.time()

@@ -100,12 +100,20 @@ class FullGraphTrainer:
             return params, bn, opt_state, losses, accs
         return jax.jit(fused)
 
-    def run(self, epochs: int | None = None, log_every: int = 0):
+    def run(self, epochs: int | None = None, log_every: int = 0,
+            profile_dir: str = ""):
         """Train; returns history list of per-epoch dicts.
 
         With config.checkpoint_path set, saves every ``checkpoint_every``
         epochs (and at the end); an improvement over the reference, which
-        has no training persistence (SURVEY.md §5)."""
+        has no training persistence (SURVEY.md §5).
+
+        ``profile_dir`` wraps the run in a ``jax.profiler.trace`` — the
+        on-device view of the reference's DEBUGINFO phase breakdown
+        (toolkits/GCN.hpp:308-353). The CLI maps cfg PROFILE_DIR here."""
+        if profile_dir:
+            with jax.profiler.trace(profile_dir):
+                return self.run(epochs, log_every)
         epochs = epochs if epochs is not None else self.config.epochs
         fuse = max(1, int(getattr(self.config, "fuse_epochs", 1)))
         if fuse > 1:

@@ -166,3 +166,16 @@ class TestFusedEpochs:
         for pa, pb in zip(a.state.params, b.state.params):
             np.testing.assert_allclose(np.asarray(pa["w"]),
                                        np.asarray(pb["w"]), atol=1e-7)
+
+
+class TestProfilerTrace:
+    def test_run_profile_dir_writes_trace(self, sbm, tmp_path):
+        """trainer.run(profile_dir=...) wraps the run in jax.profiler.trace
+        (the on-device DEBUGINFO analogue, toolkits/GCN.hpp:308-353) and
+        produces a trace dump."""
+        tr = FullGraphTrainer(sbm, make_config(sbm), model=gcn,
+                              backend="xla")
+        hist = tr.run(epochs=2, profile_dir=str(tmp_path / "trace"))
+        assert len(hist) == 2 and np.isfinite(hist[-1]["loss"])
+        dumped = list((tmp_path / "trace").rglob("*"))
+        assert dumped, "profiler trace directory is empty"
