@@ -263,34 +263,40 @@ def build_ell_graph(g, ell_cap: int = 256,
 
 import os
 
-_BLOCK_GATHER_BUDGET = int(os.environ.get("NSL_GATHER_BUDGET_MB", "32"))     * 1024 * 1024
+# 128 MB measured best on v5e (vs 32: −15% gather time; 512: flat) —
+# r2 slab A/B, BASELINE.md
+_BLOCK_GATHER_BUDGET = int(os.environ.get("NSL_GATHER_BUDGET_MB", "128"))    * 1024 * 1024
 
 
 def slab_matvec(idx: jax.Array, w: jax.Array, x: jax.Array) -> jax.Array:
     """out[r] = Σ_k w[r,k]·x[idx[r,k]], chunked so the gathered temp stays
-    within a fixed byte budget."""
+    within a fixed byte budget.
+
+    Block sizing is dtype-aware (bf16 temps are half the bytes → twice the
+    rows per block); the 128 MB default budget is the measured sweet spot
+    on v5e (32 MB costs ~15% gather time, 512 MB is flat — see BASELINE.md
+    r2 slab A/B). einsum vs explicit multiply-reduce measured identical."""
     rows, k = idx.shape
     if rows == 0:
         return jnp.zeros((0, x.shape[-1]), x.dtype)
     f = x.shape[-1]
-    bv = max(8, min(rows, _BLOCK_GATHER_BUDGET // max(k * f * 4, 1)))
+    bv = max(8, min(rows,
+                    _BLOCK_GATHER_BUDGET // max(k * f * x.dtype.itemsize, 1)))
     bv = max(8, (bv // 8) * 8)
-    if rows <= bv:
-        g = jnp.take(x, idx, axis=0)
-        return jnp.einsum("vk,vkf->vf", w, g,
+
+    def block(args):
+        ib, wb = args
+        g = jnp.take(x, ib, axis=0)                       # [bv, K, F]
+        return jnp.einsum("vk,vkf->vf", wb, g,
                           preferred_element_type=jnp.float32).astype(x.dtype)
+
+    if rows <= bv:
+        return block((idx, w))
     n_blocks = -(-rows // bv)
     pad = n_blocks * bv - rows
     if pad:
         idx = jnp.pad(idx, ((0, pad), (0, 0)))
         w = jnp.pad(w, ((0, pad), (0, 0)))
-
-    def block(args):
-        ib, wb = args
-        g = jnp.take(x, ib, axis=0)
-        return jnp.einsum("vk,vkf->vf", wb, g,
-                          preferred_element_type=jnp.float32).astype(x.dtype)
-
     out = jax.lax.map(block, (idx.reshape(n_blocks, bv, k),
                               w.reshape(n_blocks, bv, k)))
     return out.reshape(n_blocks * bv, f)[:rows]
@@ -304,7 +310,8 @@ def slab_sddmm(idx: jax.Array, valid: jax.Array, x: jax.Array,
     if rows == 0:
         return jnp.zeros((0, k), g_rows.dtype)
     f = x.shape[-1]
-    bv = max(8, min(rows, _BLOCK_GATHER_BUDGET // max(k * f * 4, 1)))
+    bv = max(8, min(rows,
+                    _BLOCK_GATHER_BUDGET // max(k * f * x.dtype.itemsize, 1)))
     bv = max(8, (bv // 8) * 8)
 
     def dense(ib, vb, gb):
@@ -553,10 +560,10 @@ Pytree = Any
 # Fused multi-lane gated aggregation (GGCN)
 # ---------------------------------------------------------------------------
 
-def _slab_gated_blocks(idx, rows_fn, rows, k, f, budget=None):
+def _slab_gated_blocks(idx, rows_fn, rows, k, f, budget=None, itemsize=4):
     """Helper: iterate row blocks with [bv, K, F] temps under the budget."""
     budget = budget or _BLOCK_GATHER_BUDGET
-    bv = max(8, min(rows, budget // max(k * f * 4, 1)))
+    bv = max(8, min(rows, budget // max(k * f * itemsize, 1)))
     return max(8, (bv // 8) * 8)
 
 
@@ -618,7 +625,7 @@ def slab_gated_matvec(idx: jax.Array, w3: jax.Array, x: jax.Array
     f = x.shape[-1]
     if rows == 0:
         return jnp.zeros((0, f), x.dtype)
-    bv = _slab_gated_blocks(idx, None, rows, k, f)
+    bv = _slab_gated_blocks(idx, None, rows, k, f, itemsize=x.dtype.itemsize)
     if rows <= bv:
         g = jnp.take(x, idx, axis=0)                  # [rows, K, F]
         return jnp.sum(w3 * g, axis=1).astype(x.dtype)

@@ -1,9 +1,11 @@
 """All-model throughput at Reddit scale on one chip, in one process.
 
-Times the full train epoch (fwd+bwd+NtsAdam) for GCN / GAT / GIN / CommNet /
-GGCN on the same power-law graph. One JSON line per model.
+Times the full train epoch (fwd+bwd+NtsAdam) for GCN (+eager) / GAT / GIN /
+CommNet / GGCN on the same power-law graph. One JSON line per model,
+median of 3 timed windows (axon dispatch jitter).
 
 Usage: python tools/bench_models.py
+Env: NSL_BENCH_V / NSL_BENCH_DEG / NSL_BENCH_EPOCHS / NSL_BENCH_DTYPE
 """
 
 import json
@@ -20,6 +22,7 @@ def main():
     v = int(os.environ.get("NSL_BENCH_V", 232965))
     deg = int(os.environ.get("NSL_BENCH_DEG", 50))
     epochs = int(os.environ.get("NSL_BENCH_EPOCHS", 5))
+    dtype = os.environ.get("NSL_BENCH_DTYPE", "bfloat16")
 
     from bench import make_powerlaw_graph
     from neutronstarlite_tpu.config import InputInfo
@@ -35,25 +38,38 @@ def main():
     datum = GNNDatum(graph=g, features=feats, labels=labels, masks=masks,
                      num_classes=41)
 
-    for name, model in (("gcn", gcn), ("gin", gin), ("commnet", commnet),
-                        ("gat", gat), ("ggcn", ggcn)):
+    runs = (("gcn", gcn, {}), ("gcn_eager", gcn, {"eager": True}),
+            ("gin", gin, {}), ("commnet", commnet, {}),
+            ("gat", gat, {}), ("ggcn", ggcn, {}))
+    for name, model, kwargs in runs:
         cfg = InputInfo(vertices=v, epochs=epochs,
                         layer_string="602-128-41", learn_rate=0.01,
                         weight_decay=1e-4,
-                        drop_rate=0.5 if name == "gcn" else 0.0, seed=0)
-        t0 = time.time()
-        tr = FullGraphTrainer(datum, cfg, model=model, backend="pallas")
-        tr.run(epochs=2)  # compile + warm
-        setup = time.time() - t0
-        t0 = time.time()
-        hist = tr.run(epochs=epochs)
-        wall = time.time() - t0
-        ok = all(np.isfinite(h["loss"]) for h in hist)
-        print(json.dumps({
-            "model": name, "epoch_s": round(wall / epochs, 4),
-            "edges_per_sec": round(g.num_edges * epochs / wall),
-            "setup_s": round(setup, 1), "finite": ok,
-        }), flush=True)
+                        drop_rate=0.5 if name.startswith("gcn") else 0.0,
+                        seed=0, dtype=dtype)
+        try:
+            t0 = time.time()
+            tr = FullGraphTrainer(datum, cfg, model=model, backend="pallas",
+                                  **kwargs)
+            tr.run(epochs=2)  # compile + warm
+            setup = time.time() - t0
+            ws = []
+            for _ in range(3):
+                t0 = time.time()
+                hist = tr.run(epochs=epochs)
+                ws.append(time.time() - t0)
+            wall = sorted(ws)[1]
+            ok = all(np.isfinite(h["loss"]) for h in hist)
+            print(json.dumps({
+                "model": name, "dtype": dtype,
+                "epoch_s": round(wall / epochs, 4),
+                "edges_per_sec": round(g.num_edges * epochs / wall),
+                "setup_s": round(setup, 1), "finite": ok,
+            }), flush=True)
+            del tr
+        except Exception as e:  # keep going: one OOM shouldn't kill the table
+            print(json.dumps({"model": name, "dtype": dtype,
+                              "error": str(e)[:200]}), flush=True)
 
 
 if __name__ == "__main__":
