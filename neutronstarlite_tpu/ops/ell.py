@@ -645,6 +645,195 @@ def slab_gated_matvec(idx: jax.Array, w3: jax.Array, x: jax.Array
     return out.reshape(n_blocks * bv, f)[:rows]
 
 
+# Above this many bytes of [slots, F] score tensors the gated op switches
+# to the CHUNKED pipeline (blockwise stat passes + layout-native backward,
+# nothing slot-shaped ever materialized) — the dense form crashes the
+# compiler at Reddit scale (16.8M slots × F ≥ 64).
+_GATED_CHUNK_BYTES = int(os.environ.get("NSL_GATED_CHUNK_MB", "1024")) * 2**20
+
+
+def _gated_big(ell: EllGraph, f: int) -> bool:
+    slots = (ell.f_idx.size + ell.f_tail_idx.size
+             + ell.b_idx.size + ell.b_tail_idx.size)
+    return slots * f * 4 > _GATED_CHUNK_BYTES
+
+
+def _map_row_blocks(fn, arrays, rows, bv):
+    """Apply ``fn`` over row blocks of equally-row-counted arrays, concat
+    results ([rows, ...] outputs). Single-block case skips lax.map."""
+    if rows <= bv:
+        return fn(tuple(arrays))
+    n_blocks = -(-rows // bv)
+    pad = n_blocks * bv - rows
+    padded = [jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+              for a in arrays]
+    shaped = tuple(a.reshape((n_blocks, bv) + a.shape[1:]) for a in padded)
+    outs = jax.lax.map(fn, shaped)
+    if isinstance(outs, tuple):
+        return tuple(o.reshape((n_blocks * bv,) + o.shape[2:])[:rows]
+                     for o in outs)
+    return outs.reshape((n_blocks * bv,) + outs.shape[2:])[:rows]
+
+
+def _gated_chunked_fwd(ell: EllGraph, x, g_src, g_dst, slope):
+    """Chunked gated forward: two blockwise dst-major passes (row-max, then
+    z-sum + z-weighted x) — peak temp is one [bv, K, 2F] block, never a
+    [slots, F] tensor. Returns (out, (row_max, ssum)) with the per-row
+    softmax stats saved for the layout-native backward."""
+    vd_pad, k = ell.f_idx.shape
+    f = x.shape[-1]
+    xc = ell.cast_in(x)
+    g_dst_p = jnp.pad(g_dst, ((0, vd_pad - g_dst.shape[0]), (0, 0)))
+    has_tail = ell.f_tail_idx.shape[0] > 0
+    trows = jnp.clip(ell.f_tail_rows, 0, vd_pad - 1) if has_tail else None
+
+    def blk_max(args):
+        ib, wb, gd = args
+        pre = jnp.take(g_src, ib, axis=0) + gd[:, None, :]
+        return jnp.max(jnp.where((wb != 0)[:, :, None],
+                                 jax.nn.leaky_relu(pre, slope), _NEG), axis=1)
+
+    bv = _slab_gated_blocks(None, None, vd_pad, k, f)
+    rmax = _map_row_blocks(blk_max, (ell.f_idx, ell.f_w, g_dst_p), vd_pad, bv)
+    if has_tail:
+        gd_t = jnp.take(g_dst_p, trows, axis=0)
+        rmax_t = _map_row_blocks(
+            blk_max, (ell.f_tail_idx, ell.f_tail_w, gd_t),
+            ell.f_tail_idx.shape[0], bv)
+        comb = _tail_combine(rmax[:ell.num_dst], rmax_t, ell.f_tail_rows,
+                             ell.num_dst, op="max")
+        rmax = jnp.concatenate([comb, rmax[ell.num_dst:]])
+    rmax = jnp.maximum(rmax, _NEG / 2)
+
+    # [g_src ‖ x] as ONE 2F table: one wide gather per slot, not two
+    table2 = jnp.concatenate([g_src, xc.astype(g_src.dtype)], axis=-1)
+
+    def blk_zsum(args):
+        ib, wb, gd, rm = args
+        t = jnp.take(table2, ib, axis=0)              # [bv, K, 2F]
+        pre = t[..., :f] + gd[:, None, :]
+        z = jnp.where((wb != 0)[:, :, None],
+                      jnp.exp(jax.nn.leaky_relu(pre, slope)
+                              - rm[:, None, :]), 0.0)
+        return jnp.sum(z, axis=1), jnp.sum(z * t[..., f:], axis=1)
+
+    bv2 = _slab_gated_blocks(None, None, vd_pad, k, 2 * f)
+    ssum, outz = _map_row_blocks(
+        blk_zsum, (ell.f_idx, ell.f_w, g_dst_p, rmax), vd_pad, bv2)
+    if has_tail:
+        rm_t = jnp.take(rmax, trows, axis=0)
+        ssum_t, outz_t = _map_row_blocks(
+            blk_zsum, (ell.f_tail_idx, ell.f_tail_w, gd_t, rm_t),
+            ell.f_tail_idx.shape[0], bv2)
+        ssum = jnp.concatenate([
+            _tail_combine(ssum[:ell.num_dst], ssum_t, ell.f_tail_rows,
+                          ell.num_dst), ssum[ell.num_dst:]])
+        outz = jnp.concatenate([
+            _tail_combine(outz[:ell.num_dst], outz_t, ell.f_tail_rows,
+                          ell.num_dst), outz[ell.num_dst:]])
+    ssum = jnp.maximum(ssum, 1e-30)
+    out = (outz[:ell.num_dst] / ssum[:ell.num_dst]).astype(x.dtype)
+    return out, (rmax, ssum)
+
+
+def _gated_chunked_bwd(ell: EllGraph, x, g_src, g_dst, slope, g, rmax, ssum):
+    """Chunked gated backward. Pass C (dst-major, blockwise) accumulates
+    inner = Σ a·da plus S1 = Σ a·dleaky·da and S2 = Σ a·dleaky, giving
+    dg_dst = S1 − inner·S2 in closed form. Passes E/F (src-major base/tail)
+    RECOMPUTE a and dpre per slot from a single 5F-wide gather of the
+    per-dst stats table [g_dst ‖ g ‖ row_max ‖ ssum ‖ inner] — no slot
+    permutation, no [slots, F] flat table (contrast the dense `_gated_bwd`,
+    whose b_perm gather is faster but needs the full table resident)."""
+    vd_pad, k = ell.f_idx.shape
+    f = x.shape[-1]
+    xc = ell.cast_in(x)
+    g_dst_p = jnp.pad(g_dst, ((0, vd_pad - g_dst.shape[0]), (0, 0)))
+    g_pad = jnp.pad(g, ((0, vd_pad - ell.num_dst), (0, 0))
+                    ).astype(g_src.dtype)
+    has_tail = ell.f_tail_idx.shape[0] > 0
+    trows = jnp.clip(ell.f_tail_rows, 0, vd_pad - 1) if has_tail else None
+    table2 = jnp.concatenate([g_src, xc.astype(g_src.dtype)], axis=-1)
+
+    def blk_inner(args):
+        ib, wb, gd, rm, ss, gr = args
+        t = jnp.take(table2, ib, axis=0)
+        pre = t[..., :f] + gd[:, None, :]
+        valid = (wb != 0)[:, :, None]
+        a = jnp.where(valid, jnp.exp(jax.nn.leaky_relu(pre, slope)
+                                     - rm[:, None, :]) / ss[:, None, :], 0.0)
+        da = t[..., f:] * gr[:, None, :]
+        dl = jnp.where(pre > 0, 1.0, slope)
+        return (jnp.sum(a * da, axis=1), jnp.sum(a * dl * da, axis=1),
+                jnp.sum(a * dl, axis=1))
+
+    bv2 = _slab_gated_blocks(None, None, vd_pad, k, 2 * f)
+    inner, s1, s2 = _map_row_blocks(
+        blk_inner, (ell.f_idx, ell.f_w, g_dst_p, rmax, ssum, g_pad),
+        vd_pad, bv2)
+    if has_tail:
+        gd_t = jnp.take(g_dst_p, trows, axis=0)
+        rm_t = jnp.take(rmax, trows, axis=0)
+        ss_t = jnp.take(ssum, trows, axis=0)
+        gr_t = jnp.take(g_pad, trows, axis=0)
+        inner_t, s1_t, s2_t = _map_row_blocks(
+            blk_inner,
+            (ell.f_tail_idx, ell.f_tail_w, gd_t, rm_t, ss_t, gr_t),
+            ell.f_tail_idx.shape[0], bv2)
+        inner = jnp.concatenate([
+            _tail_combine(inner[:ell.num_dst], inner_t, ell.f_tail_rows,
+                          ell.num_dst), inner[ell.num_dst:]])
+        s1 = jnp.concatenate([
+            _tail_combine(s1[:ell.num_dst], s1_t, ell.f_tail_rows,
+                          ell.num_dst), s1[ell.num_dst:]])
+        s2 = jnp.concatenate([
+            _tail_combine(s2[:ell.num_dst], s2_t, ell.f_tail_rows,
+                          ell.num_dst), s2[ell.num_dst:]])
+    dg_dst = (s1 - inner * s2)[:g_dst.shape[0]]
+
+    # per-dst stats table for the src-major passes
+    stats = jnp.concatenate([g_dst_p, g_pad, rmax, ssum, inner], axis=-1)
+
+    vs_pad, kb = ell.b_idx.shape
+    g_src_p = jnp.pad(g_src, ((0, vs_pad - g_src.shape[0]), (0, 0)))
+    x_p = jnp.pad(xc.astype(g_src.dtype),
+                  ((0, vs_pad - x.shape[0]), (0, 0)))
+
+    def blk_src(args):
+        ib, wb, gs, xs = args
+        t = jnp.take(stats, ib, axis=0)               # [bv, Kb, 5F]
+        gd, gr = t[..., :f], t[..., f:2 * f]
+        rm, ss, inn = (t[..., 2 * f:3 * f], t[..., 3 * f:4 * f],
+                       t[..., 4 * f:])
+        pre = gs[:, None, :] + gd
+        valid = (wb != 0)[:, :, None]
+        a = jnp.where(valid,
+                      jnp.exp(jax.nn.leaky_relu(pre, slope) - rm) / ss, 0.0)
+        da = xs[:, None, :] * gr
+        dl = jnp.where(pre > 0, 1.0, slope)
+        return (jnp.sum(a * dl * (da - inn), axis=1),   # dg_src rows
+                jnp.sum(a * gr, axis=1))                # dx rows
+
+    bv5 = _slab_gated_blocks(None, None, vs_pad, kb, 5 * f)
+    dg_src, dx = _map_row_blocks(
+        blk_src, (ell.b_idx, ell.b_w, g_src_p, x_p), vs_pad, bv5)
+    if ell.b_tail_idx.shape[0]:
+        btr = jnp.clip(ell.b_tail_rows, 0, vs_pad - 1)
+        gs_t = jnp.take(g_src_p, btr, axis=0)
+        xs_t = jnp.take(x_p, btr, axis=0)
+        dg_src_t, dx_t = _map_row_blocks(
+            blk_src, (ell.b_tail_idx, ell.b_tail_w, gs_t, xs_t),
+            ell.b_tail_idx.shape[0], bv5)
+        dg_src = _tail_combine(dg_src[:ell.num_src], dg_src_t,
+                               ell.b_tail_rows, ell.num_src)
+        dx = _tail_combine(dx[:ell.num_src], dx_t, ell.b_tail_rows,
+                           ell.num_src)
+    else:
+        dg_src = dg_src[:ell.num_src]
+        dx = dx[:ell.num_src]
+    return (dx[:x.shape[0]].astype(x.dtype), dg_src[:g_src.shape[0]],
+            dg_dst)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(4,))
 def gated_aggregate(ell: EllGraph, x: jax.Array, g_src: jax.Array,
                     g_dst: jax.Array, slope: float = 0.2) -> jax.Array:
@@ -653,7 +842,12 @@ def gated_aggregate(ell: EllGraph, x: jax.Array, g_src: jax.Array,
     GGCN's per-FEATURE gated edge chain (toolkits/GGCN_CPU.hpp:184-220) as
     one scatter-free slab op — the multi-lane generalization of
     ``attention_aggregate`` (lane-wise softmax over incoming slots).
+    Above _GATED_CHUNK_BYTES of score tensors it switches to the chunked
+    pipeline (static-shape decision), enabling Reddit-scale GGCN.
     """
+    if _gated_big(ell, x.shape[-1]):
+        out, _ = _gated_chunked_fwd(ell, x, g_src, g_dst, slope)
+        return out
     out, _ = _gated_fwd_impl(ell, x, g_src, g_dst, slope)
     return out
 
@@ -669,14 +863,22 @@ def _gated_fwd_impl(ell, x, g_src, g_dst, slope):
 
 
 def _gated_fwd(ell, x, g_src, g_dst, slope):
+    if _gated_big(ell, x.shape[-1]):
+        out, (rmax, ssum) = _gated_chunked_fwd(ell, x, g_src, g_dst, slope)
+        # row stats ([Vd_pad, F], small) spare the backward one full
+        # stat-recompute pass; everything slot-shaped is rematerialized
+        return out, (ell, x, g_src, g_dst, rmax, ssum)
     out, _ = _gated_fwd_impl(ell, x, g_src, g_dst, slope)
     # save only the inputs: the [V,K,F] score tensors are recomputed in the
     # backward (rematerialization — they dominate HBM otherwise)
-    return out, (ell, x, g_src, g_dst)
+    return out, (ell, x, g_src, g_dst, None, None)
 
 
 def _gated_bwd(slope, resid, g):
-    ell, x, g_src, g_dst = resid
+    ell, x, g_src, g_dst, rmax, ssum = resid
+    if rmax is not None:
+        return (None,) + _gated_chunked_bwd(ell, x, g_src, g_dst, slope, g,
+                                            rmax, ssum)
     a, a_t, pre_b, pre_t = _gated_scores(ell, g_src, g_dst, slope)
     vd_pad, k = ell.f_idx.shape
     f = x.shape[-1]

@@ -212,3 +212,75 @@ class TestGatedAggregate:
         op, _ = ggcn.forward(st, gt_p, feats, None, training=False)
         np.testing.assert_allclose(np.asarray(op), np.asarray(ox),
                                    rtol=1e-3, atol=1e-4)
+
+
+class TestGatedChunked:
+    """The chunked gated pipeline (forced via _GATED_CHUNK_BYTES=0) must
+    match the dense slot-tensor path bit-for-tolerance on out and all
+    three gradients — it is the Reddit-scale GGCN enabler."""
+
+    @pytest.fixture()
+    def gates(self, g):
+        r = np.random.default_rng(19)
+        return (jnp.asarray(r.standard_normal((g.num_vertices, 24))
+                            .astype(np.float32)),
+                jnp.asarray(r.standard_normal((g.num_vertices, 24))
+                            .astype(np.float32)))
+
+    def _both(self, monkeypatch, fn):
+        dense = fn()
+        monkeypatch.setattr(ell, "_GATED_CHUNK_BYTES", 0)
+        chunked = fn()
+        return dense, chunked
+
+    def test_fwd_matches_dense(self, monkeypatch, g, eg, feats, gates):
+        gs, gd = gates
+        dense, chunked = self._both(
+            monkeypatch, lambda: ell.gated_aggregate(eg, feats, gs, gd, 0.2))
+        np.testing.assert_allclose(np.asarray(chunked), np.asarray(dense),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_grads_match_dense(self, monkeypatch, g, eg, feats, gates):
+        gs, gd = gates
+        co = jnp.asarray(np.random.default_rng(23).standard_normal(
+            (g.num_vertices, 24)).astype(np.float32))
+
+        def grads():
+            def f(x, a, b):
+                return jnp.sum(ell.gated_aggregate(eg, x, a, b, 0.2) * co)
+            return jax.grad(f, argnums=(0, 1, 2))(feats, gs, gd)
+
+        dense, chunked = self._both(monkeypatch, grads)
+        for d, c, name in zip(dense, chunked, ("dx", "dg_src", "dg_dst")):
+            np.testing.assert_allclose(np.asarray(c), np.asarray(d),
+                                       rtol=2e-4, atol=2e-5,
+                                       err_msg=f"chunked grad mismatch: {name}")
+
+    def test_no_tail_graph(self, monkeypatch):
+        """Low-degree graph with no tail slab through the chunked path."""
+        r = np.random.default_rng(5)
+        v = 60
+        src = np.arange(v, dtype=np.int32)          # ring: max degree 2
+        dst = ((np.arange(v) + 1) % v).astype(np.int32)
+        s2, d2 = add_self_loops(src, dst, v)
+        g2 = build_graph(s2, d2, v)
+        eg2 = ell.build_ell_graph(g2, ell_cap=256)
+        assert eg2.f_tail_idx.shape[0] == 0
+        feats = jnp.asarray(r.standard_normal((v, 8)).astype(np.float32))
+        gs = jnp.asarray(r.standard_normal((v, 8)).astype(np.float32))
+        gd = jnp.asarray(r.standard_normal((v, 8)).astype(np.float32))
+
+        def run():
+            def f(x, a, b):
+                return jnp.sum(ell.gated_aggregate(eg2, x, a, b, 0.2) ** 2)
+            return (ell.gated_aggregate(eg2, feats, gs, gd, 0.2),
+                    jax.grad(f, argnums=(0, 1, 2))(feats, gs, gd))
+
+        (od, gdense) = run()
+        monkeypatch.setattr(ell, "_GATED_CHUNK_BYTES", 0)
+        (oc, gchunk) = run()
+        np.testing.assert_allclose(np.asarray(oc), np.asarray(od),
+                                   rtol=1e-4, atol=1e-5)
+        for d, c in zip(gdense, gchunk):
+            np.testing.assert_allclose(np.asarray(c), np.asarray(d),
+                                       rtol=2e-4, atol=2e-5)
