@@ -51,6 +51,10 @@ def main():
     # vs 17.6-20M f32, r2-measured; accuracy parity asserted in
     # tests/test_real_dataset.py); NSL_BENCH_DTYPE=float32 for the fallback
     dtype = os.environ.get("NSL_BENCH_DTYPE", "bfloat16")
+    # scan-fuse all epochs of a window into ONE device dispatch
+    # (FUSE_EPOCHS): the per-epoch float(loss) sync pays an axon-tunnel
+    # round trip otherwise. NSL_BENCH_FUSE=1 for per-epoch dispatch.
+    fuse = int(os.environ.get("NSL_BENCH_FUSE", "1"))
 
     import jax
     import jax.numpy as jnp
@@ -68,7 +72,7 @@ def main():
                      num_classes=41)
     cfg = InputInfo(vertices=v, epochs=epochs, layer_string="602-128-41",
                     learn_rate=0.01, weight_decay=1e-4, drop_rate=0.5,
-                    seed=0, dtype=dtype)
+                    seed=0, dtype=dtype, fuse_epochs=fuse)
     build_s = time.time() - t0
     _log(f"graph+data built in {build_s:.1f}s (V={v} E={g.num_edges})")
 
@@ -82,7 +86,10 @@ def main():
                           eager=eager)
     _log(f"trainer built in {time.time()-t0:.1f}s (eager={eager})")
     t0 = time.time()
-    tr.run(epochs=2)  # warmup + compile
+    # warmup must compile the path the windows use: with fuse>1 that is
+    # the scan-fused executable (epochs=fuse → one fused call, no
+    # unfused remainder), else the single-step executable
+    tr.run(epochs=max(2, fuse) if fuse > 1 else 2)  # warmup + compile
     warmup_s = time.time() - t0
     _log(f"warmup (compile + 2 epochs) {warmup_s:.1f}s")
     # three timed windows, report the MEDIAN (the axon tunnel adds

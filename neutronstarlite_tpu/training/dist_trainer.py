@@ -119,11 +119,39 @@ class DistTrainer:
         self.use_stale_cache = self.cache_refresh > 1 and self.dg.h_pad > 0
         self.hot_cache = None
         self._step = self._build_step(mode="plain")
+        self._fused = None  # built lazily when config.fuse_epochs > 1
         if self.use_stale_cache:
             self._step_fresh = self._build_step(mode="fresh")
             self._step_cached = self._build_step(mode="cached")
 
     def _build_step(self, mode: str = "plain"):
+        return jax.jit(self._shard_step(mode))
+
+    def _build_fused(self, n: int):
+        """Scan ``n`` dist epochs per dispatch (FUSE_EPOCHS, same semantics
+        as FullGraphTrainer._make_fused): one host round trip per window —
+        N all_to_all layers stay on ICI back-to-back. Only the plain mode
+        is fused; the stale-DepCache schedule needs per-epoch host control
+        of the refresh cadence."""
+        f = self._shard_step("plain")
+
+        def fused(arrs, x, labels, masks, row_valid, params, bn, opt_state,
+                  key):
+            keys = jax.random.split(key, n)
+
+            def body(carry, k):
+                params, bn, opt_state = carry
+                params, bn, opt_state, loss, accs, _ = f(
+                    arrs, x, labels, masks, row_valid, params, bn,
+                    opt_state, k, ())
+                return (params, bn, opt_state), (loss, accs)
+
+            (params, bn, opt_state), (losses, accs) = jax.lax.scan(
+                body, (params, bn, opt_state), keys)
+            return params, bn, opt_state, losses, accs
+        return jax.jit(fused)
+
+    def _shard_step(self, mode: str = "plain"):
         mesh = self.mesh
         model = self.model
         model_kwargs = self.model_kwargs
@@ -209,7 +237,7 @@ class DistTrainer:
             return f(arrs, x, labels, masks, row_valid, params, bn, opt_state,
                      key, cache)
 
-        return jax.jit(jit_step)
+        return jit_step
 
     def _stage(self, tree, spec):
         """Host arrays → global device arrays with an explicit mesh
@@ -243,6 +271,10 @@ class DistTrainer:
         labels = self._stage(self.labels, P("p"))
         masks = self._stage(self.masks, P("p"))
         row_valid = self._stage(self.row_valid, P("p"))
+        fuse = max(1, int(getattr(self.config, "fuse_epochs", 1)))
+        if fuse > 1 and not self.use_stale_cache:
+            return self._run_fused(epochs, fuse, log_every, arrs, x, labels,
+                                   masks, row_valid, params, bn, opt_state)
         t0 = time.time()
         ep_global = 0
         for ep in range(epochs):
@@ -274,6 +306,49 @@ class DistTrainer:
             ckpt_path = self.config.checkpoint_path
             if ckpt_path and self.config.checkpoint_every and                     (ep + 1) % self.config.checkpoint_every == 0:
                 self._save(ckpt_path, params, bn, opt_state, ep + 1)
+        jax.block_until_ready(params)
+        self.exec_time = time.time() - t0
+        self.state = type(self.state)(params=params, bn=self.state.bn)
+        self.bn = bn
+        self.opt_state = opt_state
+        if self.config.checkpoint_path:
+            self._save(self.config.checkpoint_path, params, bn, opt_state,
+                       epochs)
+        return history
+
+    def _run_fused(self, epochs, fuse, log_every, arrs, x, labels, masks,
+                   row_valid, params, bn, opt_state):
+        if self._fused is None or self._fused[0] != fuse:
+            self._fused = (fuse, self._build_fused(fuse))
+        fused = self._fused[1]
+        history = []
+        t0 = time.time()
+        done = 0
+        while done + fuse <= epochs:
+            self.run_key, k = jax.random.split(self.run_key)
+            if jax.process_count() > 1:
+                k = self._stage(k, P())
+            params, bn, opt_state, losses, accs = fused(
+                arrs, x, labels, masks, row_valid, params, bn, opt_state, k)
+            for j in range(fuse):
+                rec = {"epoch": done + j, "loss": float(losses[j]),
+                       **{k2: float(v[j]) for k2, v in accs.items()}}
+                history.append(rec)
+                if log_every and (rec["epoch"] % log_every == 0):
+                    print(f"epoch {rec['epoch']:4d} loss {rec['loss']:.4f} "
+                          f"train {rec['train']:.4f} val {rec['val']:.4f} "
+                          f"test {rec['test']:.4f}")
+            done += fuse
+        # remainder epochs run unfused (must not over-train past ``epochs``)
+        for ep in range(done, epochs):
+            self.run_key, k = jax.random.split(self.run_key)
+            if jax.process_count() > 1:
+                k = self._stage(k, P())
+            params, bn, opt_state, loss, accs, _ = self._step(
+                arrs, x, labels, masks, row_valid, params, bn, opt_state,
+                k, ())
+            history.append({"epoch": ep, "loss": float(loss),
+                            **{k2: float(v) for k2, v in accs.items()}})
         jax.block_until_ready(params)
         self.exec_time = time.time() - t0
         self.state = type(self.state)(params=params, bn=self.state.bn)

@@ -121,6 +121,22 @@ class TestDistTrainer:
             assert abs(a["loss"] - b["loss"]) < 2e-4, (a, b)
             assert abs(a["train"] - b["train"]) < 1e-6
 
+    def test_dist_fused_epochs_match_unfused(self, sbm):
+        """FUSE_EPOCHS on the dist engine (scan of shard_map steps, one
+        dispatch per window) must reproduce the per-epoch dispatch loop
+        exactly when training is deterministic (drop_rate=0)."""
+        cfg = make_config(sbm, epochs=7)
+        plain = DistTrainer(sbm, cfg, model=gcn, num_partitions=4)
+        h1 = plain.run()
+        cfg2 = make_config(sbm, epochs=7)
+        cfg2.fuse_epochs = 3  # 2 fused windows + 1 unfused remainder epoch
+        fused = DistTrainer(sbm, cfg2, model=gcn, num_partitions=4)
+        h2 = fused.run()
+        assert len(h1) == len(h2) == 7
+        for a, b in zip(h1, h2):
+            assert abs(a["loss"] - b["loss"]) < 2e-5, (a, b)
+            assert abs(a["test"] - b["test"]) < 1e-6, (a, b)
+
     def test_dist_commnet_tracks_single_chip(self, sbm):
         """P=4: the objective is Σ_p mean_p (the reference's per-rank mean
         loss + summed grads, GCN_CPU.hpp:187-206) — slightly different from
