@@ -40,6 +40,7 @@ from neutronstarlite_tpu.nn import layers, optim
 from neutronstarlite_tpu.parallel.depcomm import (build_dist_graph,
                                                   device_view, make_tensors)
 from neutronstarlite_tpu.parallel.mesh import make_mesh
+from neutronstarlite_tpu.training.trainer import _pack_stats, _unpack_history
 
 
 def _shard_map(f, mesh, in_specs, out_specs):
@@ -262,7 +263,7 @@ class DistTrainer:
             with jax.profiler.trace(profile_dir):
                 return self.run(epochs, log_every)
         epochs = epochs if epochs is not None else self.config.epochs
-        history = []
+        rows = []
         params = self._stage(self.state.params, P())
         bn = self._stage(self.bn, P("p"))
         opt_state = self._stage(self.opt_state, P())
@@ -296,17 +297,16 @@ class DistTrainer:
                                       params, bn, opt_state, k,
                                       self.hot_cache)
             ep_global += 1
-            rec = {"epoch": ep, "loss": float(loss),
-                   **{k2: float(v) for k2, v in accs.items()}}
-            history.append(rec)
+            rows.append(_pack_stats(loss, accs))
             if log_every and (ep % log_every == 0 or ep == epochs - 1):
-                print(f"epoch {ep:4d} loss {rec['loss']:.4f} "
-                      f"train {rec['train']:.4f} val {rec['val']:.4f} "
-                      f"test {rec['test']:.4f}")
+                r = np.asarray(rows[-1])  # one transfer for all 4 scalars
+                print(f"epoch {ep:4d} loss {r[0]:.4f} train {r[1]:.4f} "
+                      f"val {r[2]:.4f} test {r[3]:.4f}")
             ckpt_path = self.config.checkpoint_path
             if ckpt_path and self.config.checkpoint_every and                     (ep + 1) % self.config.checkpoint_every == 0:
                 self._save(ckpt_path, params, bn, opt_state, ep + 1)
-        jax.block_until_ready(params)
+        # ONE transfer materializes history + synchronizes (see trainer.py)
+        history = _unpack_history(rows)
         self.exec_time = time.time() - t0
         self.state = type(self.state)(params=params, bn=self.state.bn)
         self.bn = bn
@@ -321,7 +321,7 @@ class DistTrainer:
         if self._fused is None or self._fused[0] != fuse:
             self._fused = (fuse, self._build_fused(fuse))
         fused = self._fused[1]
-        history = []
+        rows = []
         t0 = time.time()
         done = 0
         while done + fuse <= epochs:
@@ -330,14 +330,16 @@ class DistTrainer:
                 k = self._stage(k, P())
             params, bn, opt_state, losses, accs = fused(
                 arrs, x, labels, masks, row_valid, params, bn, opt_state, k)
-            for j in range(fuse):
-                rec = {"epoch": done + j, "loss": float(losses[j]),
-                       **{k2: float(v[j]) for k2, v in accs.items()}}
-                history.append(rec)
-                if log_every and (rec["epoch"] % log_every == 0):
-                    print(f"epoch {rec['epoch']:4d} loss {rec['loss']:.4f} "
-                          f"train {rec['train']:.4f} val {rec['val']:.4f} "
-                          f"test {rec['test']:.4f}")
+            window = jnp.stack([losses, accs["train"], accs["val"],
+                                accs["test"]], axis=1)  # [fuse, 4]
+            rows.append(window)
+            if log_every:
+                w = np.asarray(window)  # one transfer per logged window
+                for j in range(fuse):
+                    if (done + j) % log_every == 0:
+                        print(f"epoch {done + j:4d} loss {w[j, 0]:.4f} "
+                              f"train {w[j, 1]:.4f} val {w[j, 2]:.4f} "
+                              f"test {w[j, 3]:.4f}")
             done += fuse
         # remainder epochs run unfused (must not over-train past ``epochs``)
         for ep in range(done, epochs):
@@ -347,9 +349,8 @@ class DistTrainer:
             params, bn, opt_state, loss, accs, _ = self._step(
                 arrs, x, labels, masks, row_valid, params, bn, opt_state,
                 k, ())
-            history.append({"epoch": ep, "loss": float(loss),
-                            **{k2: float(v) for k2, v in accs.items()}})
-        jax.block_until_ready(params)
+            rows.append(_pack_stats(loss, accs))
+        history = _unpack_history(rows)
         self.exec_time = time.time() - t0
         self.state = type(self.state)(params=params, bn=self.state.bn)
         self.bn = bn

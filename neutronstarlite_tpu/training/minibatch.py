@@ -246,8 +246,10 @@ class MinibatchTrainer:
         ).permutation(nids) if training else nids
         bs = self.config.batch_size
         sb = bs * self.DEVICE_STEPS_PER_CALL     # seeds per device call
-        tot_loss = tot_c = tot_n = 0
-        n_live = 0.0
+        rows = []   # [loss_sum, live, correct, count] per device call —
+        # materialized with ONE transfer after the loop (each float()/int()
+        # here would pay a device→host round trip per call; see trainer.py
+        # _pack_stats)
         for i in range(0, max(order.size, 1), sb):
             chunk = order[i:i + sb].astype(np.int32)
             if chunk.size == 0:
@@ -261,11 +263,14 @@ class MinibatchTrainer:
             with self.timer.phase(f"{split}_dev_scan"):
                 (self.params, self.opt_state, loss_sum, live, c, n) =                     epoch_fn(self.params, self.opt_state, self.features,
                              self.labels_dev, seeds_2d, k)
-                tot_loss += float(loss_sum)
-                n_live += float(live)
-            tot_c += int(c)
-            tot_n += int(n)
-        return tot_loss / max(n_live, 1), tot_c / max(tot_n, 1)
+                rows.append(jnp.stack([loss_sum, live,
+                                       c.astype(jnp.float32),
+                                       n.astype(jnp.float32)]))
+        if not rows:
+            return 0.0, 0.0
+        tot = np.asarray(jnp.stack(rows)).sum(axis=0)  # one transfer
+        return (float(tot[0]) / max(float(tot[1]), 1),
+                float(tot[2]) / max(float(tot[3]), 1))
 
     def _prefetch(self, split: str, depth: int = 4):
         """Host-side sampling pipeline: a producer thread runs the sampler
@@ -304,19 +309,20 @@ class MinibatchTrainer:
             return self.run_epoch_device(split)
         training = split == "train"
         step = self._train_step if training else self._eval_step
-        tot_loss, tot_correct, tot_count, n_batches = 0.0, 0, 0, 0
+        rows = []   # [loss, correct, count] per batch; one transfer at end
         for arrays, labels in self._prefetch(split):
             self.run_key, k = jax.random.split(self.run_key)
             with self.timer.phase(f"{split}_step"):
                 self.params, self.opt_state, loss, c, n = step(
                     self.params, self.opt_state, self.features, arrays,
                     labels, k)
-                tot_loss += float(loss)
-            tot_correct += int(c)
-            tot_count += int(n)
-            n_batches += 1
-        return (tot_loss / max(n_batches, 1),
-                tot_correct / max(tot_count, 1))
+                rows.append(jnp.stack([loss, c.astype(jnp.float32),
+                                       n.astype(jnp.float32)]))
+        if not rows:
+            return 0.0, 0.0
+        tot = np.asarray(jnp.stack(rows)).sum(axis=0)  # one transfer
+        return (float(tot[0]) / len(rows),
+                float(tot[1]) / max(float(tot[2]), 1))
 
     def debug_info(self):
         """Phase breakdown (the reference's DEBUGINFO(), GCN.hpp:308-353)."""
@@ -523,8 +529,7 @@ class DistMinibatchTrainer(MinibatchTrainer):
         ).permutation(nids) if training else nids
         bs = self.config.batch_size
         gs = bs * self.p
-        tot_loss = tot_c = tot_n = 0
-        n_steps = 0
+        rows = []   # [loss, correct, count] per step; one transfer at end
         for i in range(0, max(order.size, 1), gs):
             chunk = order[i:i + gs].astype(np.int32)
             if chunk.size == 0:
@@ -537,29 +542,26 @@ class DistMinibatchTrainer(MinibatchTrainer):
             self.params, self.opt_state, loss, c, n = step(
                 self.params, self.opt_state, self.features, self.labels_dev,
                 samp, seeds, k)
-            tot_loss += float(loss)
-            tot_c += int(c)
-            tot_n += int(n)
-            n_steps += 1
-        return tot_loss / max(n_steps, 1), tot_c / max(tot_n, 1)
+            rows.append(jnp.stack([loss, c.astype(jnp.float32),
+                                   n.astype(jnp.float32)]))
+        if not rows:
+            return 0.0, 0.0
+        tot = np.asarray(jnp.stack(rows)).sum(axis=0)  # one transfer
+        return (float(tot[0]) / len(rows),
+                float(tot[1]) / max(float(tot[2]), 1))
 
     def run_epoch(self, split: str = "train"):
         if getattr(self, "device_mode", False):
             return self._run_epoch_device_dist(split)
         training = split == "train"
         step = self._train_step_dist if training else self._eval_step_dist
-        tot_loss, tot_correct, tot_count, n_steps = 0.0, 0, 0, 0
+        rows = []   # [loss, correct, count] per group; one transfer at end
         group = []
         for item in self._prefetch(split):
             group.append(item)
             if len(group) < self.p:
                 continue
-            self._run_group(step, group)
-            r = self._last
-            tot_loss += r[0]
-            tot_correct += r[1]
-            tot_count += r[2]
-            n_steps += 1
+            rows.append(self._run_group(step, group))
             group = []
         if group:
             # pad the final group by repeating the last block with all-invalid
@@ -568,19 +570,21 @@ class DistMinibatchTrainer(MinibatchTrainer):
             dead = (jnp.full_like(arrays[0], -1),) + arrays[1:]
             while len(group) < self.p:
                 group.append((dead, labels))
-            self._run_group(step, group)
-            r = self._last
-            tot_loss += r[0]
-            tot_correct += r[1]
-            tot_count += r[2]
-            n_steps += 1
-        return (tot_loss / max(n_steps, 1), tot_correct / max(tot_count, 1))
+            rows.append(self._run_group(step, group))
+        if not rows:
+            return 0.0, 0.0
+        tot = np.asarray(jnp.stack(rows)).sum(axis=0)  # one transfer
+        return (float(tot[0]) / len(rows),
+                float(tot[1]) / max(float(tot[2]), 1))
 
     def _run_group(self, step, group):
+        """Returns a [loss, correct, count] device row (kept async; callers
+        materialize all rows with one transfer per epoch)."""
         self.run_key, k = jax.random.split(self.run_key)
         blocks = jax.tree.map(lambda *a: jnp.stack(a),
                               *[g[0] for g in group])
         labels = jnp.stack([g[1] for g in group])
         self.params, self.opt_state, loss, c, n = step(
             self.params, self.opt_state, self.features, blocks, labels, k)
-        self._last = (float(loss), int(c), int(n))
+        return jnp.stack([loss, c.astype(jnp.float32),
+                          n.astype(jnp.float32)])

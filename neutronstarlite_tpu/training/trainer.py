@@ -14,6 +14,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from neutronstarlite_tpu.config import InputInfo
 from neutronstarlite_tpu.graph.dataset import GNNDatum
@@ -29,6 +30,28 @@ def masked_accuracy(logits, labels, masks, which: int):
     pred = jnp.argmax(logits, axis=-1).astype(labels.dtype)
     correct = jnp.sum(jnp.where(sel, (pred == labels).astype(jnp.int32), 0))
     return correct, jnp.sum(sel.astype(jnp.int32))
+
+
+def _pack_stats(loss, accs):
+    """Bundle an epoch's scalars into ONE [4] device array. Retrieving
+    loss + 3 accuracies as separate ``float()`` calls costs 4 device→host
+    round trips per epoch — on the axon tunnel that was ~0.1 s/epoch of
+    pure RTT (measured: 0.303 → 0.205 s/epoch at Reddit scale). History is
+    materialized with a single transfer after the epoch loop instead."""
+    return jnp.stack([loss, accs["train"], accs["val"], accs["test"]])
+
+
+def _unpack_history(rows, n=None):
+    """rows: list of [4] or [k, 4] device arrays → list of history dicts."""
+    if not rows:
+        return []
+    arr = np.asarray(jnp.concatenate(
+        [r[None] if r.ndim == 1 else r for r in rows], axis=0))
+    if n is not None:
+        arr = arr[:n]
+    return [{"epoch": i, "loss": float(r[0]), "train": float(r[1]),
+             "val": float(r[2]), "test": float(r[3])}
+            for i, r in enumerate(arr)]
 
 
 class FullGraphTrainer:
@@ -120,7 +143,7 @@ class FullGraphTrainer:
             return self._run_fused(epochs, fuse, log_every)
         ckpt_path = self.config.checkpoint_path
         ckpt_every = self.config.checkpoint_every
-        history = []
+        rows = []
         params, bn, opt_state = self.state.params, self.state.bn, self.opt_state
         t0 = time.time()
         for ep in range(epochs):
@@ -128,16 +151,17 @@ class FullGraphTrainer:
             params, bn, opt_state, loss, accs = self._step(
                 self.gt, params, bn, opt_state, k, self.x, self.labels,
                 self.masks)
+            rows.append(_pack_stats(loss, accs))
             if log_every and (ep % log_every == 0 or ep == epochs - 1):
-                print(f"epoch {ep:4d} loss {float(loss):.4f} "
-                      f"train {float(accs['train']):.4f} "
-                      f"val {float(accs['val']):.4f} "
-                      f"test {float(accs['test']):.4f}")
-            history.append({"epoch": ep, "loss": float(loss),
-                            **{k2: float(v) for k2, v in accs.items()}})
+                r = np.asarray(rows[-1])  # one transfer for all 4 scalars
+                print(f"epoch {ep:4d} loss {r[0]:.4f} train {r[1]:.4f} "
+                      f"val {r[2]:.4f} test {r[3]:.4f}")
             if ckpt_path and ckpt_every and (ep + 1) % ckpt_every == 0:
                 self._save(ckpt_path, params, bn, opt_state, ep + 1)
-        jax.block_until_ready(params)
+        # ONE transfer materializes the whole history (and, by data
+        # dependency on every epoch's outputs, synchronizes the run —
+        # jax.block_until_ready does not reliably block on axon)
+        history = _unpack_history(rows)
         self.exec_time = time.time() - t0
         self.state = type(self.state)(params=params, bn=bn)
         self.opt_state = opt_state
@@ -149,7 +173,7 @@ class FullGraphTrainer:
         if self._fused is None or self._fused[0] != fuse:
             self._fused = (fuse, self._make_fused(fuse))
         fused = self._fused[1]
-        history = []
+        rows = []
         params, bn, opt_state = (self.state.params, self.state.bn,
                                  self.opt_state)
         t0 = time.time()
@@ -159,14 +183,16 @@ class FullGraphTrainer:
             params, bn, opt_state, losses, accs = fused(
                 self.gt, params, bn, opt_state, k, self.x, self.labels,
                 self.masks)
-            for j in range(fuse):
-                rec = {"epoch": done + j, "loss": float(losses[j]),
-                       **{k2: float(v[j]) for k2, v in accs.items()}}
-                history.append(rec)
-                if log_every and (rec["epoch"] % log_every == 0):
-                    print(f"epoch {rec['epoch']:4d} loss {rec['loss']:.4f} "
-                          f"train {rec['train']:.4f} val {rec['val']:.4f} "
-                          f"test {rec['test']:.4f}")
+            window = jnp.stack([losses, accs["train"], accs["val"],
+                                accs["test"]], axis=1)  # [fuse, 4]
+            rows.append(window)
+            if log_every:
+                w = np.asarray(window)  # one transfer per logged window
+                for j in range(fuse):
+                    if (done + j) % log_every == 0:
+                        print(f"epoch {done + j:4d} loss {w[j, 0]:.4f} "
+                              f"train {w[j, 1]:.4f} val {w[j, 2]:.4f} "
+                              f"test {w[j, 3]:.4f}")
             done += fuse
         # remainder epochs run unfused (must not over-train past ``epochs``)
         for ep in range(done, epochs):
@@ -174,9 +200,8 @@ class FullGraphTrainer:
             params, bn, opt_state, loss, accs = self._step(
                 self.gt, params, bn, opt_state, k, self.x, self.labels,
                 self.masks)
-            history.append({"epoch": ep, "loss": float(loss),
-                            **{k2: float(v) for k2, v in accs.items()}})
-        jax.block_until_ready(params)
+            rows.append(_pack_stats(loss, accs))
+        history = _unpack_history(rows)
         self.exec_time = time.time() - t0
         self.state = type(self.state)(params=params, bn=bn)
         self.opt_state = opt_state
