@@ -63,10 +63,13 @@ def forward(state: GATState, gt, x: jax.Array, key: jax.Array | None,
         # (GAT_CPU_DIST_OPTM decomposition)
         a_l = p["attn"][:f_out, :]       # [F',1]
         a_r = p["attn"][f_out:, :]       # [F',1]
-        s_src = (mirror @ a_l)[:, 0]     # per src-table row
         s_dst = (x_t @ a_r)[:, 0]        # per local dst row
         # fused edge chain: leaky_relu attention → per-dst softmax →
-        # weighted aggregate (scatter-free slab math on the ELL backend)
-        nbr = gt.attention_aggregate(mirror, s_src, s_dst, slope=0.2)
+        # weighted aggregate (scatter-free slab math on the ELL backend).
+        # The per-src term s_src = mirror·a_l is LINEAR in the gathered
+        # rows, so the slab engine recomputes it in-block instead of
+        # paying a per-slot scalar gather (attention_aggregate_linear)
+        nbr = gt.attention_aggregate_linear(mirror, a_l[:, 0], s_dst,
+                                            slope=0.2)
         x = jax.nn.relu(nbr)
     return x, []

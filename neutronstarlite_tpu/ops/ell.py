@@ -553,6 +553,244 @@ def _attn_bwd(slope, res, g):
 attention_aggregate.defvjp(_attn_fwd, _attn_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Fused LINEAR-score attention (GAT fast path)
+# ---------------------------------------------------------------------------
+#
+# GAT's per-edge scores are linear in the gathered features
+# (s_src[v] = x[v]·a_l — the GAT_CPU_DIST_OPTM decomposition,
+# ref: toolkits/GAT_CPU_DIST_OPTM.hpp:210-235), so the per-slot score can be
+# RECOMPUTED from the [bv, K, F] feature block the aggregate already gathers
+# — a VPU einsum — instead of a separate per-slot scalar gather.  Profiling
+# (BASELINE.md "GAT linear-score rework") showed those scalar gathers run at
+# ~7 ns/slot (1.7 GB/s): ~244 ms/epoch forward + ~200 ms backward at Reddit
+# scale, the dominant GAT cost.  This path eliminates them:
+#
+# * forward: ONE gather per slab, flash-style (blockwise local max/sum/
+#   weighted-sum, rescaled when base∥tail slices combine);
+# * backward fwd-layout pass: ONE gather per slab yields BOTH the SDDMM
+#   (da) and the recomputed pre-activations;
+# * backward bwd-layout pass: the per-dst softmax stats ride as 4 extra
+#   LANES of the g-row gather (one [Kb, F+4] gather per row instead of a
+#   feature gather PLUS a 2-lane slot-permutation gather).
+
+
+def _lin_stats_pass(idx, w, xc, a_vec, s_dst_rows, slope):
+    """One streaming pass over a slab: per row, masked-leaky-score local
+    max ``m``, exp-sum ``s`` and exp-weighted feature sum ``u`` — computed
+    from a single [bv, K, F] gather."""
+    rows, k = idx.shape
+    f = xc.shape[-1]
+    if rows == 0:
+        z = jnp.zeros((0,), jnp.float32)
+        return z, z, jnp.zeros((0, f), jnp.float32)
+    bv = _slab_gated_blocks(idx, None, rows, k, f,
+                            itemsize=xc.dtype.itemsize)
+
+    def block(args):
+        ib, wb, sdb = args
+        xg = jnp.take(xc, ib, axis=0)                         # [bv, K, F]
+        pre = jnp.einsum("vkf,f->vk", xg, a_vec,
+                         preferred_element_type=jnp.float32) + sdb[:, None]
+        valid = wb != 0
+        m = jnp.where(valid, jax.nn.leaky_relu(pre, slope), _NEG)
+        m_loc = jnp.maximum(jnp.max(m, axis=1), _NEG / 2)
+        z = jnp.where(valid, jnp.exp(m - m_loc[:, None]), 0.0)
+        u = jnp.einsum("vk,vkf->vf", z, xg,
+                       preferred_element_type=jnp.float32)
+        return m_loc, jnp.sum(z, axis=1), u
+
+    return _map_row_blocks(block, (idx, w, s_dst_rows), rows, bv)
+
+
+def _lin_da_pre_pass(idx, xc, a_vec, s_dst_rows, g_rows):
+    """Backward fwd-layout pass: one gather per slab returns BOTH
+    da[r,k] = x[idx]·g[r] (the SDDMM) and the recomputed pre-activation."""
+    rows, k = idx.shape
+    f = xc.shape[-1]
+    if rows == 0:
+        z = jnp.zeros((0, k), jnp.float32)
+        return z, z
+    bv = _slab_gated_blocks(idx, None, rows, k, f,
+                            itemsize=xc.dtype.itemsize)
+
+    def block(args):
+        ib, sdb, gb = args
+        xg = jnp.take(xc, ib, axis=0)                         # [bv, K, F]
+        da = jnp.einsum("vkf,vf->vk", xg, gb,
+                        preferred_element_type=jnp.float32)
+        pre = jnp.einsum("vkf,f->vk", xg, a_vec,
+                         preferred_element_type=jnp.float32) + sdb[:, None]
+        return da, pre
+
+    return _map_row_blocks(block, (idx, s_dst_rows, g_rows), rows, bv)
+
+
+def _lin_bwd_pass(idx, w, g_aug, x_rows, s_src_rows, f, slope):
+    """Backward bwd-layout pass: ONE [bv, Kb, F+4] gather per block carries
+    the dst-grad rows plus the 4 softmax stats (s_dst, M, S, inner) as
+    extra lanes; attention weights and dpre are recomputed in-register.
+    Returns (dx_rows [rows, F] f32, dspre_rows [rows] = Σ_k dpre)."""
+    rows, k = idx.shape
+    if rows == 0:
+        return (jnp.zeros((0, f), jnp.float32), jnp.zeros((0,), jnp.float32))
+    bv = _slab_gated_blocks(idx, None, rows, k, g_aug.shape[-1],
+                            itemsize=g_aug.dtype.itemsize)
+
+    def block(args):
+        ib, wb, xrb, ssb = args
+        ga = jnp.take(g_aug, ib, axis=0)                  # [bv, Kb, F+4]
+        gslot = ga[..., :f]
+        sdk = ga[..., f].astype(jnp.float32)
+        mk = ga[..., f + 1].astype(jnp.float32)
+        sk = jnp.maximum(ga[..., f + 2].astype(jnp.float32), 1e-30)
+        ink = ga[..., f + 3].astype(jnp.float32)
+        valid = wb != 0
+        da = jnp.einsum("vkf,vf->vk", gslot, xrb,
+                        preferred_element_type=jnp.float32)
+        pre = ssb[:, None] + sdk
+        # mask BEFORE exp: padding slots may reference padded stat rows
+        # (mk = -NEG/2) where exp(m - mk) would overflow
+        m = jnp.where(valid, jax.nn.leaky_relu(pre, slope), _NEG)
+        a = jnp.exp(m - mk) / sk
+        dpre = a * (da - ink) * jnp.where(pre > 0, 1.0, slope)
+        dx = jnp.einsum("vk,vkf->vf", a, gslot,
+                        preferred_element_type=jnp.float32)
+        return dx, jnp.sum(dpre, axis=1)
+
+    return _map_row_blocks(block, (idx, w, x_rows, s_src_rows), rows, bv)
+
+
+def _attn_lin_fwd_impl(ell, x, a_l, s_dst, slope):
+    vd_pad = ell.f_idx.shape[0]
+    xc = ell.cast_in(x)
+    a_vec = a_l.astype(xc.dtype)
+    s_dst_p = jnp.pad(s_dst.astype(jnp.float32),
+                      (0, vd_pad - s_dst.shape[0]))
+    mb, sb, ub = _lin_stats_pass(ell.f_idx, ell.f_w, xc, a_vec, s_dst_p,
+                                 slope)
+    if ell.f_tail_idx.shape[0] > 0:
+        s_dst_t = jnp.take(s_dst_p, ell.f_tail_rows)
+        mt, st, ut = _lin_stats_pass(ell.f_tail_idx, ell.f_tail_w, xc,
+                                     a_vec, s_dst_t, slope)
+        # flash combine of (max, sum, weighted-sum) across base ∥ tail
+        m_comb = _tail_combine(mb[:ell.num_dst], mt, ell.f_tail_rows,
+                               ell.num_dst, op="max")
+        big_m = jnp.concatenate([m_comb, mb[ell.num_dst:]])
+        scale_b = jnp.exp(mb - big_m)
+        scale_t = jnp.exp(mt - jnp.take(big_m, ell.f_tail_rows))
+        big_s = jnp.concatenate([
+            _tail_combine((sb * scale_b)[:ell.num_dst], st * scale_t,
+                          ell.f_tail_rows, ell.num_dst),
+            (sb * scale_b)[ell.num_dst:]])
+        u = _tail_combine((ub * scale_b[:, None])[:ell.num_dst],
+                          ut * scale_t[:, None], ell.f_tail_rows,
+                          ell.num_dst)
+    else:
+        big_m, big_s, u = mb, sb, ub[:ell.num_dst]
+    big_s = jnp.maximum(big_s, 1e-30)
+    out = (u / big_s[:ell.num_dst, None])[:ell.num_dst].astype(x.dtype)
+    return out, (big_m, big_s)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def attention_aggregate_linear(ell: EllGraph, x: jax.Array, a_l: jax.Array,
+                               s_dst: jax.Array, slope: float = 0.2
+                               ) -> jax.Array:
+    """``attention_aggregate`` with s_src = x·a_l recomputed in-block.
+
+    out[d] = Σ_k softmax_d(leaky_relu(x[src]·a_l + s_dst[d])) · x[src],
+    with no per-slot scalar gathers in forward OR backward (see the
+    section comment above).  ``a_l``: [F] attention vector."""
+    out, _ = _attn_lin_fwd_impl(ell, x, a_l, s_dst, slope)
+    return out
+
+
+def _attn_lin_fwd(ell, x, a_l, s_dst, slope):
+    out, (big_m, big_s) = _attn_lin_fwd_impl(ell, x, a_l, s_dst, slope)
+    return out, (ell, x, a_l, s_dst, big_m, big_s)
+
+
+def _attn_lin_bwd(slope, res, g):
+    ell, x, a_l, s_dst, big_m, big_s = res
+    vd_pad, kf = ell.f_idx.shape
+    f = x.shape[-1]
+    has_tail = ell.f_tail_idx.shape[0] > 0
+    xc = ell.cast_in(x)
+    a_vec = a_l.astype(xc.dtype)
+    g_pad = jnp.pad(g, ((0, vd_pad - ell.num_dst), (0, 0)))
+    gc = ell.cast_in(g_pad)
+    s_dst_p = jnp.pad(s_dst.astype(jnp.float32),
+                      (0, vd_pad - s_dst.shape[0]))
+
+    # ---- fwd-layout: da + pre from one gather per slab ----
+    f_valid = ell.f_w != 0
+    da, pre = _lin_da_pre_pass(ell.f_idx, xc, a_vec, s_dst_p, gc)
+    m = jnp.where(f_valid, jax.nn.leaky_relu(pre, slope), _NEG)
+    a = jnp.exp(m - big_m[:, None]) / big_s[:, None]
+    inner = jnp.sum(a * da, axis=1)
+    if has_tail:
+        t_valid = ell.f_tail_w != 0
+        s_dst_t = jnp.take(s_dst_p, ell.f_tail_rows)
+        g_tail = jnp.take(gc, ell.f_tail_rows, axis=0)
+        da_t, pre_t = _lin_da_pre_pass(ell.f_tail_idx, xc, a_vec, s_dst_t,
+                                       g_tail)
+        m_t = jnp.where(t_valid, jax.nn.leaky_relu(pre_t, slope), _NEG)
+        mt_row = jnp.take(big_m, ell.f_tail_rows)
+        st_row = jnp.take(big_s, ell.f_tail_rows)
+        a_t = jnp.exp(m_t - mt_row[:, None]) / st_row[:, None]
+        inner = jnp.pad(
+            _tail_combine(inner[:ell.num_dst], jnp.sum(a_t * da_t, axis=1),
+                          ell.f_tail_rows, ell.num_dst),
+            (0, vd_pad - ell.num_dst))
+    dpre = jnp.where(f_valid,
+                     a * (da - inner[:, None])
+                     * jnp.where(pre > 0, 1.0, slope), 0.0)
+    ds_dst = jnp.sum(dpre, axis=1)
+    if has_tail:
+        inner_t = jnp.take(inner, ell.f_tail_rows)
+        dpre_t = jnp.where(
+            t_valid, a_t * (da_t - inner_t[:, None])
+            * jnp.where(pre_t > 0, 1.0, slope), 0.0)
+        ds_dst = jnp.pad(
+            _tail_combine(ds_dst[:ell.num_dst], jnp.sum(dpre_t, axis=1),
+                          ell.f_tail_rows, ell.num_dst),
+            (0, vd_pad - ell.num_dst))
+    ds_dst = ds_dst[:s_dst.shape[0]]
+
+    # ---- bwd-layout: stats ride as 4 extra lanes of the g-row gather ----
+    stats4 = jnp.stack([s_dst_p, big_m, big_s, inner], axis=1)
+    g_aug = jnp.concatenate([gc, stats4.astype(gc.dtype)], axis=1)
+    vs_pad = ell.b_idx.shape[0]
+    xc_pad = jnp.pad(xc, ((0, vs_pad - xc.shape[0]), (0, 0)))
+    s_src = jnp.einsum("vf,f->v", xc_pad, a_vec,
+                       preferred_element_type=jnp.float32)
+    dx, dspre = _lin_bwd_pass(ell.b_idx, ell.b_w, g_aug, xc_pad, s_src, f,
+                              slope)
+    if ell.b_tail_idx.shape[0]:
+        xr_t = jnp.take(xc_pad, jnp.clip(ell.b_tail_rows, 0, vs_pad - 1),
+                        axis=0)
+        ss_t = jnp.take(s_src, jnp.clip(ell.b_tail_rows, 0, vs_pad - 1))
+        dx_t, dspre_t = _lin_bwd_pass(ell.b_tail_idx, ell.b_tail_w, g_aug,
+                                      xr_t, ss_t, f, slope)
+        dx = _tail_combine(dx[:ell.num_src], dx_t, ell.b_tail_rows,
+                           ell.num_src)
+        dspre = _tail_combine(dspre[:ell.num_src], dspre_t,
+                              ell.b_tail_rows, ell.num_src)
+    dx = dx[:x.shape[0]]
+    dspre = dspre[:x.shape[0]]
+    # score linearization: dx += dpre_rowsum·a_l ; da_l = Σ_v dpre_rowsum·x
+    dx = (dx + dspre[:, None] * a_l[None, :].astype(dx.dtype)
+          ).astype(x.dtype)
+    da_l = jnp.einsum("vf,v->f", x.astype(jnp.float32), dspre,
+                      preferred_element_type=jnp.float32
+                      ).astype(a_l.dtype)
+    return None, dx, da_l, ds_dst
+
+
+attention_aggregate_linear.defvjp(_attn_lin_fwd, _attn_lin_bwd)
+
+
 Pytree = Any
 
 

@@ -153,6 +153,21 @@ class GraphTensors:
         return segment.spmm(a, table, self.fwd_src, self.fwd_dst,
                             self.num_vertices)
 
+    def attention_aggregate_linear(self, table: jax.Array, a_l: jax.Array,
+                                   s_dst: jax.Array, slope: float = 0.2
+                                   ) -> jax.Array:
+        """``attention_aggregate`` for LINEAR source scores
+        (s_src = table·a_l, the GAT_CPU_DIST_OPTM decomposition,
+        ref: toolkits/GAT_CPU_DIST_OPTM.hpp:210-235). The ELL backend
+        recomputes per-slot scores from the gathered feature block instead
+        of a per-slot scalar gather (per-element-overhead-bound on TPU);
+        the XLA backend materializes s_src and reuses the segment path."""
+        if self.ell is not None:
+            from neutronstarlite_tpu.ops import ell as ell_mod
+            return ell_mod.attention_aggregate_linear(self.ell, table, a_l,
+                                                      s_dst, slope)
+        return self.attention_aggregate(table, table @ a_l, s_dst, slope)
+
     def aggregate_weighted(self, edge_weight: jax.Array, x: jax.Array
                            ) -> jax.Array:
         """Σ_e a_e·X[src(e)] with a differentiable per-edge weight input

@@ -617,6 +617,19 @@ class DistGraphTensors:
         return segment.spmm(a, table, self.e_src, self.e_dst,
                             self.num_vertices)
 
+    def attention_aggregate_linear(self, table: jax.Array, a_l: jax.Array,
+                                   s_dst: jax.Array, slope: float = 0.2
+                                   ) -> jax.Array:
+        """Linear-score GAT layer over local edges (see
+        GraphTensors.attention_aggregate_linear). The combined-table slabs
+        recompute per-slot scores from the gathered rows; the segment
+        fallback (PROC_OVERLAP split) materializes s_src = table·a_l."""
+        if self.ell is not None and "comb" in self.ell:
+            from neutronstarlite_tpu.ops import ell as ell_mod
+            return ell_mod.attention_aggregate_linear(
+                self.ell["comb"], table, a_l, s_dst, slope)
+        return self.attention_aggregate(table, table @ a_l, s_dst, slope)
+
     def gated_aggregate(self, table: jax.Array, g_src: jax.Array,
                         g_dst: jax.Array, slope: float = 0.2) -> jax.Array:
         """GGCN fused per-feature gating over local edges (see

@@ -141,6 +141,86 @@ class TestAttentionAggregate:
         np.testing.assert_allclose(out_p, out_x, rtol=1e-3, atol=1e-4)
 
 
+class TestAttentionAggregateLinear:
+    """attention_aggregate_linear (scores recomputed in-block from the
+    gathered rows) must match the segment oracle with s_src = x·a_l, in
+    forward and in ALL grads (dx incl. the linearization term, da_l,
+    ds_dst)."""
+
+    def oracle(self, g, x, a_l, s_dst, slope=0.2):
+        s_src = x @ a_l
+        m = jax.nn.leaky_relu(
+            jnp.take(s_src, jnp.asarray(g.fwd_src))
+            + jnp.take(s_dst, jnp.asarray(g.fwd_dst)), negative_slope=slope)
+        a = segment.edge_softmax(m[:, None], jnp.asarray(g.fwd_dst),
+                                 g.num_vertices)[:, 0]
+        return segment.spmm(a, x, jnp.asarray(g.fwd_src),
+                            jnp.asarray(g.fwd_dst), g.num_vertices)
+
+    @pytest.fixture()
+    def vecs(self, g, feats):
+        r = np.random.default_rng(17)
+        return (jnp.asarray(r.standard_normal(feats.shape[1])
+                            .astype(np.float32)),
+                jnp.asarray(r.standard_normal(g.num_vertices)
+                            .astype(np.float32)))
+
+    def test_fwd_matches_oracle(self, g, eg, feats, vecs):
+        a_l, s_dst = vecs
+        out = ell.attention_aggregate_linear(eg, feats, a_l, s_dst, 0.2)
+        np.testing.assert_allclose(out, self.oracle(g, feats, a_l, s_dst),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_all_grads_match_oracle(self, g, eg, feats, vecs):
+        a_l, s_dst = vecs
+        co = jnp.asarray(np.random.default_rng(19).standard_normal(
+            (g.num_vertices, feats.shape[1])).astype(np.float32))
+
+        def f_ell(x, al, sd):
+            return jnp.sum(
+                ell.attention_aggregate_linear(eg, x, al, sd, 0.2) * co)
+
+        def f_seg(x, al, sd):
+            return jnp.sum(self.oracle(g, x, al, sd) * co)
+
+        g_ell = jax.grad(f_ell, argnums=(0, 1, 2))(feats, a_l, s_dst)
+        g_seg = jax.grad(f_seg, argnums=(0, 1, 2))(feats, a_l, s_dst)
+        for a, b, name in zip(g_ell, g_seg, ("dx", "da_l", "ds_dst")):
+            np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-4,
+                                       err_msg=f"grad mismatch: {name}")
+
+    def test_matches_nonlinear_op(self, g, eg, feats, vecs):
+        """Same result as the generic op fed the materialized s_src."""
+        a_l, s_dst = vecs
+        out_lin = ell.attention_aggregate_linear(eg, feats, a_l, s_dst, 0.2)
+        out_gen = ell.attention_aggregate(eg, feats, feats @ a_l, s_dst, 0.2)
+        np.testing.assert_allclose(out_lin, out_gen, rtol=1e-4, atol=1e-5)
+
+    def test_no_tail_graph(self):
+        """Base-only slabs (no row-split tails) take the has_tail=False
+        branches in fwd AND bwd."""
+        r = np.random.default_rng(23)
+        v = 48
+        src = r.integers(0, v, 300).astype(np.int32)
+        dst = r.integers(0, v, 300).astype(np.int32)
+        src, dst = add_self_loops(src, dst, v)
+        g2 = build_graph(src, dst, v)
+        eg2 = ell.build_ell_graph(g2, ell_cap=256)
+        assert eg2.f_tail_idx.shape[0] == 0
+        x = jnp.asarray(r.standard_normal((v, 12)).astype(np.float32))
+        a_l = jnp.asarray(r.standard_normal(12).astype(np.float32))
+        s_dst = jnp.asarray(r.standard_normal(v).astype(np.float32))
+        out = ell.attention_aggregate_linear(eg2, x, a_l, s_dst, 0.2)
+        np.testing.assert_allclose(out, self.oracle(g2, x, a_l, s_dst),
+                                   rtol=1e-4, atol=1e-5)
+        grads = jax.grad(lambda xx: jnp.sum(
+            ell.attention_aggregate_linear(eg2, xx, a_l, s_dst, 0.2) ** 2)
+        )(x)
+        oracle_g = jax.grad(lambda xx: jnp.sum(
+            self.oracle(g2, xx, a_l, s_dst) ** 2))(x)
+        np.testing.assert_allclose(grads, oracle_g, rtol=2e-3, atol=1e-4)
+
+
 class TestBf16Aggregation:
     def test_bf16_spmm_close_to_f32(self, g, feats):
         eg32 = ell.build_ell_graph(g)
