@@ -626,25 +626,38 @@ def _lin_da_pre_pass(idx, xc, a_vec, s_dst_rows, g_rows):
     return _map_row_blocks(block, (idx, s_dst_rows, g_rows), rows, bv)
 
 
-def _lin_bwd_pass(idx, w, g_aug, x_rows, s_src_rows, f, slope):
-    """Backward bwd-layout pass: ONE [bv, Kb, F+4] gather per block carries
-    the dst-grad rows plus the 4 softmax stats (s_dst, M, S, inner) as
-    extra lanes; attention weights and dpre are recomputed in-register.
+def _lin_bwd_pass(idx, w, gc, stats4, x_rows, s_src_rows, f, slope):
+    """Backward bwd-layout pass: per block, gather the dst-grad rows and
+    the 4 per-dst softmax stats (s_dst, M, S, inner); attention weights
+    and dpre are recomputed in-register.
+
+    Stat transport is tile-aware (measured, BASELINE.md "GAT linear-score
+    rework"): when F+4 fits one 128-lane tile the stats ride as extra
+    LANES of the g-row gather (one DMA per slot); when it would cross
+    into a second tile (measured 4.3× slower per slot than in-tile), the
+    stats go as a SEPARATE 4-lane gather from the small [Vd, 4] table
+    (~1.9 ns/slot — small-table gathers are cheap) next to the plain
+    F-lane feature gather.
     Returns (dx_rows [rows, F] f32, dspre_rows [rows] = Σ_k dpre)."""
     rows, k = idx.shape
     if rows == 0:
         return (jnp.zeros((0, f), jnp.float32), jnp.zeros((0,), jnp.float32))
+    fuse_lanes = f + 4 <= 128
+    g_aug = (jnp.concatenate([gc, stats4.astype(gc.dtype)], axis=1)
+             if fuse_lanes else gc)
     bv = _slab_gated_blocks(idx, None, rows, k, g_aug.shape[-1],
                             itemsize=g_aug.dtype.itemsize)
 
     def block(args):
         ib, wb, xrb, ssb = args
-        ga = jnp.take(g_aug, ib, axis=0)                  # [bv, Kb, F+4]
+        ga = jnp.take(g_aug, ib, axis=0)           # [bv, Kb, F(+4)]
         gslot = ga[..., :f]
-        sdk = ga[..., f].astype(jnp.float32)
-        mk = ga[..., f + 1].astype(jnp.float32)
-        sk = jnp.maximum(ga[..., f + 2].astype(jnp.float32), 1e-30)
-        ink = ga[..., f + 3].astype(jnp.float32)
+        if fuse_lanes:
+            st = ga[..., f:].astype(jnp.float32)   # [bv, Kb, 4]
+        else:
+            st = jnp.take(stats4, ib, axis=0)      # separate small-table
+        sdk, mk, ink = st[..., 0], st[..., 1], st[..., 3]
+        sk = jnp.maximum(st[..., 2], 1e-30)
         valid = wb != 0
         da = jnp.einsum("vkf,vf->vk", gslot, xrb,
                         preferred_element_type=jnp.float32)
@@ -758,21 +771,20 @@ def _attn_lin_bwd(slope, res, g):
             (0, vd_pad - ell.num_dst))
     ds_dst = ds_dst[:s_dst.shape[0]]
 
-    # ---- bwd-layout: stats ride as 4 extra lanes of the g-row gather ----
+    # ---- bwd-layout: softmax stats travel with the g-row gather ----
     stats4 = jnp.stack([s_dst_p, big_m, big_s, inner], axis=1)
-    g_aug = jnp.concatenate([gc, stats4.astype(gc.dtype)], axis=1)
     vs_pad = ell.b_idx.shape[0]
     xc_pad = jnp.pad(xc, ((0, vs_pad - xc.shape[0]), (0, 0)))
     s_src = jnp.einsum("vf,f->v", xc_pad, a_vec,
                        preferred_element_type=jnp.float32)
-    dx, dspre = _lin_bwd_pass(ell.b_idx, ell.b_w, g_aug, xc_pad, s_src, f,
-                              slope)
+    dx, dspre = _lin_bwd_pass(ell.b_idx, ell.b_w, gc, stats4, xc_pad,
+                              s_src, f, slope)
     if ell.b_tail_idx.shape[0]:
         xr_t = jnp.take(xc_pad, jnp.clip(ell.b_tail_rows, 0, vs_pad - 1),
                         axis=0)
         ss_t = jnp.take(s_src, jnp.clip(ell.b_tail_rows, 0, vs_pad - 1))
-        dx_t, dspre_t = _lin_bwd_pass(ell.b_tail_idx, ell.b_tail_w, g_aug,
-                                      xr_t, ss_t, f, slope)
+        dx_t, dspre_t = _lin_bwd_pass(ell.b_tail_idx, ell.b_tail_w, gc,
+                                      stats4, xr_t, ss_t, f, slope)
         dx = _tail_combine(dx[:ell.num_src], dx_t, ell.b_tail_rows,
                            ell.num_src)
         dspre = _tail_combine(dspre[:ell.num_src], dspre_t,

@@ -196,6 +196,32 @@ class TestAttentionAggregateLinear:
         out_gen = ell.attention_aggregate(eg, feats, feats @ a_l, s_dst, 0.2)
         np.testing.assert_allclose(out_lin, out_gen, rtol=1e-4, atol=1e-5)
 
+    def test_wide_feature_split_stats_branch(self, g, eg):
+        """F + 4 > 128 lanes routes the backward stats through the
+        separate small-table gather (tile-aware transport); fwd and all
+        grads must still match the oracle."""
+        r = np.random.default_rng(29)
+        f = 126   # 126 + 4 = 130 > 128 → split-stats branch
+        x = jnp.asarray(r.standard_normal((g.num_vertices, f))
+                        .astype(np.float32))
+        a_l = jnp.asarray(r.standard_normal(f).astype(np.float32))
+        s_dst = jnp.asarray(r.standard_normal(g.num_vertices)
+                            .astype(np.float32))
+        out = ell.attention_aggregate_linear(eg, x, a_l, s_dst, 0.2)
+        np.testing.assert_allclose(out, self.oracle(g, x, a_l, s_dst),
+                                   rtol=1e-4, atol=1e-5)
+        co = jnp.asarray(r.standard_normal((g.num_vertices, f))
+                         .astype(np.float32))
+        g_ell = jax.grad(lambda xx, al, sd: jnp.sum(
+            ell.attention_aggregate_linear(eg, xx, al, sd, 0.2) * co),
+            argnums=(0, 1, 2))(x, a_l, s_dst)
+        g_seg = jax.grad(lambda xx, al, sd: jnp.sum(
+            self.oracle(g, xx, al, sd) * co), argnums=(0, 1, 2))(x, a_l,
+                                                                 s_dst)
+        for a, b, name in zip(g_ell, g_seg, ("dx", "da_l", "ds_dst")):
+            np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-4,
+                                       err_msg=f"grad mismatch: {name}")
+
     def test_no_tail_graph(self):
         """Base-only slabs (no row-split tails) take the has_tail=False
         branches in fwd AND bwd."""
