@@ -926,10 +926,15 @@ def _map_row_blocks(fn, arrays, rows, bv):
 
 
 def _gated_chunked_fwd(ell: EllGraph, x, g_src, g_dst, slope):
-    """Chunked gated forward: two blockwise dst-major passes (row-max, then
-    z-sum + z-weighted x) — peak temp is one [bv, K, 2F] block, never a
-    [slots, F] tensor. Returns (out, (row_max, ssum)) with the per-row
-    softmax stats saved for the layout-native backward."""
+    """Chunked gated forward: ONE blockwise dst-major slot pass computing
+    per-slab-row online-softmax triples (row-max m, exp-sum s, weighted
+    out o) — each block sees its rows' full K slots, so m is exact per
+    slab row; base/tail merging rescales the cheap [rows, F] stats by
+    exp(m − M) instead of re-gathering slots for a separate max pass
+    (which is what the pre-r2c two-pass version paid). Peak temp is one
+    [bv, K, 2F] block, never a [slots, F] tensor. Returns
+    (out, (row_max, ssum)) with the merged per-row softmax stats saved
+    for the layout-native backward."""
     vd_pad, k = ell.f_idx.shape
     f = x.shape[-1]
     xc = ell.cast_in(x)
@@ -937,50 +942,45 @@ def _gated_chunked_fwd(ell: EllGraph, x, g_src, g_dst, slope):
     has_tail = ell.f_tail_idx.shape[0] > 0
     trows = jnp.clip(ell.f_tail_rows, 0, vd_pad - 1) if has_tail else None
 
-    def blk_max(args):
-        ib, wb, gd = args
-        pre = jnp.take(g_src, ib, axis=0) + gd[:, None, :]
-        return jnp.max(jnp.where((wb != 0)[:, :, None],
-                                 jax.nn.leaky_relu(pre, slope), _NEG), axis=1)
-
-    bv = _slab_gated_blocks(None, None, vd_pad, k, f)
-    rmax = _map_row_blocks(blk_max, (ell.f_idx, ell.f_w, g_dst_p), vd_pad, bv)
-    if has_tail:
-        gd_t = jnp.take(g_dst_p, trows, axis=0)
-        rmax_t = _map_row_blocks(
-            blk_max, (ell.f_tail_idx, ell.f_tail_w, gd_t),
-            ell.f_tail_idx.shape[0], bv)
-        comb = _tail_combine(rmax[:ell.num_dst], rmax_t, ell.f_tail_rows,
-                             ell.num_dst, op="max")
-        rmax = jnp.concatenate([comb, rmax[ell.num_dst:]])
-    rmax = jnp.maximum(rmax, _NEG / 2)
-
     # [g_src ‖ x] as ONE 2F table: one wide gather per slot, not two
     table2 = jnp.concatenate([g_src, xc.astype(g_src.dtype)], axis=-1)
 
-    def blk_zsum(args):
-        ib, wb, gd, rm = args
+    def blk_mso(args):
+        ib, wb, gd = args
         t = jnp.take(table2, ib, axis=0)              # [bv, K, 2F]
         pre = t[..., :f] + gd[:, None, :]
-        z = jnp.where((wb != 0)[:, :, None],
-                      jnp.exp(jax.nn.leaky_relu(pre, slope)
-                              - rm[:, None, :]), 0.0)
-        return jnp.sum(z, axis=1), jnp.sum(z * t[..., f:], axis=1)
+        valid = (wb != 0)[:, :, None]
+        lk = jnp.where(valid, jax.nn.leaky_relu(pre, slope), _NEG)
+        m = jnp.max(lk, axis=1)                       # exact per slab row
+        z = jnp.where(valid, jnp.exp(lk - m[:, None, :]), 0.0)
+        return m, jnp.sum(z, axis=1), jnp.sum(z * t[..., f:], axis=1)
 
     bv2 = _slab_gated_blocks(None, None, vd_pad, k, 2 * f)
-    ssum, outz = _map_row_blocks(
-        blk_zsum, (ell.f_idx, ell.f_w, g_dst_p, rmax), vd_pad, bv2)
+    m_b, s_b, o_b = _map_row_blocks(
+        blk_mso, (ell.f_idx, ell.f_w, g_dst_p), vd_pad, bv2)
     if has_tail:
-        rm_t = jnp.take(rmax, trows, axis=0)
-        ssum_t, outz_t = _map_row_blocks(
-            blk_zsum, (ell.f_tail_idx, ell.f_tail_w, gd_t, rm_t),
+        gd_t = jnp.take(g_dst_p, trows, axis=0)
+        m_t, s_t, o_t = _map_row_blocks(
+            blk_mso, (ell.f_tail_idx, ell.f_tail_w, gd_t),
             ell.f_tail_idx.shape[0], bv2)
+        comb = _tail_combine(m_b[:ell.num_dst], m_t, ell.f_tail_rows,
+                             ell.num_dst, op="max")
+        rmax = jnp.maximum(jnp.concatenate([comb, m_b[ell.num_dst:]]),
+                           _NEG / 2)
+        sc_b = jnp.exp(m_b - rmax)
+        sc_t = jnp.exp(m_t - jnp.take(rmax, trows, axis=0))
         ssum = jnp.concatenate([
-            _tail_combine(ssum[:ell.num_dst], ssum_t, ell.f_tail_rows,
-                          ell.num_dst), ssum[ell.num_dst:]])
+            _tail_combine((s_b * sc_b)[:ell.num_dst], s_t * sc_t,
+                          ell.f_tail_rows, ell.num_dst),
+            (s_b * sc_b)[ell.num_dst:]])
         outz = jnp.concatenate([
-            _tail_combine(outz[:ell.num_dst], outz_t, ell.f_tail_rows,
-                          ell.num_dst), outz[ell.num_dst:]])
+            _tail_combine((o_b * sc_b)[:ell.num_dst], o_t * sc_t,
+                          ell.f_tail_rows, ell.num_dst),
+            (o_b * sc_b)[ell.num_dst:]])
+    else:
+        rmax = jnp.maximum(m_b, _NEG / 2)
+        sc_b = jnp.exp(m_b - rmax)
+        ssum, outz = s_b * sc_b, o_b * sc_b
     ssum = jnp.maximum(ssum, 1e-30)
     out = (outz[:ell.num_dst] / ssum[:ell.num_dst]).astype(x.dtype)
     return out, (rmax, ssum)
@@ -990,10 +990,13 @@ def _gated_chunked_bwd(ell: EllGraph, x, g_src, g_dst, slope, g, rmax, ssum):
     """Chunked gated backward. Pass C (dst-major, blockwise) accumulates
     inner = Σ a·da plus S1 = Σ a·dleaky·da and S2 = Σ a·dleaky, giving
     dg_dst = S1 − inner·S2 in closed form. Passes E/F (src-major base/tail)
-    RECOMPUTE a and dpre per slot from a single 5F-wide gather of the
-    per-dst stats table [g_dst ‖ g ‖ row_max ‖ ssum ‖ inner] — no slot
-    permutation, no [slots, F] flat table (contrast the dense `_gated_bwd`,
-    whose b_perm gather is faster but needs the full table resident)."""
+    RECOMPUTE a and dpre per slot from a single 4F-wide gather of the
+    per-dst stats table [g_dst ‖ g/ssum ‖ row_max ‖ inner/ssum] — the
+    1/ssum normalization is folded into the g and inner lanes per dst row
+    BEFORE the gather (a·gr = e·(gr/ss), a·dl·(da−inn) = e·dl·(xs·gr/ss −
+    inn/ss)), so ssum needs no lanes of its own. No slot permutation, no
+    [slots, F] flat table (contrast the dense `_gated_bwd`, whose b_perm
+    gather is faster but needs the full table resident)."""
     vd_pad, k = ell.f_idx.shape
     f = x.shape[-1]
     xc = ell.cast_in(x)
@@ -1040,8 +1043,9 @@ def _gated_chunked_bwd(ell: EllGraph, x, g_src, g_dst, slope, g, rmax, ssum):
                           ell.num_dst), s2[ell.num_dst:]])
     dg_dst = (s1 - inner * s2)[:g_dst.shape[0]]
 
-    # per-dst stats table for the src-major passes
-    stats = jnp.concatenate([g_dst_p, g_pad, rmax, ssum, inner], axis=-1)
+    # per-dst stats table for the src-major passes (1/ssum pre-folded)
+    stats = jnp.concatenate([g_dst_p, g_pad / ssum, rmax, inner / ssum],
+                            axis=-1)
 
     vs_pad, kb = ell.b_idx.shape
     g_src_p = jnp.pad(g_src, ((0, vs_pad - g_src.shape[0]), (0, 0)))
@@ -1050,29 +1054,27 @@ def _gated_chunked_bwd(ell: EllGraph, x, g_src, g_dst, slope, g, rmax, ssum):
 
     def blk_src(args):
         ib, wb, gs, xs = args
-        t = jnp.take(stats, ib, axis=0)               # [bv, Kb, 5F]
-        gd, gr = t[..., :f], t[..., f:2 * f]
-        rm, ss, inn = (t[..., 2 * f:3 * f], t[..., 3 * f:4 * f],
-                       t[..., 4 * f:])
+        t = jnp.take(stats, ib, axis=0)               # [bv, Kb, 4F]
+        gd, gr2 = t[..., :f], t[..., f:2 * f]
+        rm, inn2 = t[..., 2 * f:3 * f], t[..., 3 * f:]
         pre = gs[:, None, :] + gd
         valid = (wb != 0)[:, :, None]
-        a = jnp.where(valid,
-                      jnp.exp(jax.nn.leaky_relu(pre, slope) - rm) / ss, 0.0)
-        da = xs[:, None, :] * gr
+        e = jnp.where(valid,
+                      jnp.exp(jax.nn.leaky_relu(pre, slope) - rm), 0.0)
         dl = jnp.where(pre > 0, 1.0, slope)
-        return (jnp.sum(a * dl * (da - inn), axis=1),   # dg_src rows
-                jnp.sum(a * gr, axis=1))                # dx rows
+        return (jnp.sum(e * dl * (xs[:, None, :] * gr2 - inn2), axis=1),
+                jnp.sum(e * gr2, axis=1))             # dg_src rows, dx rows
 
-    bv5 = _slab_gated_blocks(None, None, vs_pad, kb, 5 * f)
+    bv4 = _slab_gated_blocks(None, None, vs_pad, kb, 4 * f)
     dg_src, dx = _map_row_blocks(
-        blk_src, (ell.b_idx, ell.b_w, g_src_p, x_p), vs_pad, bv5)
+        blk_src, (ell.b_idx, ell.b_w, g_src_p, x_p), vs_pad, bv4)
     if ell.b_tail_idx.shape[0]:
         btr = jnp.clip(ell.b_tail_rows, 0, vs_pad - 1)
         gs_t = jnp.take(g_src_p, btr, axis=0)
         xs_t = jnp.take(x_p, btr, axis=0)
         dg_src_t, dx_t = _map_row_blocks(
             blk_src, (ell.b_tail_idx, ell.b_tail_w, gs_t, xs_t),
-            ell.b_tail_idx.shape[0], bv5)
+            ell.b_tail_idx.shape[0], bv4)
         dg_src = _tail_combine(dg_src[:ell.num_src], dg_src_t,
                                ell.b_tail_rows, ell.num_src)
         dx = _tail_combine(dx[:ell.num_src], dx_t, ell.b_tail_rows,
