@@ -19,6 +19,8 @@ import time
 from neutronstarlite_tpu.config import InputInfo
 from neutronstarlite_tpu.graph.dataset import load_dataset
 from neutronstarlite_tpu.models import ALGORITHMS, gcn
+from neutronstarlite_tpu.models import gin as gin_mod
+from neutronstarlite_tpu.models import commnet as commnet_mod
 from neutronstarlite_tpu.training.trainer import FullGraphTrainer
 from neutronstarlite_tpu.training.minibatch import MinibatchTrainer
 
@@ -54,7 +56,12 @@ def run_from_config(config: InputInfo, log_every: int = 1):
         backend = config.kernel_backend
         if not config.optim_kernel_enable and backend == "auto":
             backend = "xla"
-        kwargs = {"eager": True} if eager and model is gcn else {}
+        # the EAGER op reorder generalizes beyond the reference's
+        # GCNCPUEAGER: GIN's and CommNet's first linear layers also commute
+        # with the (linear) aggregate, so GINCPUEAGER / COMMNETGPUEAGER are
+        # accepted as extension algorithm strings
+        kwargs = ({"eager": True}
+                  if eager and model in (gcn, gin_mod, commnet_mod) else {})
         if config.process_local and config.num_partitions <= 1:
             print("PROC_LOCAL:1 has no effect with NUM_PARTITIONS:1 "
                   "(everything is local); ignoring")

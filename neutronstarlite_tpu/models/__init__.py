@@ -21,8 +21,8 @@ ALGORITHMS = {
     "GCNCPU": gcn, "GCNCPUEAGER": gcn, "GCN": gcn, "GCNEAGER": gcn,
     "GCNEAGERSINGLE": gcn, "GCNSAMPLESINGLE": gcn,
     "GATCPU": gat, "GATCPUDIST": gat, "GATGPUDIST": gat,
-    "GINCPU": gin, "GINGPU": gin,
-    "COMMNETGPU": commnet,
+    "GINCPU": gin, "GINGPU": gin, "GINCPUEAGER": gin,
+    "COMMNETGPU": commnet, "COMMNETGPUEAGER": commnet,
     "GGCN_CPU": ggcn, "GGNN_CPU": ggcn, "GGCN": ggcn,
     # extension beyond the reference zoo (max/min-pool aggregator)
     "SAGE": sage, "SAGECPU": sage,

@@ -37,11 +37,18 @@ def init(key: jax.Array, layer_sizes: Sequence[int], dtype=jnp.float32
 
 
 def forward(state: CommNetState, gt, x: jax.Array, key: jax.Array | None,
-            training: bool, drop_rate: float = 0.0):
+            training: bool, drop_rate: float = 0.0, eager: bool = False):
+    """``eager=True`` transforms before aggregating: agg(x)·W0 == agg(x·W0)
+    because the fused aggregate is linear over vertex rows — the
+    GCN_CPU_EAGER op reorder (ref: toolkits/GCN_CPU_EAGER.hpp) applied to
+    CommNet, so each layer aggregates at F_out instead of F_in lanes."""
     del key, drop_rate
     n_layers = len(state.params)
     for i, p in enumerate(state.params):
-        agg = gt.aggregate_neighbors(x)
-        h = agg @ p["w_agg"] + x @ p["w_self"]
+        if eager:
+            h = gt.aggregate_neighbors(x @ p["w_agg"]) + x @ p["w_self"]
+        else:
+            agg = gt.aggregate_neighbors(x)
+            h = agg @ p["w_agg"] + x @ p["w_self"]
         x = jax.nn.relu(h)
     return x, []

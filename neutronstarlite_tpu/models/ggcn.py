@@ -56,10 +56,12 @@ def forward(state: GGCNState, gt, x: jax.Array, key: jax.Array | None,
         mirror = gt.get_dep_nbr(x_t)
         f_out = p["w"].shape[1]
         # split gate weight: [e_src ∥ e_dst] @ G == e_src@Gl + e_dst@Gr —
-        # per-vertex gate terms computed once, combined per edge inside the
-        # fused op (no [E, 2F'] intermediate)
+        # the dst term is one per-vertex matmul; the SRC term is linear in
+        # the mirror rows, so the fused op recomputes it in-block from the
+        # gathered features (gated_aggregate_linear) instead of gathering a
+        # materialized g_src table (no [E, 2F'] intermediate either way)
         g_l, g_r = p["gate"][:f_out], p["gate"][f_out:]
-        g_src = mirror @ g_l                              # per src-table row
         g_dst = x_t @ g_r                                 # per local dst row
-        x = jax.nn.relu(gt.gated_aggregate(mirror, g_src, g_dst, slope=0.2))
+        x = jax.nn.relu(gt.gated_aggregate_linear(mirror, g_l, g_dst,
+                                                  slope=0.2))
     return x, []

@@ -925,16 +925,23 @@ def _map_row_blocks(fn, arrays, rows, bv):
     return outs.reshape((n_blocks * bv,) + outs.shape[2:])[:rows]
 
 
-def _gated_chunked_fwd(ell: EllGraph, x, g_src, g_dst, slope):
+def _gated_chunked_fwd(ell: EllGraph, x, g_src, g_dst, slope, gl=None):
     """Chunked gated forward: ONE blockwise dst-major slot pass computing
     per-slab-row online-softmax triples (row-max m, exp-sum s, weighted
     out o) — each block sees its rows' full K slots, so m is exact per
     slab row; base/tail merging rescales the cheap [rows, F] stats by
     exp(m − M) instead of re-gathering slots for a separate max pass
     (which is what the pre-r2c two-pass version paid). Peak temp is one
-    [bv, K, 2F] block, never a [slots, F] tensor. Returns
-    (out, (row_max, ssum)) with the merged per-row softmax stats saved
-    for the layout-native backward."""
+    [bv, K, 2F] block, never a [slots, F] tensor.
+
+    With ``gl`` (the linear-gate mode, `gated_aggregate_linear`): the
+    source gate term g_src = x·gl is recomputed IN-BLOCK on the MXU from
+    the already-gathered feature rows, so the slot gather is F lanes, not
+    2F — gather traffic halves and the matmul rides the otherwise-idle
+    MXU (~[bv·K, F]×[F, F] per block). ``g_src`` is ignored then.
+
+    Returns (out, (row_max, ssum)) with the merged per-row softmax stats
+    saved for the layout-native backward."""
     vd_pad, k = ell.f_idx.shape
     f = x.shape[-1]
     xc = ell.cast_in(x)
@@ -942,18 +949,30 @@ def _gated_chunked_fwd(ell: EllGraph, x, g_src, g_dst, slope):
     has_tail = ell.f_tail_idx.shape[0] > 0
     trows = jnp.clip(ell.f_tail_rows, 0, vd_pad - 1) if has_tail else None
 
-    # [g_src ‖ x] as ONE 2F table: one wide gather per slot, not two
-    table2 = jnp.concatenate([g_src, xc.astype(g_src.dtype)], axis=-1)
+    if gl is None:
+        # [g_src ‖ x] as ONE 2F table: one wide gather per slot, not two
+        table2 = jnp.concatenate([g_src, xc.astype(g_src.dtype)], axis=-1)
+        glc = None
+    else:
+        table2 = xc
+        glc = gl.astype(xc.dtype)
 
     def blk_mso(args):
         ib, wb, gd = args
-        t = jnp.take(table2, ib, axis=0)              # [bv, K, 2F]
-        pre = t[..., :f] + gd[:, None, :]
+        t = jnp.take(table2, ib, axis=0)              # [bv, K, 2F | F]
+        if glc is None:
+            gs, xg = t[..., :f], t[..., f:]
+        else:
+            xg = t
+            gs = jnp.einsum("vkf,fo->vko", xg, glc,
+                            preferred_element_type=jnp.float32
+                            ).astype(xg.dtype)
+        pre = gs + gd[:, None, :]
         valid = (wb != 0)[:, :, None]
         lk = jnp.where(valid, jax.nn.leaky_relu(pre, slope), _NEG)
         m = jnp.max(lk, axis=1)                       # exact per slab row
         z = jnp.where(valid, jnp.exp(lk - m[:, None, :]), 0.0)
-        return m, jnp.sum(z, axis=1), jnp.sum(z * t[..., f:], axis=1)
+        return m, jnp.sum(z, axis=1), jnp.sum(z * xg, axis=1)
 
     bv2 = _slab_gated_blocks(None, None, vd_pad, k, 2 * f)
     m_b, s_b, o_b = _map_row_blocks(
@@ -986,7 +1005,8 @@ def _gated_chunked_fwd(ell: EllGraph, x, g_src, g_dst, slope):
     return out, (rmax, ssum)
 
 
-def _gated_chunked_bwd(ell: EllGraph, x, g_src, g_dst, slope, g, rmax, ssum):
+def _gated_chunked_bwd(ell: EllGraph, x, g_src, g_dst, slope, g, rmax, ssum,
+                       gl=None):
     """Chunked gated backward. Pass C (dst-major, blockwise) accumulates
     inner = Σ a·da plus S1 = Σ a·dleaky·da and S2 = Σ a·dleaky, giving
     dg_dst = S1 − inner·S2 in closed form. Passes E/F (src-major base/tail)
@@ -1005,16 +1025,29 @@ def _gated_chunked_bwd(ell: EllGraph, x, g_src, g_dst, slope, g, rmax, ssum):
                     ).astype(g_src.dtype)
     has_tail = ell.f_tail_idx.shape[0] > 0
     trows = jnp.clip(ell.f_tail_rows, 0, vd_pad - 1) if has_tail else None
-    table2 = jnp.concatenate([g_src, xc.astype(g_src.dtype)], axis=-1)
+    if gl is None:
+        table2 = jnp.concatenate([g_src, xc.astype(g_src.dtype)], axis=-1)
+        glc = None
+    else:
+        # linear-gate mode: gather x only, recompute g_src in-block (MXU)
+        table2 = xc
+        glc = gl.astype(xc.dtype)
 
     def blk_inner(args):
         ib, wb, gd, rm, ss, gr = args
         t = jnp.take(table2, ib, axis=0)
-        pre = t[..., :f] + gd[:, None, :]
+        if glc is None:
+            gs, xg = t[..., :f], t[..., f:]
+        else:
+            xg = t
+            gs = jnp.einsum("vkf,fo->vko", xg, glc,
+                            preferred_element_type=jnp.float32
+                            ).astype(xg.dtype)
+        pre = gs + gd[:, None, :]
         valid = (wb != 0)[:, :, None]
         a = jnp.where(valid, jnp.exp(jax.nn.leaky_relu(pre, slope)
                                      - rm[:, None, :]) / ss[:, None, :], 0.0)
-        da = t[..., f:] * gr[:, None, :]
+        da = xg * gr[:, None, :]
         dl = jnp.where(pre > 0, 1.0, slope)
         return (jnp.sum(a * da, axis=1), jnp.sum(a * dl * da, axis=1),
                 jnp.sum(a * dl, axis=1))
@@ -1203,3 +1236,57 @@ def _gated_bwd(slope, resid, g):
 
 
 gated_aggregate.defvjp(_gated_fwd, _gated_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Linear-gate fused aggregation (GGCN, g_src = x·gl recomputed in-block)
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def gated_aggregate_linear(ell: EllGraph, x: jax.Array, gl: jax.Array,
+                           g_dst: jax.Array, slope: float = 0.2
+                           ) -> jax.Array:
+    """``gated_aggregate(ell, x, x @ gl, g_dst)`` with the source gate term
+    recomputed in-block: on the chunked (big-graph) path the slot passes
+    gather ONLY the x rows (F lanes, not 2F) and form g_src = x·gl on the
+    MXU inside each block — the multi-lane analogue of
+    ``attention_aggregate_linear``'s score recomputation. GGCN's gate is
+    exactly this shape (toolkits/GGCN_CPU.hpp:184-220: per-vertex gate
+    terms are linear in the transformed features). ``gl`` must be square
+    [F, F] (gate lanes == aggregated lanes)."""
+    if _gated_big(ell, x.shape[-1]):
+        out, _ = _gated_chunked_fwd(ell, x, None, g_dst, slope, gl=gl)
+        return out
+    out, _ = _gated_fwd_impl(ell, x, x @ gl, g_dst, slope)
+    return out
+
+
+def _gated_lin_fwd(ell, x, gl, g_dst, slope):
+    if _gated_big(ell, x.shape[-1]):
+        out, (rmax, ssum) = _gated_chunked_fwd(ell, x, None, g_dst, slope,
+                                               gl=gl)
+        return out, (ell, x, gl, g_dst, rmax, ssum)
+    out, _ = _gated_fwd_impl(ell, x, x @ gl, g_dst, slope)
+    return out, (ell, x, gl, g_dst, None, None)
+
+
+def _gated_lin_bwd(slope, resid, g):
+    ell, x, gl, g_dst, rmax, ssum = resid
+    g_src = x @ gl                       # one MXU matmul, for the src pass
+    if rmax is not None:
+        dx_agg, dg_src, dg_dst = _gated_chunked_bwd(
+            ell, x, g_src, g_dst, slope, g, rmax, ssum, gl=gl)
+    else:
+        _, dx_agg, dg_src, dg_dst = _gated_bwd(
+            slope, (ell, x, g_src, g_dst, None, None), g)
+    # chain rule through g_src = x·gl
+    dgl = jnp.einsum("vf,vo->fo", x.astype(jnp.float32),
+                     dg_src.astype(jnp.float32),
+                     preferred_element_type=jnp.float32).astype(gl.dtype)
+    dx = (dx_agg.astype(jnp.float32)
+          + dg_src.astype(jnp.float32) @ gl.astype(jnp.float32).T
+          ).astype(x.dtype)
+    return None, dx, dgl, dg_dst
+
+
+gated_aggregate_linear.defvjp(_gated_lin_fwd, _gated_lin_bwd)

@@ -193,6 +193,20 @@ class GraphTensors:
         return segment.aggregate_dst_sum(msg, self.fwd_dst,
                                          self.num_vertices)
 
+    def gated_aggregate_linear(self, table: jax.Array, gl: jax.Array,
+                               g_dst: jax.Array, slope: float = 0.2
+                               ) -> jax.Array:
+        """``gated_aggregate`` for LINEAR source gates (g_src = table·gl,
+        GGCN's gate decomposition, ref: toolkits/GGCN_CPU.hpp:184-220).
+        The ELL backend recomputes g_src on the MXU inside each slot block
+        (F-lane instead of 2F-lane gathers); the XLA backend materializes
+        g_src and reuses the segment path."""
+        if self.ell is not None:
+            from neutronstarlite_tpu.ops import ell as ell_mod
+            return ell_mod.gated_aggregate_linear(self.ell, table, gl,
+                                                  g_dst, slope)
+        return self.gated_aggregate(table, table @ gl, g_dst, slope)
+
     def sddmm_dot(self, a: jax.Array, b: jax.Array) -> jax.Array:
         return segment.sddmm_dot(a, b, self.fwd_src, self.fwd_dst)
 

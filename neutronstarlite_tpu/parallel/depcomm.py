@@ -648,6 +648,19 @@ class DistGraphTensors:
         msg = jnp.take(table, self.e_src, axis=0) * a
         return segment.aggregate_dst_sum(msg, self.e_dst, self.num_vertices)
 
+    def gated_aggregate_linear(self, table: jax.Array, gl: jax.Array,
+                               g_dst: jax.Array, slope: float = 0.2
+                               ) -> jax.Array:
+        """Linear-gate GGCN layer over local edges (see
+        GraphTensors.gated_aggregate_linear). The combined-table slabs
+        recompute g_src = table·gl on the MXU inside each slot block; the
+        segment fallback (PROC_OVERLAP split) materializes g_src."""
+        if self.ell is not None and "comb" in self.ell:
+            from neutronstarlite_tpu.ops import ell as ell_mod
+            return ell_mod.gated_aggregate_linear(
+                self.ell["comb"], table, gl, g_dst, slope)
+        return self.gated_aggregate(table, table @ gl, g_dst, slope)
+
     @property
     def fwd_src(self):
         return self.e_src

@@ -390,3 +390,65 @@ class TestGatedChunked:
         for d, c in zip(gdense, gchunk):
             np.testing.assert_allclose(np.asarray(c), np.asarray(d),
                                        rtol=2e-4, atol=2e-5)
+
+
+class TestGatedLinear:
+    """gated_aggregate_linear(eg, x, gl, gd) ≡ gated_aggregate(eg, x,
+    x @ gl, gd) on BOTH paths: dense (small graph) and forced-chunked
+    (where the fused version gathers only x and recomputes g_src = x·gl
+    in-block on the MXU)."""
+
+    @pytest.fixture()
+    def lin_inputs(self, g):
+        r = np.random.default_rng(31)
+        x = jnp.asarray(r.standard_normal((g.num_vertices, 24))
+                        .astype(np.float32))
+        gl = jnp.asarray(r.standard_normal((24, 24)).astype(np.float32) / 5)
+        gd = jnp.asarray(r.standard_normal((g.num_vertices, 24))
+                         .astype(np.float32))
+        return x, gl, gd
+
+    def _check(self, eg, x, gl, gd, g):
+        co = jnp.asarray(np.random.default_rng(37).standard_normal(
+            (g.num_vertices, 24)).astype(np.float32))
+        out_lin = ell.gated_aggregate_linear(eg, x, gl, gd, 0.2)
+        out_ref = ell.gated_aggregate(eg, x, x @ gl, gd, 0.2)
+        np.testing.assert_allclose(np.asarray(out_lin), np.asarray(out_ref),
+                                   rtol=2e-4, atol=2e-5)
+
+        def f_lin(xx, ggl, ggd):
+            return jnp.sum(ell.gated_aggregate_linear(eg, xx, ggl, ggd, 0.2)
+                           * co)
+
+        def f_ref(xx, ggl, ggd):
+            return jnp.sum(ell.gated_aggregate(eg, xx, xx @ ggl, ggd, 0.2)
+                           * co)
+
+        gl_grads = jax.grad(f_lin, argnums=(0, 1, 2))(x, gl, gd)
+        gr_grads = jax.grad(f_ref, argnums=(0, 1, 2))(x, gl, gd)
+        for a, b, name in zip(gl_grads, gr_grads, ("dx", "dgl", "dg_dst")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=3e-3, atol=3e-4,
+                                       err_msg=f"linear-gate grad: {name}")
+
+    def test_dense_path(self, g, eg, lin_inputs):
+        self._check(eg, *lin_inputs, g)
+
+    def test_chunked_path(self, monkeypatch, g, eg, lin_inputs):
+        monkeypatch.setattr(ell, "_GATED_CHUNK_BYTES", 0)
+        self._check(eg, *lin_inputs, g)
+
+    def test_ggcn_model_backends_match(self, g):
+        """The model now routes through gated_aggregate_linear; ELL and
+        XLA backends must still agree."""
+        from neutronstarlite_tpu.models import ggcn
+        r = np.random.default_rng(41)
+        feats = jnp.asarray(r.standard_normal((g.num_vertices, 24))
+                            .astype(np.float32))
+        st = ggcn.init(jax.random.PRNGKey(8), [24, 8])
+        gt_x = GraphTensors.from_graph(g, backend="xla")
+        gt_p = GraphTensors.from_graph(g, backend="pallas")
+        ox, _ = ggcn.forward(st, gt_x, feats, None, training=False)
+        op, _ = ggcn.forward(st, gt_p, feats, None, training=False)
+        np.testing.assert_allclose(np.asarray(op), np.asarray(ox),
+                                   rtol=1e-3, atol=1e-4)

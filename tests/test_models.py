@@ -76,12 +76,47 @@ class TestGIN:
         assert hist[-1]["test"] > 0.6, f"GIN failed to learn: {hist[-1]}"
 
 
+class TestGIN_Eager:
+    def test_gin_eager_equals_plain(self, sbm):
+        """(agg(x) + (1+eps)x)@W1 == agg(x@W1) + (1+eps)(x@W1): the eager
+        reorder must produce identical logits (inference, fixed params)."""
+        import jax
+        from neutronstarlite_tpu.ops.graph_ops import GraphTensors
+        st = gin.init(jax.random.PRNGKey(0), [32, 16, 4])
+        gt = GraphTensors.from_graph(sbm.graph, backend="pallas")
+        x = sbm.features
+        lo, _ = gin.forward(st, gt, x, None, training=False)
+        le, _ = gin.forward(st, gt, x, None, training=False, eager=True)
+        np.testing.assert_allclose(np.asarray(le), np.asarray(lo),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_gin_eager_converges(self, sbm):
+        tr = FullGraphTrainer(sbm, make_config(sbm), model=gin,
+                              backend="xla", eager=True)
+        hist = tr.run()
+        assert hist[-1]["test"] > 0.75, hist[-1]
+
+
 class TestCommNet:
     def test_commnet_converges(self, sbm):
         tr = FullGraphTrainer(sbm, make_config(sbm), model=commnet,
                               backend="xla")
         hist = tr.run()
         assert hist[-1]["test"] > 0.6, f"CommNet failed to learn: {hist[-1]}"
+
+
+class TestCommNetEager:
+    def test_commnet_eager_equals_plain(self, sbm):
+        """agg(x)@W0 == agg(x@W0): identical logits under the reorder."""
+        import jax
+        from neutronstarlite_tpu.ops.graph_ops import GraphTensors
+        st = commnet.init(jax.random.PRNGKey(0), [32, 16, 4])
+        gt = GraphTensors.from_graph(sbm.graph, backend="pallas")
+        x = sbm.features
+        lo, _ = commnet.forward(st, gt, x, None, training=False)
+        le, _ = commnet.forward(st, gt, x, None, training=False, eager=True)
+        np.testing.assert_allclose(np.asarray(le), np.asarray(lo),
+                                   rtol=2e-4, atol=2e-5)
 
 
 class TestGGCN:

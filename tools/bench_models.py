@@ -39,7 +39,9 @@ def main():
                      num_classes=41)
 
     runs = (("gcn", gcn, {}), ("gcn_eager", gcn, {"eager": True}),
-            ("gin", gin, {}), ("commnet", commnet, {}),
+            ("gin", gin, {}), ("gin_eager", gin, {"eager": True}),
+            ("commnet", commnet, {}),
+            ("commnet_eager", commnet, {"eager": True}),
             ("gat", gat, {}), ("ggcn", ggcn, {}))
     for name, model, kwargs in runs:
         cfg = InputInfo(vertices=v, epochs=epochs,
