@@ -56,7 +56,7 @@ def write_nts(out, src, dst, feats, labels, masks, fmt=".6f"):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges")
-    ap.add_argument("--synthetic", choices=["sbm"])
+    ap.add_argument("--synthetic", choices=["sbm", "reddit_full"])
     ap.add_argument("--from-dgl")
     ap.add_argument("--from-pyg")
     ap.add_argument("--real", choices=["digits"],
@@ -65,15 +65,33 @@ def main():
     ap.add_argument("--vertices", type=int, default=0)
     ap.add_argument("--classes", type=int, default=7)
     ap.add_argument("--feat-dim", type=int, default=64)
-    ap.add_argument("--avg-degree", type=int, default=10)
+    ap.add_argument("--avg-degree", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
 
+    if args.synthetic == "reddit_full":
+        # Reddit-full-scale power-law stand-in (V=232,965, avg deg 50 —
+        # the reference's gcn_reddit_full.cfg scale; the real dataset is
+        # not downloadable offline). Writes ONLY the binary edge file
+        # (Gemini uint32-pair format); run with FEATURE_FILE:random.
+        v, avg_deg = args.vertices or 232965, args.avg_degree or 50  # reddit-scale default
+        rng = np.random.default_rng(args.seed)
+        e = v * avg_deg
+        w = (np.arange(1, v + 1) ** -0.8)
+        w /= w.sum()
+        dst = rng.choice(v, size=e, p=w).astype(np.int32)
+        src = rng.integers(0, v, size=e).astype(np.int32)
+        src, dst = add_self_loops(src, dst, v)
+        np.stack([src.astype("<u4"), dst.astype("<u4")], axis=1).tofile(
+            args.out if args.out.endswith(".edge") else args.out + ".edge")
+        print(f"wrote {len(src)} edges (V={v})")
+        return
+
     if args.synthetic == "sbm":
         from neutronstarlite_tpu.graph.dataset import synthetic_sbm_dataset
         d = synthetic_sbm_dataset(args.vertices or 1000, args.feat_dim,
-                                  args.classes, avg_degree=args.avg_degree,
+                                  args.classes, avg_degree=args.avg_degree or 10,
                                   seed=args.seed)
         # recover an edge list from the forward ordering (self loops kept;
         # write_nts re-adds any missing)
