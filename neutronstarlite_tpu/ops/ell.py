@@ -1254,6 +1254,11 @@ def gated_aggregate_linear(ell: EllGraph, x: jax.Array, gl: jax.Array,
     exactly this shape (toolkits/GGCN_CPU.hpp:184-220: per-vertex gate
     terms are linear in the transformed features). ``gl`` must be square
     [F, F] (gate lanes == aggregated lanes)."""
+    if gl.shape[0] != gl.shape[1] or gl.shape[0] != x.shape[-1]:
+        raise ValueError(
+            f"gated_aggregate_linear needs square gl matching x's lane "
+            f"count (gate lanes == aggregated lanes); got gl {gl.shape} "
+            f"for x [..., {x.shape[-1]}]")
     if _gated_big(ell, x.shape[-1]):
         out, _ = _gated_chunked_fwd(ell, x, None, g_dst, slope, gl=gl)
         return out

@@ -452,3 +452,21 @@ class TestGatedLinear:
         op, _ = ggcn.forward(st, gt_p, feats, None, training=False)
         np.testing.assert_allclose(np.asarray(op), np.asarray(ox),
                                    rtol=1e-3, atol=1e-4)
+
+    def test_rejects_nonsquare_gl(self, g, eg, lin_inputs):
+        x, gl, gd = lin_inputs
+        with pytest.raises(ValueError, match="square gl"):
+            ell.gated_aggregate_linear(eg, x, gl[:, :8], gd, 0.2)
+
+    def test_bf16_chunked_close_to_f32(self, monkeypatch, g, lin_inputs):
+        """agg_dtype=bfloat16 (the bench fast path) through the chunked
+        linear-gate pipeline stays close to the f32 result."""
+        monkeypatch.setattr(ell, "_GATED_CHUNK_BYTES", 0)
+        x, gl, gd = lin_inputs
+        eg32 = ell.build_ell_graph(g, ell_cap=256, agg_dtype="float32")
+        eg16 = ell.build_ell_graph(g, ell_cap=256, agg_dtype="bfloat16")
+        o32 = ell.gated_aggregate_linear(eg32, x, gl, gd, 0.2)
+        o16 = ell.gated_aggregate_linear(eg16, x, gl, gd, 0.2)
+        err = float(jnp.max(jnp.abs(o16 - o32)))
+        scale = float(jnp.max(jnp.abs(o32))) + 1e-9
+        assert err / scale < 0.05, (err, scale)
