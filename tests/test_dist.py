@@ -150,6 +150,20 @@ class TestDistTrainer:
             assert abs(a["loss"] - b["loss"]) < 0.08, (a, b)
         assert abs(h1[-1]["test"] - h2[-1]["test"]) < 0.08
 
+    def test_dist_ggcn_tracks_single_chip(self, sbm):
+        """GGCN (linear-gate fused path on the comb slabs) under DepComm:
+        same Σ_p mean_p objective caveat as CommNet above."""
+        from neutronstarlite_tpu.models import ggcn
+        cfg = make_config(sbm, epochs=8)
+        cfg.drop_rate = 0.0
+        single = FullGraphTrainer(sbm, cfg, model=ggcn, backend="pallas")
+        h1 = single.run()
+        dist = DistTrainer(sbm, cfg, model=ggcn, num_partitions=4)
+        h2 = dist.run()
+        for a, b in zip(h1, h2):
+            assert abs(a["loss"] - b["loss"]) < 0.08, (a, b)
+        assert abs(h1[-1]["test"] - h2[-1]["test"]) < 0.08
+
     def test_dist_gat_runs(self, sbm):
         tr = DistTrainer(sbm, make_config(sbm, epochs=10), model=gat,
                          num_partitions=4)
