@@ -69,6 +69,11 @@ class InputInfo:
                                     # trace of the run (the reference's
                                     # DEBUGINFO/timers, SURVEY.md §5, as
                                     # first-class tracing)
+    tp_dim: int = 1                 # TP_DIM: feature-parallel mesh width f
+                                    # (2-D vertex x feature parallelism;
+                                    # mesh = NUM_PARTITIONS x TP_DIM devices;
+                                    # no reference counterpart — the
+                                    # reference is 1-D vertex-partitioned)
 
     @property
     def layer_sizes(self) -> List[int]:
@@ -137,6 +142,7 @@ class InputInfo:
             "EXCHANGE": lambda: setattr(self, "exchange", val),
             "FUSE_EPOCHS": lambda: setattr(self, "fuse_epochs", int(val)),
             "PROFILE_DIR": lambda: setattr(self, "profile_dir", val),
+            "TP_DIM": lambda: setattr(self, "tp_dim", int(val)),
         }
         fn = dispatch.get(key)
         if fn is None:

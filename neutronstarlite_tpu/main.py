@@ -65,7 +65,7 @@ def run_from_config(config: InputInfo, log_every: int = 1):
         if config.process_local and config.num_partitions <= 1:
             print("PROC_LOCAL:1 has no effect with NUM_PARTITIONS:1 "
                   "(everything is local); ignoring")
-        if config.num_partitions > 1:
+        if config.num_partitions > 1 or config.tp_dim > 1:
             from neutronstarlite_tpu.training.dist_trainer import DistTrainer
             trainer = DistTrainer(datum, config, model=model, **kwargs)
         else:

@@ -14,7 +14,7 @@ from typing import NamedTuple, Sequence
 import jax
 import jax.numpy as jnp
 
-from neutronstarlite_tpu.nn import param
+from neutronstarlite_tpu.nn import layers, param
 
 
 class CommNetState(NamedTuple):
@@ -37,18 +37,23 @@ def init(key: jax.Array, layer_sizes: Sequence[int], dtype=jnp.float32
 
 
 def forward(state: CommNetState, gt, x: jax.Array, key: jax.Array | None,
-            training: bool, drop_rate: float = 0.0, eager: bool = False):
+            training: bool, drop_rate: float = 0.0, eager: bool = False,
+            tp_axis: str | None = None):
     """``eager=True`` transforms before aggregating: agg(x)·W0 == agg(x·W0)
     because the fused aggregate is linear over vertex rows — the
     GCN_CPU_EAGER op reorder (ref: toolkits/GCN_CPU_EAGER.hpp) applied to
-    CommNet, so each layer aggregates at F_out instead of F_in lanes."""
+    CommNet, so each layer aggregates at F_out instead of F_in lanes.
+
+    ``tp_axis`` enables 2-D vertex x feature parallelism (layers.dense)."""
     del key, drop_rate
     n_layers = len(state.params)
     for i, p in enumerate(state.params):
         if eager:
-            h = gt.aggregate_neighbors(x @ p["w_agg"]) + x @ p["w_self"]
+            h = (gt.aggregate_neighbors(layers.dense(x, p["w_agg"], tp_axis))
+                 + layers.dense(x, p["w_self"], tp_axis))
         else:
             agg = gt.aggregate_neighbors(x)
-            h = agg @ p["w_agg"] + x @ p["w_self"]
+            h = (layers.dense(agg, p["w_agg"], tp_axis)
+                 + layers.dense(x, p["w_self"], tp_axis))
         x = jax.nn.relu(h)
     return x, []

@@ -40,14 +40,20 @@ def init(key: jax.Array, layer_sizes: Sequence[int], dtype=jnp.float32
 
 def forward(state: GCNState, gt, x: jax.Array, key: jax.Array | None,
             training: bool, drop_rate: float = 0.0, eager: bool = False,
-            remat: bool = False, row_mask: jax.Array | None = None):
+            remat: bool = False, row_mask: jax.Array | None = None,
+            tp_axis: str | None = None):
     """Returns (logits [V, C], new_bn list). ``gt`` is anything exposing
     ``aggregate_neighbors`` (GraphTensors or DistGraphTensors).
 
     ``remat=True`` rematerializes each hidden layer in backward
     (jax.checkpoint) — sublinear activation memory for deep stacks; the
     realization of the reference's SubLinearMemCostNNOP stub
-    (core/ntsSubLinearNNOP.hpp:32-52, unused there)."""
+    (core/ntsSubLinearNNOP.hpp:32-52, unused there).
+
+    ``tp_axis`` enables 2-D vertex x feature parallelism: activations, bn
+    state, and weight OUTPUT columns are sharded over that mesh axis; the
+    aggregate/exchange run on the narrow feature shard (feature-wise
+    independent) and each dense gathers to full F_in (layers.dense)."""
     n_layers = len(state.params)
     new_bn = []
     if training and key is not None:
@@ -61,12 +67,13 @@ def forward(state: GCNState, gt, x: jax.Array, key: jax.Array | None,
                     # batchnorm stays on the F_in side as in the reference.
                     y, nb = layers.batch_norm_apply(bn_st, x, training,
                                                     row_mask=row_mask)
-                    h = jax.nn.relu(gt.aggregate_neighbors(y @ w))
+                    h = jax.nn.relu(gt.aggregate_neighbors(
+                        layers.dense(y, w, tp_axis)))
                 else:
                     y = gt.aggregate_neighbors(x)
                     y, nb = layers.batch_norm_apply(bn_st, y, training,
                                                     row_mask=row_mask)
-                    h = jax.nn.relu(y @ w)
+                    h = jax.nn.relu(layers.dense(y, w, tp_axis))
                 if training and drop_rate > 0.0 and dkey is not None:
                     h = layers.dropout(dkey, h, drop_rate, training)
                 return h, nb
@@ -76,9 +83,9 @@ def forward(state: GCNState, gt, x: jax.Array, key: jax.Array | None,
             new_bn.append(nb)
         else:
             if eager:
-                x = gt.aggregate_neighbors(x @ w)
+                x = gt.aggregate_neighbors(layers.dense(x, w, tp_axis))
             else:
-                x = gt.aggregate_neighbors(x) @ w
+                x = layers.dense(gt.aggregate_neighbors(x), w, tp_axis)
     return x, new_bn
 
 

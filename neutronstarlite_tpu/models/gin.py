@@ -44,25 +44,29 @@ def init(key: jax.Array, layer_sizes: Sequence[int], dtype=jnp.float32
 
 def forward(state: GINState, gt, x: jax.Array, key: jax.Array | None,
             training: bool, drop_rate: float = 0.0, eps: float = 0.0,
-            eager: bool = False, row_mask: jax.Array | None = None):
+            eager: bool = False, row_mask: jax.Array | None = None,
+            tp_axis: str | None = None):
     """``eager=True`` transforms before aggregating: the pre-activation
     (agg(x) + (1+ε)x)·W1 == agg(x·W1) + (1+ε)(x·W1) because the fused
     aggregate is linear over vertex rows — the GCN_CPU_EAGER op reorder
     (ref: toolkits/GCN_CPU_EAGER.hpp) applied to GIN, so layer 1
-    aggregates at F_out instead of F_in lanes."""
+    aggregates at F_out instead of F_in lanes.
+
+    ``tp_axis`` enables 2-D vertex x feature parallelism (layers.dense)."""
     del key, drop_rate
     n_layers = len(state.params)
     new_bn = []
     for i in range(n_layers):
         p = state.params[i]
         if eager:
-            t = x @ p["w1"]
+            t = layers.dense(x, p["w1"], tp_axis)
             h = gt.aggregate_neighbors(t) + (1.0 + eps) * t
-            h = jax.nn.relu(h) @ p["w2"]
+            h = layers.dense(jax.nn.relu(h), p["w2"], tp_axis)
         else:
             agg = gt.aggregate_neighbors(x)
             h = agg + (1.0 + eps) * x
-            h = jax.nn.relu(h @ p["w1"]) @ p["w2"]
+            h = layers.dense(jax.nn.relu(layers.dense(h, p["w1"], tp_axis)),
+                             p["w2"], tp_axis)
         if i < n_layers - 1:
             h = jax.nn.relu(h)
         h, nb = layers.batch_norm_apply(state.bn[i], h, training,

@@ -20,6 +20,24 @@ def linear(params: dict, x: jax.Array) -> jax.Array:
     return x @ params["w"]
 
 
+def dense(x: jax.Array, w: jax.Array, tp_axis: str | None = None
+          ) -> jax.Array:
+    """Column-parallel dense ``x @ w`` for 2-D vertex x feature parallelism.
+
+    With ``tp_axis`` set (inside shard_map over a ('p', 'f') mesh), ``x``'s
+    feature dim is sharded over that mesh axis and ``w`` holds the local
+    OUTPUT-column shard [F_in, F_out/f]: gather x to full F_in over the axis
+    and multiply, producing a feature-sharded output. Autodiff transposes
+    the all_gather into a reduce_scatter, so dx routes back to the owning
+    feature shard automatically. With ``tp_axis=None`` this is a plain
+    matmul. (No reference counterpart — the reference is strictly 1-D
+    vertex-partitioned; this is the TPU-native Megatron-style second mesh
+    dimension.)"""
+    if tp_axis is not None:
+        x = jax.lax.all_gather(x, tp_axis, axis=1, tiled=True)
+    return x @ w
+
+
 def batch_norm_init(dim: int, dtype=jnp.float32) -> dict:
     return {
         "scale": jnp.ones(dim, dtype),

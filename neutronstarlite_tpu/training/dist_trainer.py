@@ -39,7 +39,7 @@ from neutronstarlite_tpu.models import gcn
 from neutronstarlite_tpu.nn import layers, optim
 from neutronstarlite_tpu.parallel.depcomm import (build_dist_graph,
                                                   device_view, make_tensors)
-from neutronstarlite_tpu.parallel.mesh import make_mesh
+from neutronstarlite_tpu.parallel.mesh import make_mesh, make_mesh2d
 from neutronstarlite_tpu.training.trainer import _pack_stats, _unpack_history
 
 
@@ -56,14 +56,49 @@ class DistTrainer:
 
     def __init__(self, datum: GNNDatum, config: InputInfo, model=gcn,
                  mesh=None, num_partitions: int | None = None,
-                 rep_threshold: int | None = None, **model_kwargs):
+                 rep_threshold: int | None = None, tp: int | None = None,
+                 **model_kwargs):
         self.datum = datum
         self.config = config
         self.model = model
         self.model_kwargs = model_kwargs
-        p = num_partitions or config.num_partitions or len(jax.devices())
-        self.mesh = mesh if mesh is not None else make_mesh(p)
-        self.p = self.mesh.devices.size
+        f = int(tp if tp is not None else getattr(config, "tp_dim", 1) or 1)
+        p = (num_partitions or config.num_partitions
+             or len(jax.devices()) // max(f, 1))
+        if mesh is not None:
+            self.mesh = mesh
+            shape = dict(self.mesh.shape)
+            f = int(shape.get("f", 1))
+            self.p = int(shape.get("p", self.mesh.devices.size // f))
+        elif f > 1:
+            self.mesh = make_mesh2d(p, f)
+            self.p = p
+        else:
+            self.mesh = make_mesh(p)
+            self.p = self.mesh.devices.size
+        self.f = f
+        if self.f > 1:
+            # 2-D vertex x feature parallelism (TP). No reference
+            # counterpart (the reference is 1-D vertex-partitioned MPI);
+            # this is the TPU-native second mesh dimension: activations/bn/
+            # weight-output-columns feature-sharded, aggregate+exchange run
+            # on the narrow shard, one 'f' all_gather per dense.
+            import inspect
+            if "tp_axis" not in inspect.signature(model.forward).parameters:
+                raise ValueError(
+                    f"model {getattr(model, '__name__', model)} does not "
+                    "support tp_axis (2-D feature parallelism)")
+            bad = [s for s in config.layer_sizes if s % self.f]
+            if bad:
+                raise ValueError(
+                    f"TP_DIM:{self.f} requires every layer size to be "
+                    f"divisible by it; offending sizes {bad} in "
+                    f"{config.layer_sizes}")
+            if jax.process_count() > 1:
+                raise NotImplementedError(
+                    "TP_DIM>1 with multi-process jax.distributed is not "
+                    "supported yet (checkpoint gather assumes 1-D)")
+            self.model_kwargs = dict(model_kwargs, tp_axis="f")
         rep = rep_threshold if rep_threshold is not None else config.repthreshold
 
         if config.shuffle_vertices:
@@ -128,6 +163,28 @@ class DistTrainer:
     def _build_step(self, mode: str = "plain"):
         return jax.jit(self._shard_step(mode))
 
+    # ---- 2-D (TP) sharding rules ----
+    def _param_leaf_spec(self, leaf):
+        """Column-parallel rule: rank-2 [F_in, F_out] -> P(None, 'f')
+        (output-column shards), rank-1 [F] -> P('f'), scalars replicated.
+        Identity when the mesh has no 'f' axis."""
+        if self.f <= 1:
+            return P()
+        nd = getattr(leaf, "ndim", 0)
+        if nd == 2:
+            return P(None, "f")
+        if nd == 1:
+            return P("f")
+        return P()
+
+    def _bn_spec(self):
+        # bn leaves are [P, F_l]: vertex-stacked, feature-sharded under TP
+        return P("p", "f") if self.f > 1 else P("p")
+
+    def _x_spec(self):
+        # features are [P, V_p, F]: vertex-sharded, feature-sharded under TP
+        return P("p", None, "f") if self.f > 1 else P("p")
+
     def _build_fused(self, n: int):
         """Scan ``n`` dist epochs per dispatch (FUSE_EPOCHS, same semantics
         as FullGraphTrainer._make_fused): one host round trip per window —
@@ -173,6 +230,9 @@ class DistTrainer:
             gt = make_tensors(arrs, dg, agg_dtype=self.config.dtype)
             my = jax.lax.axis_index("p")
             key = jax.random.fold_in(key, my)
+            if self.f > 1:
+                # independent dropout masks per feature shard are still iid
+                key = jax.random.fold_in(key, jax.lax.axis_index("f"))
             # models with batchnorm restrict stats to real local rows
             # (padding would pollute mean/var; the reference's per-rank BN
             # sees only real vertices)
@@ -194,6 +254,11 @@ class DistTrainer:
                              if mode == "fresh" else cache)
                 gt.hot_cache_out = None
                 gt.hot_cache_in = None
+                if self.f > 1:
+                    # logits are class-sharded over 'f'; gather to full C
+                    # (the transpose routes dlogits back to the owning shard)
+                    logits = jax.lax.all_gather(logits, "f", axis=1,
+                                                tiled=True)
                 train_sel = jnp.logical_and(masks == 0, row_valid)
                 loss = layers.nll_loss_masked(
                     layers.log_softmax(logits), labels, train_sel)
@@ -221,6 +286,9 @@ class DistTrainer:
 
         sharded_tree = lambda t: jax.tree.map(lambda _: pspec, t)  # noqa: E731
         rep_tree = lambda t: jax.tree.map(lambda _: rspec, t)  # noqa: E731
+        tp_tree = lambda t: jax.tree.map(self._param_leaf_spec, t)  # noqa: E731
+        bn_tree = lambda t: jax.tree.map(lambda _: self._bn_spec(), t)  # noqa: E731
+        xspec = self._x_spec()
 
         def jit_step(arrs, x, labels, masks, row_valid, params, bn,
                      opt_state, key, cache):
@@ -228,11 +296,11 @@ class DistTrainer:
             # (unknown structure before trace in "fresh" mode)
             f = _shard_map(
                 step, mesh,
-                in_specs=(sharded_tree(arrs), pspec, pspec, pspec, pspec,
-                          rep_tree(params), sharded_tree(bn),
-                          rep_tree(opt_state), rspec, rspec),
-                out_specs=(rep_tree(params), sharded_tree(bn),
-                           rep_tree(opt_state), rspec,
+                in_specs=(sharded_tree(arrs), xspec, pspec, pspec, pspec,
+                          tp_tree(params), bn_tree(bn),
+                          tp_tree(opt_state), rspec, rspec),
+                out_specs=(tp_tree(params), bn_tree(bn),
+                           tp_tree(opt_state), rspec,
                            {"train": rspec, "val": rspec, "test": rspec},
                            rspec))
             return f(arrs, x, labels, masks, row_valid, params, bn, opt_state,
@@ -245,12 +313,16 @@ class DistTrainer:
         sharding. With one process this is a plain transfer; with several
         (jax.distributed — the reference's MPI world, dep/gemini/mpi.hpp)
         each process materializes only its addressable shards from the
-        replicated host copy, so the same trainer runs N real processes."""
+        replicated host copy, so the same trainer runs N real processes.
+
+        ``spec`` is either one PartitionSpec for every leaf or a callable
+        leaf -> PartitionSpec (used by the TP rank rule)."""
         from jax.sharding import NamedSharding
-        sh = NamedSharding(self.mesh, spec)
+        get = spec if callable(spec) else (lambda a: spec)
 
         def put(a):
             a = np.asarray(a)
+            sh = NamedSharding(self.mesh, get(a))
             if jax.process_count() > 1:
                 return jax.make_array_from_callback(
                     a.shape, sh, lambda idx: a[idx])
@@ -264,11 +336,11 @@ class DistTrainer:
                 return self.run(epochs, log_every)
         epochs = epochs if epochs is not None else self.config.epochs
         rows = []
-        params = self._stage(self.state.params, P())
-        bn = self._stage(self.bn, P("p"))
-        opt_state = self._stage(self.opt_state, P())
+        params = self._stage(self.state.params, self._param_leaf_spec)
+        bn = self._stage(self.bn, self._bn_spec())
+        opt_state = self._stage(self.opt_state, self._param_leaf_spec)
         arrs = self._stage(self.arrs, P("p"))
-        x = self._stage(self.x, P("p"))
+        x = self._stage(self.x, self._x_spec())
         labels = self._stage(self.labels, P("p"))
         masks = self._stage(self.masks, P("p"))
         row_valid = self._stage(self.row_valid, P("p"))
@@ -383,18 +455,22 @@ class DistTrainer:
             st = state_cls(params=params, bn=bn)
             logits, _ = model.forward(st, gt, x, None, training=False,
                                       **model_kwargs, **extra)
+            if self.f > 1:
+                logits = jax.lax.all_gather(logits, "f", axis=1, tiled=True)
             return logits[None]
 
         sharded = lambda t: jax.tree.map(lambda _: pspec, t)  # noqa: E731
-        rep = lambda t: jax.tree.map(lambda _: P(), t)  # noqa: E731
+        tp_tree = lambda t: jax.tree.map(self._param_leaf_spec, t)  # noqa: E731
+        bn_tree = lambda t: jax.tree.map(lambda _: self._bn_spec(), t)  # noqa: E731
         arrs = self._stage(self.arrs, P("p"))
-        x = self._stage(self.x, P("p"))
+        x = self._stage(self.x, self._x_spec())
         row_valid = self._stage(self.row_valid, P("p"))
-        params = self._stage(self.state.params, P())
+        params = self._stage(self.state.params, self._param_leaf_spec)
         bn = self.bn
         f = jax.jit(_shard_map(
             fwd, mesh,
-            in_specs=(sharded(arrs), pspec, pspec, rep(params), sharded(bn)),
+            in_specs=(sharded(arrs), self._x_spec(), pspec, tp_tree(params),
+                      bn_tree(bn)),
             out_specs=pspec))
         y = np.asarray(f(arrs, x, row_valid, params, bn))
         out = np.zeros((self.datum.num_vertices, y.shape[-1]), y.dtype)

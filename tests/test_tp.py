@@ -1,0 +1,106 @@
+"""2-D vertex x feature parallelism (TP_DIM) tests.
+
+The reference is strictly 1-D vertex-partitioned (MPI world over vertex
+chunks, core/PartitionedGraph.hpp); the 'f' mesh axis is our TPU-native
+second dimension: activations/bn/weight-output-columns feature-sharded,
+the DepComm aggregate+exchange run on the narrow feature shard (they are
+feature-wise independent), one all_gather over 'f' per dense
+(nn/layers.dense). These tests pin 2-D == 1-D numerics at equal vertex
+partitioning (BN stats are per-p-partition, so p must match).
+"""
+
+import numpy as np
+import pytest
+
+from neutronstarlite_tpu.config import InputInfo
+from neutronstarlite_tpu.graph.dataset import synthetic_sbm_dataset
+from neutronstarlite_tpu.models import commnet, gat, gcn, gin
+from neutronstarlite_tpu.training.dist_trainer import DistTrainer
+
+
+def _datum():
+    return synthetic_sbm_dataset(num_vertices=64, feat_dim=16, num_classes=4,
+                                 avg_degree=6, seed=0)
+
+
+def _cfg(**kw):
+    base = dict(vertices=64, epochs=5, layer_string="16-8-4",
+                learn_rate=0.01, weight_decay=1e-4, drop_rate=0.0, seed=0)
+    base.update(kw)
+    return InputInfo(**base)
+
+
+def _losses(trainer, epochs=5):
+    hist = trainer.run(epochs=epochs)
+    return (np.array([r["loss"] for r in hist]),
+            np.array([r["test"] for r in hist]))
+
+
+@pytest.mark.parametrize("model,kwargs", [
+    (gcn, {}),
+    (gcn, {"eager": True}),
+    (gin, {}),
+    (commnet, {"eager": True}),
+])
+def test_tp_matches_1d_dist(model, kwargs):
+    """p=2,f=2 mesh reproduces the p=2 run (same vertex partition, same BN
+    stats) to float tolerance, for every TP-capable model family."""
+    datum = _datum()
+    l1, a1 = _losses(DistTrainer(datum, _cfg(), model=model,
+                                 num_partitions=2, **kwargs))
+    l2, a2 = _losses(DistTrainer(datum, _cfg(), model=model,
+                                 num_partitions=2, tp=2, **kwargs))
+    np.testing.assert_allclose(l1, l2, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(a1, a2, atol=1e-6)
+
+
+def test_pure_tp_matches_single_partition():
+    """p=1,f=4: a pure feature-parallel mesh tracks the unsharded p=1 run."""
+    datum = _datum()
+    l1, _ = _losses(DistTrainer(datum, _cfg(), model=gcn, num_partitions=1))
+    l2, _ = _losses(DistTrainer(datum, _cfg(), model=gcn, num_partitions=1,
+                                tp=4))
+    np.testing.assert_allclose(l1, l2, rtol=2e-4, atol=2e-5)
+
+
+def test_tp_predict_matches():
+    datum = _datum()
+    t1 = DistTrainer(datum, _cfg(), model=gcn, num_partitions=2)
+    t2 = DistTrainer(datum, _cfg(), model=gcn, num_partitions=2, tp=2)
+    t1.run(epochs=3)
+    t2.run(epochs=3)
+    np.testing.assert_allclose(t1.predict(), t2.predict(),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_tp_with_dropout_and_ring_trains():
+    """TP composes with dropout (independent per-shard masks) and the ring
+    exchange; losses stay finite and decrease."""
+    datum = _datum()
+    cfg = _cfg(drop_rate=0.3)
+    cfg.exchange = "ring"
+    hist = DistTrainer(datum, cfg, model=gcn, num_partitions=2,
+                       tp=2).run(epochs=6)
+    losses = [r["loss"] for r in hist]
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_tp_requires_divisible_layers():
+    datum = _datum()
+    with pytest.raises(ValueError, match="divisible"):
+        DistTrainer(datum, _cfg(layer_string="16-7-4"), model=gcn,
+                    num_partitions=2, tp=2)
+
+
+def test_tp_rejects_unsupported_model():
+    datum = _datum()
+    with pytest.raises(ValueError, match="tp_axis"):
+        DistTrainer(datum, _cfg(), model=gat, num_partitions=2, tp=2)
+
+
+def test_tp_dim_cfg_key(tmp_path):
+    """TP_DIM flows from a cfg file through main.run_config."""
+    cfg = InputInfo()
+    cfg._set_key("TP_DIM", "2")
+    assert cfg.tp_dim == 2
