@@ -27,7 +27,7 @@ from typing import NamedTuple, Sequence
 import jax
 import jax.numpy as jnp
 
-from neutronstarlite_tpu.nn import param
+from neutronstarlite_tpu.nn import layers, param
 
 
 class GATState(NamedTuple):
@@ -50,26 +50,51 @@ def init(key: jax.Array, layer_sizes: Sequence[int], dtype=jnp.float32
 
 
 def forward(state: GATState, gt, x: jax.Array, key: jax.Array | None,
-            training: bool, drop_rate: float = 0.0):
+            training: bool, drop_rate: float = 0.0,
+            tp_axis: str | None = None):
     del key, drop_rate  # reference GAT applies no dropout in this path
     for p in state.params:
-        x_t = x @ p["w"]
-        # the one communicating op per layer (DistGetDepNbrOp,
-        # ref: core/ntsDistCPUGraphOp.hpp:34-126): single-chip = identity,
-        # dist = all_to_all producing the [local ∪ mirror] feature table
-        mirror = gt.get_dep_nbr(x_t)
-        f_out = p["w"].shape[1]
-        # split attention into per-src and per-dst scalar terms
-        # (GAT_CPU_DIST_OPTM decomposition)
-        a_l = p["attn"][:f_out, :]       # [F',1]
-        a_r = p["attn"][f_out:, :]       # [F',1]
-        s_dst = (x_t @ a_r)[:, 0]        # per local dst row
-        # fused edge chain: leaky_relu attention → per-dst softmax →
-        # weighted aggregate (scatter-free slab math on the ELL backend).
-        # The per-src term s_src = mirror·a_l is LINEAR in the gathered
-        # rows, so the slab engine recomputes it in-block instead of
-        # paying a per-slot scalar gather (attention_aggregate_linear)
-        nbr = gt.attention_aggregate_linear(mirror, a_l[:, 0], s_dst,
-                                            slope=0.2)
+        if tp_axis is None:
+            x_t = x @ p["w"]
+            # the one communicating op per layer (DistGetDepNbrOp,
+            # ref: core/ntsDistCPUGraphOp.hpp:34-126): single-chip =
+            # identity, dist = all_to_all producing the [local ∪ mirror]
+            # feature table
+            mirror = gt.get_dep_nbr(x_t)
+            f_out = p["w"].shape[1]
+            # split attention into per-src and per-dst scalar terms
+            # (GAT_CPU_DIST_OPTM decomposition)
+            a_l = p["attn"][:f_out, :]       # [F',1]
+            a_r = p["attn"][f_out:, :]       # [F',1]
+            s_dst = (x_t @ a_r)[:, 0]        # per local dst row
+            # fused edge chain: leaky_relu attention → per-dst softmax →
+            # weighted aggregate (scatter-free slab math on the ELL
+            # backend). The per-src term s_src = mirror·a_l is LINEAR in
+            # the gathered rows, so the slab engine recomputes it in-block
+            # instead of paying a per-slot scalar gather
+            nbr = gt.attention_aggregate_linear(mirror, a_l[:, 0], s_dst,
+                                                slope=0.2)
+        else:
+            # 2-D vertex x feature parallelism: x/x_t are feature-sharded
+            # over the 'f' mesh axis (column-parallel dense); the attention
+            # vector [2F',1] is REPLICATED (its output dim is 1, not
+            # shardable) — each shard dots its own feature slice and the
+            # scalar score terms psum over 'f'. s_src then rides as ONE
+            # extra exchange lane so the scalar-score fused path runs on
+            # the narrow shard, feature-wise independent.
+            x_t = layers.dense(x, p["w"], tp_axis)   # [V_p, F'/f]
+            c = x_t.shape[1]
+            f_out = p["attn"].shape[0] // 2          # global F'
+            k = jax.lax.axis_index(tp_axis)
+            a = p["attn"][:, 0]
+            a_l = jax.lax.dynamic_slice_in_dim(a, k * c, c)
+            a_r = jax.lax.dynamic_slice_in_dim(a, f_out + k * c, c)
+            s_src = jax.lax.psum(x_t @ a_l, tp_axis)  # [V_p], replicated
+            s_dst = jax.lax.psum(x_t @ a_r, tp_axis)
+            aug = jnp.concatenate(
+                [x_t, s_src[:, None].astype(x_t.dtype)], axis=1)
+            m = gt.get_dep_nbr(aug)
+            nbr = gt.attention_aggregate(m[:, :c], m[:, c], s_dst,
+                                         slope=0.2)
         x = jax.nn.relu(nbr)
     return x, []

@@ -25,7 +25,7 @@ from typing import NamedTuple, Sequence
 import jax
 import jax.numpy as jnp
 
-from neutronstarlite_tpu.nn import param
+from neutronstarlite_tpu.nn import layers, param
 
 
 class GGCNState(NamedTuple):
@@ -49,19 +49,37 @@ def init(key: jax.Array, layer_sizes: Sequence[int], dtype=jnp.float32
 
 
 def forward(state: GGCNState, gt, x: jax.Array, key: jax.Array | None,
-            training: bool, drop_rate: float = 0.0):
+            training: bool, drop_rate: float = 0.0,
+            tp_axis: str | None = None):
     del key, drop_rate
     for p in state.params:
-        x_t = x @ p["w"]
-        mirror = gt.get_dep_nbr(x_t)
-        f_out = p["w"].shape[1]
-        # split gate weight: [e_src ∥ e_dst] @ G == e_src@Gl + e_dst@Gr —
-        # the dst term is one per-vertex matmul; the SRC term is linear in
-        # the mirror rows, so the fused op recomputes it in-block from the
-        # gathered features (gated_aggregate_linear) instead of gathering a
-        # materialized g_src table (no [E, 2F'] intermediate either way)
+        # split gate weight: [e_src ∥ e_dst] @ G == e_src@Gl + e_dst@Gr
+        f_out = p["gate"].shape[0] // 2                   # global F'
         g_l, g_r = p["gate"][:f_out], p["gate"][f_out:]
-        g_dst = x_t @ g_r                                 # per local dst row
-        x = jax.nn.relu(gt.gated_aggregate_linear(mirror, g_l, g_dst,
-                                                  slope=0.2))
+        if tp_axis is None:
+            x_t = x @ p["w"]
+            mirror = gt.get_dep_nbr(x_t)
+            # the dst term is one per-vertex matmul; the SRC term is linear
+            # in the mirror rows, so the fused op recomputes it in-block
+            # from the gathered features (gated_aggregate_linear) instead
+            # of gathering a materialized g_src table (no [E, 2F']
+            # intermediate either way)
+            g_dst = x_t @ g_r                             # per local dst row
+            x = jax.nn.relu(gt.gated_aggregate_linear(mirror, g_l, g_dst,
+                                                      slope=0.2))
+        else:
+            # 2-D vertex x feature parallelism: the gate's output columns
+            # are sharded over 'f' like every dense, so g_src/g_dst are
+            # per-VERTEX column-parallel matmuls; the per-feature softmax
+            # lanes are independent across shards. g_src ships as F'/f
+            # extra exchange lanes (the in-block recompute needs full-F'
+            # rows, which the narrow shard doesn't hold).
+            x_t = layers.dense(x, p["w"], tp_axis)        # [V_p, F'/f]
+            g_src = layers.dense(x_t, g_l, tp_axis)
+            g_dst = layers.dense(x_t, g_r, tp_axis)
+            c = x_t.shape[1]
+            aug = jnp.concatenate([x_t, g_src.astype(x_t.dtype)], axis=1)
+            m = gt.get_dep_nbr(aug)
+            x = jax.nn.relu(gt.gated_aggregate(m[:, :c], m[:, c:], g_dst,
+                                               slope=0.2))
     return x, []

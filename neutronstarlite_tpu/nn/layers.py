@@ -32,8 +32,14 @@ def dense(x: jax.Array, w: jax.Array, tp_axis: str | None = None
     feature shard automatically. With ``tp_axis=None`` this is a plain
     matmul. (No reference counterpart — the reference is strictly 1-D
     vertex-partitioned; this is the TPU-native Megatron-style second mesh
-    dimension.)"""
-    if tp_axis is not None:
+    dimension.)
+
+    The gather is skipped when ``x`` already carries full F_in rows
+    (x.shape[1] == w.shape[0]) — that's the layer-0 case when the INPUT
+    feature dim is not divisible by the mesh axis and therefore stays
+    replicated (shapes are static inside shard_map, so the width test is
+    exact)."""
+    if tp_axis is not None and x.shape[1] != w.shape[0]:
         x = jax.lax.all_gather(x, tp_axis, axis=1, tiled=True)
     return x @ w
 

@@ -88,11 +88,14 @@ class DistTrainer:
                 raise ValueError(
                     f"model {getattr(model, '__name__', model)} does not "
                     "support tp_axis (2-D feature parallelism)")
-            bad = [s for s in config.layer_sizes if s % self.f]
+            # the INPUT dim may be non-divisible (features then stay
+            # replicated over 'f' and layer 0's dense skips its gather —
+            # layers.dense width test); hidden/output dims must divide
+            bad = [s for s in config.layer_sizes[1:] if s % self.f]
             if bad:
                 raise ValueError(
-                    f"TP_DIM:{self.f} requires every layer size to be "
-                    f"divisible by it; offending sizes {bad} in "
+                    f"TP_DIM:{self.f} requires every hidden/output layer "
+                    f"size to be divisible by it; offending sizes {bad} in "
                     f"{config.layer_sizes}")
             if jax.process_count() > 1:
                 raise NotImplementedError(
@@ -167,23 +170,37 @@ class DistTrainer:
     def _param_leaf_spec(self, leaf):
         """Column-parallel rule: rank-2 [F_in, F_out] -> P(None, 'f')
         (output-column shards), rank-1 [F] -> P('f'), scalars replicated.
+        Leaves whose shardable dim is not divisible by f stay REPLICATED
+        (e.g. GAT's attention vector [2F', 1]: each feature shard consumes
+        its own row slice and the grads psum over 'f').
         Identity when the mesh has no 'f' axis."""
         if self.f <= 1:
             return P()
         nd = getattr(leaf, "ndim", 0)
-        if nd == 2:
+        shape = getattr(leaf, "shape", ())
+        if nd == 2 and shape[1] % self.f == 0:
             return P(None, "f")
-        if nd == 1:
+        if nd == 1 and shape[0] % self.f == 0:
             return P("f")
         return P()
 
-    def _bn_spec(self):
+    def _bn_spec(self, leaf=None):
         # bn leaves are [P, F_l]: vertex-stacked, feature-sharded under TP
-        return P("p", "f") if self.f > 1 else P("p")
+        # (replicated when F_l doesn't divide — the layer-0 bn of a
+        # non-divisible input dim, whose activations are also replicated)
+        if self.f <= 1:
+            return P("p")
+        if leaf is not None and leaf.shape[-1] % self.f != 0:
+            return P("p")
+        return P("p", "f")
 
     def _x_spec(self):
         # features are [P, V_p, F]: vertex-sharded, feature-sharded under TP
-        return P("p", None, "f") if self.f > 1 else P("p")
+        # (feature-replicated when F_in doesn't divide; layer 0's dense
+        # then skips its all_gather — see layers.dense)
+        if self.f > 1 and self.x.shape[-1] % self.f == 0:
+            return P("p", None, "f")
+        return P("p")
 
     def _build_fused(self, n: int):
         """Scan ``n`` dist epochs per dispatch (FUSE_EPOCHS, same semantics
@@ -219,6 +236,11 @@ class DistTrainer:
         state_cls = type(self.state)
         pspec = P("p")
         rspec = P()
+        # which param leaves stay replicated under TP — decided from the
+        # GLOBAL shapes (inside shard_map the leaves are local shards, whose
+        # shapes would misclassify)
+        rep_leaf = jax.tree.map(lambda l: self._param_leaf_spec(l) == P(),
+                                self.state.params)
 
         def step(arrs, x, labels, masks, row_valid, params, bn, opt_state,
                  key, cache):
@@ -268,6 +290,12 @@ class DistTrainer:
                 loss_fn, has_aux=True)(params)
             # reference all_reduce_to_gradient: SUM of per-partition grads
             grads = jax.lax.psum(grads, "p")
+            if self.f > 1:
+                # replicated leaves (non-shardable, e.g. GAT attn): each
+                # feature shard contributed only its slice's grad → sum
+                grads = jax.tree.map(
+                    lambda g, rep: jax.lax.psum(g, "f") if rep else g,
+                    grads, rep_leaf)
             new_params, new_opt = opt_update(grads, opt_state, params)
 
             pred = jnp.argmax(logits, axis=-1).astype(labels.dtype)
@@ -287,7 +315,7 @@ class DistTrainer:
         sharded_tree = lambda t: jax.tree.map(lambda _: pspec, t)  # noqa: E731
         rep_tree = lambda t: jax.tree.map(lambda _: rspec, t)  # noqa: E731
         tp_tree = lambda t: jax.tree.map(self._param_leaf_spec, t)  # noqa: E731
-        bn_tree = lambda t: jax.tree.map(lambda _: self._bn_spec(), t)  # noqa: E731
+        bn_tree = lambda t: jax.tree.map(self._bn_spec, t)  # noqa: E731
         xspec = self._x_spec()
 
         def jit_step(arrs, x, labels, masks, row_valid, params, bn,
@@ -337,7 +365,7 @@ class DistTrainer:
         epochs = epochs if epochs is not None else self.config.epochs
         rows = []
         params = self._stage(self.state.params, self._param_leaf_spec)
-        bn = self._stage(self.bn, self._bn_spec())
+        bn = self._stage(self.bn, self._bn_spec)
         opt_state = self._stage(self.opt_state, self._param_leaf_spec)
         arrs = self._stage(self.arrs, P("p"))
         x = self._stage(self.x, self._x_spec())
@@ -461,7 +489,7 @@ class DistTrainer:
 
         sharded = lambda t: jax.tree.map(lambda _: pspec, t)  # noqa: E731
         tp_tree = lambda t: jax.tree.map(self._param_leaf_spec, t)  # noqa: E731
-        bn_tree = lambda t: jax.tree.map(lambda _: self._bn_spec(), t)  # noqa: E731
+        bn_tree = lambda t: jax.tree.map(self._bn_spec, t)  # noqa: E731
         arrs = self._stage(self.arrs, P("p"))
         x = self._stage(self.x, self._x_spec())
         row_valid = self._stage(self.row_valid, P("p"))

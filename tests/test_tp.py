@@ -14,7 +14,7 @@ import pytest
 
 from neutronstarlite_tpu.config import InputInfo
 from neutronstarlite_tpu.graph.dataset import synthetic_sbm_dataset
-from neutronstarlite_tpu.models import commnet, gat, gcn, gin
+from neutronstarlite_tpu.models import commnet, gat, gcn, ggcn, gin, sage
 from neutronstarlite_tpu.training.dist_trainer import DistTrainer
 
 
@@ -41,16 +41,23 @@ def _losses(trainer, epochs=5):
     (gcn, {"eager": True}),
     (gin, {}),
     (commnet, {"eager": True}),
+    (gat, {}),
+    (ggcn, {}),
 ])
 def test_tp_matches_1d_dist(model, kwargs):
     """p=2,f=2 mesh reproduces the p=2 run (same vertex partition, same BN
-    stats) to float tolerance, for every TP-capable model family."""
+    stats) to float tolerance, for every TP-capable model family.
+
+    For GAT the TP path switches from the in-block linear-score recompute
+    to the scalar-score table path (s_src psum'd per vertex and shipped as
+    an exchange lane) — numerically the same function, different rounding,
+    hence the float tolerance."""
     datum = _datum()
     l1, a1 = _losses(DistTrainer(datum, _cfg(), model=model,
                                  num_partitions=2, **kwargs))
     l2, a2 = _losses(DistTrainer(datum, _cfg(), model=model,
                                  num_partitions=2, tp=2, **kwargs))
-    np.testing.assert_allclose(l1, l2, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(l1, l2, rtol=5e-4, atol=5e-5)
     np.testing.assert_allclose(a1, a2, atol=1e-6)
 
 
@@ -96,7 +103,7 @@ def test_tp_requires_divisible_layers():
 def test_tp_rejects_unsupported_model():
     datum = _datum()
     with pytest.raises(ValueError, match="tp_axis"):
-        DistTrainer(datum, _cfg(), model=gat, num_partitions=2, tp=2)
+        DistTrainer(datum, _cfg(), model=sage, num_partitions=2, tp=2)
 
 
 def test_tp_dim_cfg_key(tmp_path):
