@@ -435,7 +435,7 @@ def _attention_scores(ell: EllGraph, s_src, s_dst, slope):
     a = z / ssum[:, None]
     a_t = (z_t / jnp.take(ssum, ell.f_tail_rows)[:, None] if has_tail
            else z_t)
-    return a, a_t, (pre, pre_t)
+    return a, a_t, (pre, pre_t), row_max, ssum
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -452,7 +452,7 @@ def attention_aggregate(ell: EllGraph, x: jax.Array, s_src: jax.Array,
 
 
 def _attn_fwd_impl(ell, x, s_src, s_dst, slope):
-    a, a_t, (pre, pre_t) = _attention_scores(ell, s_src, s_dst, slope)
+    a, a_t, (pre, pre_t), _, _ = _attention_scores(ell, s_src, s_dst, slope)
     # bf16 feature gathers (agg_dtype): the [rows,K,F] gather is the
     # dominant HBM cost; scores/softmax stay f32 for numerics
     xc = ell.cast_in(x)
@@ -551,6 +551,145 @@ def _attn_bwd(slope, res, g):
 
 
 attention_aggregate.defvjp(_attn_fwd, _attn_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Cross-slab softmax stats (PROC_OVERLAP local/remote split)
+# ---------------------------------------------------------------------------
+#
+# With PROC_OVERLAP the edge set is split into local/remote slab sets so the
+# local pass has no data dependency on the boundary exchange (the reference's
+# P6 overlap, core/graph.hpp:3490-3535).  Attention softmaxes couple the two
+# sets mathematically, but the coupling is only through three per-dst-row
+# reductions — so each slab set computes UN-normalized online-softmax parts
+#     num[d] = Σ_k e^{m_k - c_d}·x_k,  den[d] = Σ_k e^{m_k - c_d},
+# with its own stabilizer c (= row max, stop-grad: softmax is invariant to
+# it), and the exact union softmax is the elementwise merge
+#     out = Σ_p num_p·e^{c_p-M} / Σ_p den_p·e^{c_p-M},  M = max_p c_p
+# (merge_softmax_parts — plain AD).  XLA then overlaps the local stats pass
+# with the exchange.  Gradients: since c is constant, dz_k = x_k·dnum + dden
+# and dpre_k = z_k·dz_k·leaky' — NO softmax-VJP inner term (that appears
+# only through the merge, where AD produces it).
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def attention_stats(ell: EllGraph, x: jax.Array, s_src: jax.Array,
+                    s_dst: jax.Array, slope: float = 0.2):
+    """Returns (num [Vd,F], den [Vd], c [Vd]) — the unnormalized scalar-
+    attention aggregate parts of THIS slab set (see merge_softmax_parts).
+    ``c`` carries no gradient (stabilizer)."""
+    num, den, c, _ = _attn_stats_fwd_impl(ell, x, s_src, s_dst, slope)
+    return num, den, c
+
+
+def _attn_stats_fwd_impl(ell, x, s_src, s_dst, slope):
+    a, a_t, (pre, pre_t), row_max, ssum = _attention_scores(
+        ell, s_src, s_dst, slope)
+    xc = ell.cast_in(x)
+    out = slab_matvec(ell.f_idx, a, xc)[:ell.num_dst]
+    tail = slab_matvec(ell.f_tail_idx, a_t, xc)
+    out = _tail_combine(out, tail, ell.f_tail_rows,
+                        ell.num_dst).astype(x.dtype)
+    den = ssum[:ell.num_dst]
+    c = row_max[:ell.num_dst]
+    num = out * den[:, None].astype(out.dtype)
+    return num, den, c, (a, a_t, pre, pre_t, den)
+
+
+def _attn_stats_fwd(ell, x, s_src, s_dst, slope):
+    num, den, c, (a, a_t, pre, pre_t, _) = _attn_stats_fwd_impl(
+        ell, x, s_src, s_dst, slope)
+    return (num, den, c), (ell, x, s_src, s_dst, a, a_t, pre, pre_t, den)
+
+
+def _attn_stats_bwd(slope, res, g):
+    dnum, dden, _dc = g        # c is a stop-grad stabilizer by construction
+    ell, x, s_src, s_dst, a, a_t, pre_b, pre_t, den = res
+    has_tail = ell.f_tail_idx.shape[0] > 0
+    f_valid = ell.f_w != 0
+    vd_pad = ell.f_idx.shape[0]
+    den_pad = jnp.pad(den, (0, vd_pad - den.shape[0]), constant_values=1.0)
+    z = a * den_pad[:, None]                      # unnormalized exp weights
+    dnum_pad = jnp.pad(dnum, ((0, vd_pad - ell.num_dst), (0, 0)))
+    dden_pad = jnp.pad(dden, (0, vd_pad - ell.num_dst))
+    xc = ell.cast_in(x)
+    dnc = ell.cast_in(dnum_pad)
+
+    dz = slab_sddmm(ell.f_idx, f_valid, xc, dnum_pad) + dden_pad[:, None]
+    dpre = jnp.where(f_valid, z * dz * jnp.where(pre_b > 0, 1.0, slope), 0.0)
+    if has_tail:
+        t_valid = ell.f_tail_w != 0
+        z_t = a_t * jnp.take(den_pad, ell.f_tail_rows)[:, None]
+        dz_t = (slab_sddmm(ell.f_tail_idx, t_valid, xc,
+                           jnp.take(dnum_pad, ell.f_tail_rows, axis=0))
+                + jnp.take(dden_pad, ell.f_tail_rows)[:, None])
+        dpre_t = jnp.where(
+            t_valid, z_t * dz_t * jnp.where(pre_t > 0, 1.0, slope), 0.0)
+    else:
+        z_t = a_t
+        dpre_t = jnp.zeros_like(a_t)
+
+    ds_dst = jnp.sum(dpre, axis=1)
+    if has_tail:
+        ds_dst = jnp.pad(
+            _tail_combine(ds_dst[:ell.num_dst], jnp.sum(dpre_t, axis=1),
+                          ell.f_tail_rows, ell.num_dst),
+            (0, vd_pad - ell.num_dst))
+    ds_dst = ds_dst[:s_dst.shape[0]]
+
+    # ds_src and the permuted z weights share the slot permutation —
+    # ONE 2-lane gather (same trick as _attn_bwd)
+    flat2 = jnp.stack(
+        [jnp.concatenate([dpre.reshape(-1), dpre_t.reshape(-1),
+                          jnp.zeros(1, dpre.dtype)]),
+         jnp.concatenate([z.reshape(-1), z_t.reshape(-1),
+                          jnp.zeros(1, z.dtype)])], axis=-1)
+    b_valid = ell.b_w != 0
+    g2 = jnp.take(flat2, ell.b_perm, axis=0)
+    ds_src_base = jnp.sum(jnp.where(b_valid, g2[..., 0], 0.0), axis=1)
+    z_bwd = jnp.where(b_valid, g2[..., 1], 0.0)
+    dx = slab_matvec(ell.b_idx, z_bwd, dnc)[:ell.num_src]
+    if ell.b_tail_idx.shape[0]:
+        bt_valid = ell.b_tail_w != 0
+        g2t = jnp.take(flat2, ell.b_tail_perm, axis=0)
+        ds_src = _tail_combine(
+            ds_src_base[:ell.num_src],
+            jnp.sum(jnp.where(bt_valid, g2t[..., 0], 0.0), axis=1),
+            ell.b_tail_rows, ell.num_src)
+        z_bwd_t = jnp.where(bt_valid, g2t[..., 1], 0.0)
+        dx = _tail_combine(dx, slab_matvec(ell.b_tail_idx, z_bwd_t, dnc),
+                           ell.b_tail_rows, ell.num_src)
+    else:
+        ds_src = ds_src_base[:ell.num_src]
+    ds_src = ds_src[:s_src.shape[0]]
+    dx = dx[:x.shape[0]].astype(x.dtype)
+    return None, dx, ds_src, ds_dst
+
+
+attention_stats.defvjp(_attn_stats_fwd, _attn_stats_bwd)
+
+
+def merge_softmax_parts(parts):
+    """Exact softmax-aggregate over the UNION of disjoint slab-set edge
+    sets from their (num, den, c) parts (attention_stats / gated_stats):
+
+        out = Σ_p num_p·e^{c_p-M} / Σ_p den_p·e^{c_p-M},  M = max_p c_p.
+
+    Plain-AD differentiable (the c's are stabilizers, stop-grad). Rows with
+    no edges in ANY part come out 0 (every den ~1e-30-clamped)."""
+    cs = [jax.lax.stop_gradient(c) for (_, _, c) in parts]
+    m = cs[0]
+    for c in cs[1:]:
+        m = jnp.maximum(m, c)
+    num = None
+    den = None
+    for (n, d, _), c in zip(parts, cs):
+        s = jnp.exp(c - m)
+        sn = s[..., None] if s.ndim < n.ndim else s
+        num = n * sn if num is None else num + n * sn
+        den = d * s if den is None else den + d * s
+    den = jnp.maximum(den, 1e-30)
+    return num / (den[..., None] if den.ndim < num.ndim else den)
 
 
 # ---------------------------------------------------------------------------
@@ -864,7 +1003,7 @@ def _gated_scores(ell: EllGraph, g_src, g_dst, slope):
     a = z / ssum[:, None, :]
     a_t = (z_t / jnp.take(ssum, jnp.clip(ell.f_tail_rows, 0, vd_pad - 1),
                           axis=0)[:, None, :] if has_tail else z_t)
-    return a, a_t, pre, pre_t
+    return a, a_t, pre, pre_t, row_max, ssum
 
 
 def slab_gated_matvec(idx: jax.Array, w3: jax.Array, x: jax.Array
@@ -1138,7 +1277,7 @@ def gated_aggregate(ell: EllGraph, x: jax.Array, g_src: jax.Array,
 
 
 def _gated_fwd_impl(ell, x, g_src, g_dst, slope):
-    a, a_t, pre, pre_t = _gated_scores(ell, g_src, g_dst, slope)
+    a, a_t, pre, pre_t, _, _ = _gated_scores(ell, g_src, g_dst, slope)
     xc = ell.cast_in(x)
     out = slab_gated_matvec(ell.f_idx, a, xc)[:ell.num_dst]
     tail = slab_gated_matvec(ell.f_tail_idx, a_t, xc)
@@ -1164,7 +1303,7 @@ def _gated_bwd(slope, resid, g):
     if rmax is not None:
         return (None,) + _gated_chunked_bwd(ell, x, g_src, g_dst, slope, g,
                                             rmax, ssum)
-    a, a_t, pre_b, pre_t = _gated_scores(ell, g_src, g_dst, slope)
+    a, a_t, pre_b, pre_t, _, _ = _gated_scores(ell, g_src, g_dst, slope)
     vd_pad, k = ell.f_idx.shape
     f = x.shape[-1]
     has_tail = ell.f_tail_idx.shape[0] > 0
@@ -1236,6 +1375,108 @@ def _gated_bwd(slope, resid, g):
 
 
 gated_aggregate.defvjp(_gated_fwd, _gated_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def gated_stats(ell: EllGraph, x: jax.Array, g_src: jax.Array,
+                g_dst: jax.Array, slope: float = 0.2):
+    """Per-FEATURE-lane unnormalized softmax-aggregate parts of this slab
+    set: (num [Vd,F], den [Vd,F], c [Vd,F]) — the gated (GGCN) analogue of
+    ``attention_stats`` for merge_softmax_parts. Dense form only (the
+    chunked big-graph pipeline is not needed per-device at dist scales)."""
+    num, den, c, _ = _gated_stats_fwd_impl(ell, x, g_src, g_dst, slope)
+    return num, den, c
+
+
+def _gated_stats_fwd_impl(ell, x, g_src, g_dst, slope):
+    a, a_t, pre, pre_t, row_max, ssum = _gated_scores(ell, g_src, g_dst,
+                                                      slope)
+    xc = ell.cast_in(x)
+    out = slab_gated_matvec(ell.f_idx, a, xc)[:ell.num_dst]
+    tail = slab_gated_matvec(ell.f_tail_idx, a_t, xc)
+    out = _tail_combine(out, tail, ell.f_tail_rows,
+                        ell.num_dst).astype(x.dtype)
+    den = ssum[:ell.num_dst]
+    c = row_max[:ell.num_dst]
+    num = out * den.astype(out.dtype)
+    return num, den, c, None
+
+
+def _gated_stats_fwd(ell, x, g_src, g_dst, slope):
+    num, den, c, _ = _gated_stats_fwd_impl(ell, x, g_src, g_dst, slope)
+    # inputs-only residuals: [V,K,F] score tensors are recomputed in the
+    # backward (rematerialization, same policy as _gated_fwd)
+    return (num, den, c), (ell, x, g_src, g_dst, den)
+
+
+def _gated_stats_bwd(slope, res, g):
+    dnum, dden, _dc = g
+    ell, x, g_src, g_dst, den = res
+    a, a_t, pre_b, pre_t, _, _ = _gated_scores(ell, g_src, g_dst, slope)
+    vd_pad, k = ell.f_idx.shape
+    f = x.shape[-1]
+    has_tail = ell.f_tail_idx.shape[0] > 0
+    f_valid = (ell.f_w != 0)[:, :, None]
+    trows = jnp.clip(ell.f_tail_rows, 0, vd_pad - 1)
+    den_pad = jnp.pad(den, ((0, vd_pad - den.shape[0]), (0, 0)),
+                      constant_values=1.0)
+    z = a * den_pad[:, None, :]
+    dnum_pad = jnp.pad(dnum, ((0, vd_pad - ell.num_dst), (0, 0)))
+    dden_pad = jnp.pad(dden, ((0, vd_pad - ell.num_dst), (0, 0)))
+    xc = ell.cast_in(x)
+    dnc = ell.cast_in(dnum_pad)
+
+    dz = (jnp.take(xc, ell.f_idx, axis=0) * dnum_pad[:, None, :]
+          + dden_pad[:, None, :])
+    dpre = jnp.where(f_valid, z * dz * jnp.where(pre_b > 0, 1.0, slope), 0.0)
+    if has_tail:
+        t_valid = (ell.f_tail_w != 0)[:, :, None]
+        z_t = a_t * jnp.take(den_pad, trows, axis=0)[:, None, :]
+        dz_t = (jnp.take(xc, ell.f_tail_idx, axis=0)
+                * jnp.take(dnum_pad, trows, axis=0)[:, None, :]
+                + jnp.take(dden_pad, trows, axis=0)[:, None, :])
+        dpre_t = jnp.where(
+            t_valid, z_t * dz_t * jnp.where(pre_t > 0, 1.0, slope), 0.0)
+    else:
+        z_t = a_t
+        dpre_t = jnp.zeros_like(a_t)
+
+    dg_dst = jnp.sum(dpre, axis=1)
+    if has_tail:
+        comb = _tail_combine(dg_dst[:ell.num_dst], jnp.sum(dpre_t, axis=1),
+                             ell.f_tail_rows, ell.num_dst)
+        dg_dst = jnp.concatenate([comb, dg_dst[ell.num_dst:]])
+    dg_dst = dg_dst[:g_dst.shape[0]]
+
+    flat2 = jnp.concatenate(
+        [jnp.concatenate([dpre.reshape(-1, f), dpre_t.reshape(-1, f),
+                          jnp.zeros((1, f), dpre.dtype)], axis=0),
+         jnp.concatenate([z.reshape(-1, f), z_t.reshape(-1, f),
+                          jnp.zeros((1, f), z.dtype)], axis=0)], axis=-1)
+    b_valid = (ell.b_w != 0)[:, :, None]
+    g2 = jnp.take(flat2, ell.b_perm, axis=0)
+    dg_src = jnp.sum(jnp.where(b_valid, g2[..., :f], 0.0), axis=1)
+    z_bwd = jnp.where(b_valid, g2[..., f:], 0.0)
+    dx = slab_gated_matvec(ell.b_idx, z_bwd, dnc)[:ell.num_src]
+    if ell.b_tail_idx.shape[0]:
+        bt_valid = (ell.b_tail_w != 0)[:, :, None]
+        g2t = jnp.take(flat2, ell.b_tail_perm, axis=0)
+        dg_src = _tail_combine(
+            dg_src[:ell.num_src],
+            jnp.sum(jnp.where(bt_valid, g2t[..., :f], 0.0), axis=1),
+            ell.b_tail_rows, ell.num_src)
+        z_bwd_t = jnp.where(bt_valid, g2t[..., f:], 0.0)
+        dx = _tail_combine(dx, slab_gated_matvec(ell.b_tail_idx, z_bwd_t,
+                                                 dnc),
+                           ell.b_tail_rows, ell.num_src)
+    else:
+        dg_src = dg_src[:ell.num_src]
+    dg_src = dg_src[:g_src.shape[0]]
+    dx = dx[:x.shape[0]].astype(x.dtype)
+    return None, dx, dg_src, dg_dst
+
+
+gated_stats.defvjp(_gated_stats_fwd, _gated_stats_bwd)
 
 
 # ---------------------------------------------------------------------------

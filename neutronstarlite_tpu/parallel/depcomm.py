@@ -129,9 +129,11 @@ def build_dist_graph(g: Graph, num_partitions: int,
     device's edges into local-src and remote-src slab sets so the boundary
     all_to_all overlaps with the local-edge aggregation under XLA's
     latency-hiding scheduler (the reference pipelines chunks manually,
-    core/graph.hpp:3490-3535). The fused GAT attention needs the combined
-    slabs (softmax couples local+remote edges), so with overlap=True the
-    attention path falls back to segment ops.
+    core/graph.hpp:3490-3535). Attention softmaxes couple local+remote
+    edges, so the fused GAT/GGCN ops run each slab set as unnormalized
+    online-softmax parts merged exactly afterwards
+    (ell.attention_stats/gated_stats + merge_softmax_parts) — the local
+    stats pass still overlaps the exchange.
 
     ``exchange`` selects the boundary-exchange schedule:
 
@@ -603,12 +605,30 @@ class DistGraphTensors:
                             s_dst: jax.Array, slope: float = 0.2
                             ) -> jax.Array:
         """Fused GAT layer over local edges (src ids index the combined
-        [local ∪ mirror ∪ hot] table). ELL backend: scatter-free slab math;
+        [local ∪ mirror ∪ hot] table). ELL backend: scatter-free slab math
+        (split slabs under PROC_OVERLAP merge per-set softmax stats);
         fallback: segment ops with padding edges masked via zero weights."""
         if self.ell is not None and "comb" in self.ell:
             from neutronstarlite_tpu.ops import ell as ell_mod
             return ell_mod.attention_aggregate(self.ell["comb"], table,
                                                s_src, s_dst, slope)
+        if self.ell is not None and "local" in self.ell:
+            # PROC_OVERLAP split slabs: each set computes unnormalized
+            # online-softmax parts with its own stabilizer; the exact
+            # union softmax is the elementwise merge. The local part has
+            # no data dependency on the exchange (table[:V] slices back to
+            # x_local through XLA's slice-of-concat simplification), so
+            # the all_to_all overlaps with the local stats pass — P6
+            # overlap WITH the fused ELL path (ref: graph.hpp:3490-3535).
+            from neutronstarlite_tpu.ops import ell as ell_mod
+            v = self.num_vertices
+            parts = [
+                ell_mod.attention_stats(self.ell["local"], table[:v],
+                                        s_src[:v], s_dst, slope),
+                ell_mod.attention_stats(self.ell["remote"], table[v:],
+                                        s_src[v:], s_dst, slope),
+            ]
+            return ell_mod.merge_softmax_parts(parts).astype(table.dtype)
         m = jax.nn.leaky_relu(
             jnp.take(s_src, self.e_src) + jnp.take(s_dst, self.e_dst),
             negative_slope=slope)
@@ -628,6 +648,8 @@ class DistGraphTensors:
             from neutronstarlite_tpu.ops import ell as ell_mod
             return ell_mod.attention_aggregate_linear(
                 self.ell["comb"], table, a_l, s_dst, slope)
+        # split (PROC_OVERLAP) or segment fallback: materialize s_src —
+        # attention_aggregate routes to the merged-stats fused path
         return self.attention_aggregate(table, table @ a_l, s_dst, slope)
 
     def gated_aggregate(self, table: jax.Array, g_src: jax.Array,
@@ -638,6 +660,23 @@ class DistGraphTensors:
             from neutronstarlite_tpu.ops import ell as ell_mod
             return ell_mod.gated_aggregate(self.ell["comb"], table, g_src,
                                            g_dst, slope)
+        if self.ell is not None and "local" in self.ell:
+            # PROC_OVERLAP split slabs: per-lane merged softmax stats
+            # (see attention_aggregate above). gated_stats is the dense
+            # form ([rows,K,F] score tensors) — above the chunk threshold
+            # fall through to segment ops (static, shape-based decision)
+            from neutronstarlite_tpu.ops import ell as ell_mod
+            f_lanes = table.shape[-1]
+            if not (ell_mod._gated_big(self.ell["local"], f_lanes)
+                    or ell_mod._gated_big(self.ell["remote"], f_lanes)):
+                v = self.num_vertices
+                parts = [
+                    ell_mod.gated_stats(self.ell["local"], table[:v],
+                                        g_src[:v], g_dst, slope),
+                    ell_mod.gated_stats(self.ell["remote"], table[v:],
+                                        g_src[v:], g_dst, slope),
+                ]
+                return ell_mod.merge_softmax_parts(parts).astype(table.dtype)
         m = jax.nn.leaky_relu(
             jnp.take(g_src, self.e_src, axis=0)
             + jnp.take(g_dst, self.e_dst, axis=0), negative_slope=slope)
@@ -659,6 +698,8 @@ class DistGraphTensors:
             from neutronstarlite_tpu.ops import ell as ell_mod
             return ell_mod.gated_aggregate_linear(
                 self.ell["comb"], table, gl, g_dst, slope)
+        # split (PROC_OVERLAP) or segment fallback: materialize g_src —
+        # gated_aggregate routes to the merged-stats fused path
         return self.gated_aggregate(table, table @ gl, g_dst, slope)
 
     @property

@@ -114,17 +114,10 @@ class DistTrainer:
         # local/remote slab split: the local-edge aggregate has no data
         # dependency on the exchange, so XLA overlaps them. Same mechanism
         # as PROC_OVERLAP here, by design.
+        # attention models keep the fused ELL path under the overlap split:
+        # each slab set computes unnormalized softmax stats and the union
+        # merges by online-softmax rescaling (ops/ell.py merge_softmax_parts)
         overlap = bool(config.overlap or config.process_local)
-        if overlap and getattr(model, "__name__", "").rsplit(".", 1)[-1] in \
-                ("gat", "ggcn"):
-            import warnings
-            warnings.warn(
-                "PROC_OVERLAP/PROC_LOCAL splits the edge slabs into "
-                "local/remote sets, which disables the fused ELL attention "
-                "path for attention models (softmax couples local+remote "
-                "edges); falling back to segment ops — expect slower "
-                "epochs. Set PROC_OVERLAP:0 to keep the fused path.",
-                stacklevel=2)
         self.dg = build_dist_graph(datum.graph, self.p, rep_threshold=rep,
                                    overlap=overlap,
                                    rep_mode=config.rep_mode,

@@ -377,11 +377,26 @@ class TestCfgWiring:
         tr = DistTrainer(sbm, cfg, model=gcn, num_partitions=2)
         assert tr.dg.ell_mode == "split"
 
-    def test_overlap_attention_downgrade_warns(self, sbm):
-        cfg = make_config(sbm, epochs=1)
-        cfg.overlap = True
-        with pytest.warns(UserWarning, match="fused ELL attention"):
-            DistTrainer(sbm, cfg, model=gat, num_partitions=2)
+    @pytest.mark.parametrize("model", ["gat", "ggcn"])
+    def test_overlap_attention_keeps_fused_math(self, sbm, model):
+        """GAT/GGCN under PROC_OVERLAP run the split-slab fused path
+        (attention_stats/gated_stats + merge_softmax_parts) and must track
+        the non-overlap run's losses — the softmax over local∪remote edges
+        is recomposed exactly from per-set online-softmax parts."""
+        from neutronstarlite_tpu.models import ggcn
+        mod = {"gat": gat, "ggcn": ggcn}[model]
+        cfg = make_config(sbm, epochs=6)
+        cfg.drop_rate = 0.0
+        h1 = DistTrainer(sbm, cfg, model=mod, num_partitions=2).run()
+        cfg2 = make_config(sbm, epochs=6)
+        cfg2.drop_rate = 0.0
+        cfg2.overlap = True
+        tr = DistTrainer(sbm, cfg2, model=mod, num_partitions=2)
+        assert tr.dg.ell_mode == "split"
+        h2 = tr.run()
+        l1 = np.array([r["loss"] for r in h1])
+        l2 = np.array([r["loss"] for r in h2])
+        np.testing.assert_allclose(l2, l1, rtol=5e-4, atol=5e-5)
 
 
 class TestRingExchange:

@@ -470,3 +470,130 @@ class TestGatedLinear:
         err = float(jnp.max(jnp.abs(o16 - o32)))
         scale = float(jnp.max(jnp.abs(o32))) + 1e-9
         assert err / scale < 0.05, (err, scale)
+
+
+class TestSplitStats:
+    """attention_stats / gated_stats + merge_softmax_parts over an edge
+    split must reproduce the single-slab fused op EXACTLY in values and
+    gradients — the PROC_OVERLAP fused path (local/remote slab sets merged
+    by online-softmax rescaling; ref semantics: graph.hpp:3490-3535)."""
+
+    @pytest.fixture(scope="class")
+    def split(self, g):
+        e = g.num_edges
+        src = np.empty(e, np.int32)
+        dst = np.empty(e, np.int32)
+        w = np.empty(e, np.float32)
+        fwd_eid = np.asarray(g.fwd_eid)
+        src[fwd_eid] = g.fwd_src
+        dst[fwd_eid] = g.fwd_dst
+        w[fwd_eid] = g.fwd_weight
+        r = np.random.default_rng(11)
+        sel = r.random(e) < 0.6                 # arbitrary "local" set
+        v = g.num_vertices
+        ega = ell.ell_from_np(ell.build_ell_rect_np(
+            src[sel], dst[sel], w[sel], v, v, ell_cap=16), v, v)
+        egb = ell.ell_from_np(ell.build_ell_rect_np(
+            src[~sel], dst[~sel], w[~sel], v, v, ell_cap=16), v, v)
+        return ega, egb
+
+    @pytest.fixture(scope="class")
+    def scal_inputs(self, g, feats):
+        r = np.random.default_rng(21)
+        s_src = jnp.asarray(r.standard_normal(g.num_vertices)
+                            .astype(np.float32))
+        s_dst = jnp.asarray(r.standard_normal(g.num_vertices)
+                            .astype(np.float32))
+        return feats, s_src, s_dst
+
+    def test_attention_merge_matches_full(self, eg, split, scal_inputs):
+        x, s_src, s_dst = scal_inputs
+        ega, egb = split
+        full = ell.attention_aggregate(eg, x, s_src, s_dst, 0.2)
+        merged = ell.merge_softmax_parts([
+            ell.attention_stats(ega, x, s_src, s_dst, 0.2),
+            ell.attention_stats(egb, x, s_src, s_dst, 0.2)])
+        np.testing.assert_allclose(np.asarray(merged), np.asarray(full),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_attention_merge_grads_match(self, eg, split, scal_inputs):
+        x, s_src, s_dst = scal_inputs
+        ega, egb = split
+
+        def loss_full(x_, ss, sd):
+            return jnp.sum(ell.attention_aggregate(eg, x_, ss, sd, 0.2) ** 2)
+
+        def loss_merged(x_, ss, sd):
+            m = ell.merge_softmax_parts([
+                ell.attention_stats(ega, x_, ss, sd, 0.2),
+                ell.attention_stats(egb, x_, ss, sd, 0.2)])
+            return jnp.sum(m ** 2)
+
+        gf = jax.grad(loss_full, argnums=(0, 1, 2))(x, s_src, s_dst)
+        gm = jax.grad(loss_merged, argnums=(0, 1, 2))(x, s_src, s_dst)
+        for a, b in zip(gm, gf):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-5)
+
+    def test_gated_merge_matches_full(self, g, eg, split, feats):
+        r = np.random.default_rng(31)
+        gs = jnp.asarray(r.standard_normal((g.num_vertices, 24))
+                         .astype(np.float32))
+        gd = jnp.asarray(r.standard_normal((g.num_vertices, 24))
+                         .astype(np.float32))
+        ega, egb = split
+        full = ell.gated_aggregate(eg, feats, gs, gd, 0.2)
+        merged = ell.merge_softmax_parts([
+            ell.gated_stats(ega, feats, gs, gd, 0.2),
+            ell.gated_stats(egb, feats, gs, gd, 0.2)])
+        np.testing.assert_allclose(np.asarray(merged), np.asarray(full),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_gated_merge_grads_match(self, g, eg, split, feats):
+        r = np.random.default_rng(32)
+        gs = jnp.asarray(r.standard_normal((g.num_vertices, 24))
+                         .astype(np.float32))
+        gd = jnp.asarray(r.standard_normal((g.num_vertices, 24))
+                         .astype(np.float32))
+        ega, egb = split
+
+        def loss_full(x_, a_, b_):
+            return jnp.sum(ell.gated_aggregate(eg, x_, a_, b_, 0.2) ** 2)
+
+        def loss_merged(x_, a_, b_):
+            m = ell.merge_softmax_parts([
+                ell.gated_stats(ega, x_, a_, b_, 0.2),
+                ell.gated_stats(egb, x_, a_, b_, 0.2)])
+            return jnp.sum(m ** 2)
+
+        gf = jax.grad(loss_full, argnums=(0, 1, 2))(feats, gs, gd)
+        gm = jax.grad(loss_merged, argnums=(0, 1, 2))(feats, gs, gd)
+        for a, b in zip(gm, gf):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-5)
+
+    def test_empty_part_rows_are_exact(self, g, eg, feats, scal_inputs):
+        """A split where one part owns ALL edges of some rows (the other
+        part's rows are empty) must still merge exactly — empty-row parts
+        contribute 0 through the stabilizer scaling."""
+        x, s_src, s_dst = scal_inputs
+        e = g.num_edges
+        src = np.empty(e, np.int32)
+        dst = np.empty(e, np.int32)
+        w = np.empty(e, np.float32)
+        fwd_eid = np.asarray(g.fwd_eid)
+        src[fwd_eid] = g.fwd_src
+        dst[fwd_eid] = g.fwd_dst
+        w[fwd_eid] = g.fwd_weight
+        sel = dst < g.num_vertices // 2          # rows 0..V/2 entirely in A
+        v = g.num_vertices
+        ega = ell.ell_from_np(ell.build_ell_rect_np(
+            src[sel], dst[sel], w[sel], v, v, ell_cap=16), v, v)
+        egb = ell.ell_from_np(ell.build_ell_rect_np(
+            src[~sel], dst[~sel], w[~sel], v, v, ell_cap=16), v, v)
+        full = ell.attention_aggregate(eg, x, s_src, s_dst, 0.2)
+        merged = ell.merge_softmax_parts([
+            ell.attention_stats(ega, x, s_src, s_dst, 0.2),
+            ell.attention_stats(egb, x, s_src, s_dst, 0.2)])
+        np.testing.assert_allclose(np.asarray(merged), np.asarray(full),
+                                   rtol=2e-4, atol=2e-5)
