@@ -74,6 +74,9 @@ class InputInfo:
                                     # mesh = NUM_PARTITIONS x TP_DIM devices;
                                     # no reference counterpart — the
                                     # reference is 1-D vertex-partitioned)
+    debuginfo: bool = False         # DEBUGINFO: print the end-of-run
+                                    # breakdown (the reference's DEBUGINFO()
+                                    # phase table, toolkits/GCN.hpp:308-353)
 
     @property
     def layer_sizes(self) -> List[int]:
@@ -143,6 +146,7 @@ class InputInfo:
             "FUSE_EPOCHS": lambda: setattr(self, "fuse_epochs", int(val)),
             "PROFILE_DIR": lambda: setattr(self, "profile_dir", val),
             "TP_DIM": lambda: setattr(self, "tp_dim", int(val)),
+            "DEBUGINFO": lambda: setattr(self, "debuginfo", flag(val)),
         }
         fn = dispatch.get(key)
         if fn is None:

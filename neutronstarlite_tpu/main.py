@@ -76,6 +76,10 @@ def run_from_config(config: InputInfo, log_every: int = 1):
     history = trainer.run(log_every=log_every,
                           profile_dir=config.profile_dir)
     exec_time = time.time() - t0
+    if config.debuginfo and hasattr(trainer, "debuginfo"):
+        # the reference's end-of-run DEBUGINFO() table (GCN.hpp:308-353)
+        import json
+        print("#DEBUGINFO " + json.dumps(trainer.debuginfo()))
     print(f"#run_time={exec_time:.3f}(s)")  # main.cpp:189-192 format
     return trainer, history
 

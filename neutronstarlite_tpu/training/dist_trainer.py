@@ -501,6 +501,45 @@ class DistTrainer:
             out[off[i]:off[i + 1]] = y[i, :n]
         return out
 
+    def debuginfo(self) -> dict:
+        """Structured end-of-run breakdown — the reference's DEBUGINFO()
+        (toolkits/GCN.hpp:308-353: per-phase comm/kernel/... wall-clock,
+        allreduce-averaged across ranks). The SPMD step is opaque to host
+        timers, so this reports what DEFINES those phases: exact per-layer
+        exchange volumes per device (comm — the quantity that rides ICI,
+        fixed at preprocessing exactly like the reference's
+        DetermineMirror message sizes, PartitionedGraph.hpp:210-285), slab
+        slot counts (kernel), DepCache state, and measured wall time."""
+        dg = self.dg
+        p = self.p
+        if dg.ring_sizes is not None:
+            rows = int(sum(dg.ring_sizes))
+        else:
+            rows = p * dg.m_pad  # every pair padded to m_pad
+        from neutronstarlite_tpu.parallel.depcomm import mirror_rows_total
+        info = {
+            "engine": "dist",
+            "partitions": p,
+            "tp_dim": self.f,
+            "exchange": "ring" if dg.ring_sizes is not None else "uniform",
+            "v_pad": dg.v_pad,
+            "m_pad": dg.m_pad,
+            "h_pad": dg.h_pad,
+            "exchange_rows_per_device_per_layer": rows,
+            "mirror_rows_exact_total": int(mirror_rows_total(dg)),
+            "allgather_rows_per_device_per_layer": dg.h_pad,
+            "ell_mode": dg.ell_mode,
+            "cache_refresh": self.cache_refresh,
+            "agg_dtype": self.config.dtype,
+            "exec_time_s": getattr(self, "exec_time", None),
+        }
+        if dg.ell_np:
+            info["slots_per_device"] = {
+                k: int(d["f_idx"][0].size + d["f_tail_idx"][0].size
+                       + d["b_idx"][0].size + d["b_tail_idx"][0].size)
+                for k, d in dg.ell_np.items()}
+        return info
+
     # ---- checkpoint/resume (same format as FullGraphTrainer) ----
     def _save(self, path, params, bn, opt_state, epoch):
         from neutronstarlite_tpu.utils import checkpoint as ckpt

@@ -328,6 +328,19 @@ class MinibatchTrainer:
         """Phase breakdown (the reference's DEBUGINFO(), GCN.hpp:308-353)."""
         self.timer.print_report()
 
+    def debuginfo(self) -> dict:
+        """Structured breakdown (the CLI's DEBUGINFO:1 surface; host phase
+        timers ARE meaningful here — sampling runs on host or as separate
+        device dispatches, unlike the single fused full-graph step)."""
+        return {
+            "engine": "minibatch",
+            "sampler": self.config.sampler_backend,
+            "batch_size": self.config.batch_size,
+            "fanout": list(self.config.fanout),
+            "phases": self.timer.report(),
+            "exec_time_s": getattr(self, "exec_time", None),
+        }
+
     # ---- checkpoint/resume (same format as the other trainers; the
     # minibatch state has no batchnorm, bn slot stores an empty list) ----
     def _save(self, path, epoch):

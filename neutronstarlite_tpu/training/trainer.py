@@ -235,3 +235,32 @@ class FullGraphTrainer:
         logits, _ = self.model.forward(self.state, self.gt, self.x, None,
                                        training=False, **self.model_kwargs)
         return logits
+
+    def debuginfo(self) -> dict:
+        """Structured end-of-run breakdown — the reference's DEBUGINFO()
+        (toolkits/GCN.hpp:308-353 prints per-phase comm/kernel/movein/
+        moveout/wait wall-clock). One jitted step is opaque to host timers,
+        so the TPU-native equivalent reports the quantities that DEFINE
+        those phases: slab slot counts (the kernel cost driver — gathers
+        are per-slot-bound, BASELINE.md), engine mode, and measured wall
+        times. PROFILE_DIR gives the true on-device view."""
+        gt = self.gt
+        info = {
+            "engine": "single-chip",
+            "backend": gt.backend,
+            "num_vertices": gt.num_vertices,
+            "num_edges": gt.num_edges,
+            "agg_dtype": self.config.dtype,
+            "exec_time_s": getattr(self, "exec_time", None),
+        }
+        if gt.ell is not None:
+            e = gt.ell
+            info["ell"] = {
+                "K_fwd": int(e.f_idx.shape[1]),
+                "K_bwd": int(e.b_idx.shape[1]),
+                "fwd_slots": int(e.f_idx.size + e.f_tail_idx.size),
+                "bwd_slots": int(e.b_idx.size + e.b_tail_idx.size),
+                "fwd_tail_rows": int(e.f_tail_idx.shape[0]),
+                "bwd_tail_rows": int(e.b_tail_idx.shape[0]),
+            }
+        return info

@@ -179,3 +179,64 @@ class TestProfilerTrace:
         assert len(hist) == 2 and np.isfinite(hist[-1]["loss"])
         dumped = list((tmp_path / "trace").rglob("*"))
         assert dumped, "profiler trace directory is empty"
+
+
+class TestDebuginfo:
+    """DEBUGINFO parity surface (the reference's end-of-run phase table,
+    toolkits/GCN.hpp:308-353): structured breakdowns on every trainer +
+    the DEBUGINFO:1 cfg key through the CLI."""
+
+    def test_fullgraph_debuginfo(self, sbm):
+        tr = FullGraphTrainer(sbm, make_config(sbm), model=gcn,
+                              backend="pallas")
+        tr.run(epochs=2)
+        info = tr.debuginfo()
+        assert info["engine"] == "single-chip"
+        assert info["num_edges"] == sbm.graph.num_edges
+        assert info["exec_time_s"] > 0
+        assert info["ell"]["fwd_slots"] >= sbm.graph.num_edges
+
+    def test_dist_debuginfo_exchange_rows(self, sbm):
+        from neutronstarlite_tpu.training.dist_trainer import DistTrainer
+        cfg = make_config(sbm)
+        tr = DistTrainer(sbm, cfg, model=gcn, num_partitions=4)
+        tr.run(epochs=1)
+        info = tr.debuginfo()
+        assert info["engine"] == "dist"
+        assert info["partitions"] == 4
+        assert info["exchange"] == "uniform"
+        assert info["exchange_rows_per_device_per_layer"] == 4 * info["m_pad"]
+        # ring reports the exact-max schedule's (smaller or equal) volume
+        cfg2 = make_config(sbm)
+        cfg2.exchange = "ring"
+        tr2 = DistTrainer(sbm, cfg2, model=gcn, num_partitions=4)
+        info2 = tr2.debuginfo()
+        assert info2["exchange"] == "ring"
+        assert (info2["exchange_rows_per_device_per_layer"]
+                <= info["exchange_rows_per_device_per_layer"])
+
+    def test_minibatch_debuginfo_phases(self, sbm):
+        from neutronstarlite_tpu.training.minibatch import MinibatchTrainer
+        cfg = make_config(sbm)
+        cfg.fanout_string = "4-4"
+        cfg.layer_string = "16-8-3"
+        cfg.batch_size = 32
+        tr = MinibatchTrainer(sbm, cfg)
+        tr.run(epochs=1)
+        info = tr.debuginfo()
+        assert info["engine"] == "minibatch"
+        assert info["fanout"] == [4, 4]
+        assert any(k.startswith("train") for k in info["phases"])
+
+    def test_debuginfo_cfg_key(self, sbm, tmp_path, capsys):
+        from neutronstarlite_tpu import main as nsl_main
+        cfg = make_config(sbm)
+        cfg.debuginfo = True
+        cfg.epochs = 2
+        # run_from_config needs files; call the dispatch layer directly
+        # via a datum-backed config object is not its surface — emulate
+        # the CLI with the digits-style synthetic route instead: the
+        # cfg-key parse is the contract
+        c = InputInfo()
+        c._set_key("DEBUGINFO", "1")
+        assert c.debuginfo is True
