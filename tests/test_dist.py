@@ -515,3 +515,44 @@ class TestDistPredict:
         logits = tr.predict()
         assert logits.shape == (sbm.num_vertices, sbm.num_classes)
         assert np.isfinite(logits).all()
+
+
+class TestFlagMatrix:
+    """Interaction coverage: the comm-schedule / slab-layout flags
+    (EXCHANGE:ring, PROC_OVERLAP split, PROC_REP DepCache) change HOW data
+    moves, never the math — every combination must reproduce the plain
+    dist run's losses to fp noise (drop_rate=0, same partitioning)."""
+
+    @pytest.mark.parametrize("model_name,flags", [
+        ("gcn", dict(exchange="ring", rep=8)),
+        ("gcn", dict(exchange="ring", overlap=True)),
+        ("gcn", dict(overlap=True, rep=8)),
+        ("gcn", dict(exchange="ring", overlap=True, rep=8)),
+        ("gat", dict(overlap=True, rep=8)),
+        ("gat", dict(exchange="ring", overlap=True)),
+        ("ggcn", dict(overlap=True, rep=8)),
+    ])
+    def test_flag_combo_matches_plain_dist(self, sbm, model_name, flags):
+        from neutronstarlite_tpu.models import ggcn
+        mod = {"gcn": gcn, "gat": gat, "ggcn": ggcn}[model_name]
+        cfg = make_config(sbm, epochs=5)
+        cfg.drop_rate = 0.0
+        plain = DistTrainer(sbm, cfg, model=mod, num_partitions=2)
+        h1 = plain.run()
+
+        cfg2 = make_config(sbm, epochs=5)
+        cfg2.drop_rate = 0.0
+        cfg2.exchange = flags.get("exchange", "uniform")
+        cfg2.overlap = flags.get("overlap", False)
+        tr = DistTrainer(sbm, cfg2, model=mod, num_partitions=2,
+                         rep_threshold=flags.get("rep", 0))
+        if "rep" in flags:
+            assert tr.dg.h_pad > 0, "combo must exercise DepCache"
+        if flags.get("overlap"):
+            assert tr.dg.ell_mode == "split"
+        h2 = tr.run()
+        l1 = np.array([r["loss"] for r in h1])
+        l2 = np.array([r["loss"] for r in h2])
+        np.testing.assert_allclose(l2, l1, rtol=5e-4, atol=5e-5)
+        np.testing.assert_allclose([r["test"] for r in h2],
+                                   [r["test"] for r in h1], atol=1e-6)
