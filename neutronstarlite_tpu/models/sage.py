@@ -46,23 +46,40 @@ def init(key: jax.Array, layer_sizes: Sequence[int], dtype=jnp.float32
 
 
 def forward(state: SageState, gt, x: jax.Array, key: jax.Array | None,
-            training: bool, drop_rate: float = 0.0, aggregator: str = "max"):
+            training: bool, drop_rate: float = 0.0, aggregator: str = "max",
+            tp_axis: str | None = None):
     """Engine-agnostic: ``gt`` is GraphTensors or DistGraphTensors —
     get_dep_nbr is the identity single-chip and the boundary all_to_all
-    distributed (DistGetDepNbrOp, ref: core/ntsDistCPUGraphOp.hpp:34-126)."""
+    distributed (DistGetDepNbrOp, ref: core/ntsDistCPUGraphOp.hpp:34-126).
+
+    ``tp_axis`` (2-D vertex x feature parallelism): activations and weight
+    output columns are feature-sharded; the extremal aggregation is
+    lane-wise independent so it runs on the narrow shard. The concat-dense
+    is algebraically split as x@W_top + pool@W_bot — concatenating two
+    per-shard chunks would interleave the global feature order, so the
+    split form keeps each dense's row indexing consistent instead."""
     n_layers = len(state.params)
     if training and key is not None:
         drop_keys = jax.random.split(key, n_layers)
     for i, p in enumerate(state.params):
         table = gt.get_dep_nbr(x)
-        e = gt.scatter_src(jax.nn.relu(table @ p["w_pool"]))
+        if tp_axis is None:
+            e = gt.scatter_src(jax.nn.relu(table @ p["w_pool"]))
+        else:
+            e = gt.scatter_src(jax.nn.relu(
+                layers.dense(table, p["w_pool"], tp_axis)))
         if aggregator == "max":
             pool = gt.aggregate_dst_max(e)
         elif aggregator == "min":
             pool = gt.aggregate_dst_min(e)
         else:
             raise ValueError(aggregator)
-        x = jnp.concatenate([x, pool], axis=-1) @ p["w"]
+        if tp_axis is None:
+            x = jnp.concatenate([x, pool], axis=-1) @ p["w"]
+        else:
+            f_in = p["w"].shape[0] // 2        # global F_in (w rows full)
+            x = (layers.dense(x, p["w"][:f_in], tp_axis)
+                 + layers.dense(pool, p["w"][f_in:], tp_axis))
         if i < n_layers - 1:
             x = jax.nn.relu(x)
             if training and drop_rate > 0.0 and key is not None:

@@ -43,6 +43,7 @@ def _losses(trainer, epochs=5):
     (commnet, {"eager": True}),
     (gat, {}),
     (ggcn, {}),
+    (sage, {}),
 ])
 def test_tp_matches_1d_dist(model, kwargs):
     """p=2,f=2 mesh reproduces the p=2 run (same vertex partition, same BN
@@ -101,9 +102,18 @@ def test_tp_requires_divisible_layers():
 
 
 def test_tp_rejects_unsupported_model():
+    """Every shipped model supports tp_axis now; the guard still protects
+    user-supplied model modules that don't."""
+    class _NoTp:
+        __name__ = "_NoTp"
+
+        @staticmethod
+        def forward(state, gt, x, key, training):
+            return x, []
+
     datum = _datum()
     with pytest.raises(ValueError, match="tp_axis"):
-        DistTrainer(datum, _cfg(), model=sage, num_partitions=2, tp=2)
+        DistTrainer(datum, _cfg(), model=_NoTp, num_partitions=2, tp=2)
 
 
 def test_tp_dim_cfg_key(tmp_path):
