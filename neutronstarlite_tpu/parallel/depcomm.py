@@ -445,6 +445,11 @@ class DistGraphTensors:
     m_pad: int = 1
     h_pad: int = 0
     axis_name: str = "p"
+    # collective payload dtype: with agg_dtype=bfloat16 the exchanged
+    # tables feed bf16 slab gathers anyway, so shipping them bf16 halves
+    # the ICI volume for free (the all_to_all transpose halves the
+    # backward push too); float32 = exact reference-parity default
+    exch_dtype: str = "float32"
 
     def tree_flatten(self):
         # cache fields are trace-time plumbing, not data — excluded
@@ -452,7 +457,7 @@ class DistGraphTensors:
                     self.hot_local_idx, self.hot_slot_of_local, self.ell,
                     self.send_ring)
         aux = (self.num_vertices, self.num_partitions, self.m_pad, self.h_pad,
-               self.axis_name)
+               self.axis_name, self.exch_dtype)
         return children, aux
 
     @classmethod
@@ -460,7 +465,7 @@ class DistGraphTensors:
         return cls(*children[:6], ell=children[6], send_ring=children[7],
                    num_vertices=aux[0],
                    num_partitions=aux[1], m_pad=aux[2], h_pad=aux[3],
-                   axis_name=aux[4])
+                   axis_name=aux[4], exch_dtype=aux[5])
 
     # ---- DepComm core ----
     def exchange_remote(self, x_local: jax.Array) -> jax.Array:
@@ -468,6 +473,10 @@ class DistGraphTensors:
         (EXCHANGE:uniform) or chained per-step-sized ppermutes
         (EXCHANGE:ring, the reference's ring order — comm/network.cpp:612-633)
         (+ DepCache all_gather) → [M + h_pad, F] remote table."""
+        if x_local.dtype != jnp.dtype(self.exch_dtype):
+            # ship the collective payload in the aggregation dtype (bf16
+            # halves ICI volume; the slab gathers cast there regardless)
+            x_local = x_local.astype(self.exch_dtype)
         p, m = self.num_partitions, self.m_pad
         if self.send_ring is not None:
             parts = []
@@ -495,7 +504,8 @@ class DistGraphTensors:
         The one communicating op per layer (DistGetDepNbrOp). Autodiff of
         this function IS the backward mirror→master gradient push.
         """
-        return jnp.concatenate([x_local, self.exchange_remote(x_local)],
+        remote = self.exchange_remote(x_local)
+        return jnp.concatenate([x_local.astype(remote.dtype), remote],
                                axis=0)
 
     def _gather_hot(self, x_local: jax.Array) -> jax.Array:
@@ -773,7 +783,8 @@ def make_tensors(arrs: dict, dg: DistGraph, axis_name: str = "p",
         hot_slot_of_local=arrs["hot_slot_of_local"], ell=ell_graphs,
         send_ring=arrs.get("send_ring"),
         num_vertices=dg.v_pad, num_partitions=dg.num_partitions,
-        m_pad=dg.m_pad, h_pad=dg.h_pad, axis_name=axis_name)
+        m_pad=dg.m_pad, h_pad=dg.h_pad, axis_name=axis_name,
+        exch_dtype=agg_dtype)
 
 
 Pytree = Any

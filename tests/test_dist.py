@@ -556,3 +556,38 @@ class TestFlagMatrix:
         np.testing.assert_allclose(l2, l1, rtol=5e-4, atol=5e-5)
         np.testing.assert_allclose([r["test"] for r in h2],
                                    [r["test"] for r in h1], atol=1e-6)
+
+
+class TestBf16Exchange:
+    """DTYPE:bfloat16 ships the collective payload in bf16 (the tables
+    feed bf16 slab gathers regardless), halving ICI volume both ways (the
+    all_to_all transpose carries bf16 grads too)."""
+
+    def test_table_dtype_follows_agg_dtype(self, sbm):
+        mesh = make_mesh(2)
+        dg = build_dist_graph(sbm.graph, 2)
+        arrs = jax.tree.map(jnp.asarray, device_view(dg))
+        x = jnp.asarray(dg.shard_features(sbm.features))
+
+        def f(arrs, x):
+            sq = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
+            gt = make_tensors(sq(arrs), dg, agg_dtype="bfloat16")
+            return gt.get_dep_nbr(sq(x))[None]
+
+        spec = jax.tree.map(lambda _: P("p"), arrs)
+        y = jax.jit(_shard_map(f, mesh, in_specs=(spec, P("p")),
+                               out_specs=P("p")))(arrs, x)
+        assert y.dtype == jnp.bfloat16
+
+    def test_bf16_exchange_tracks_f32(self, sbm):
+        cfg = make_config(sbm, epochs=6)
+        h32 = DistTrainer(sbm, cfg, model=gcn, num_partitions=2).run()
+        cfg16 = make_config(sbm, epochs=6)
+        cfg16.dtype = "bfloat16"
+        h16 = DistTrainer(sbm, cfg16, model=gcn, num_partitions=2).run()
+        l32 = np.array([r["loss"] for r in h32])
+        l16 = np.array([r["loss"] for r in h16])
+        assert np.all(np.isfinite(l16))
+        # bf16 payload: same trajectory class, small numeric drift
+        np.testing.assert_allclose(l16, l32, rtol=0.05, atol=0.02)
+        assert abs(h16[-1]["test"] - h32[-1]["test"]) < 0.05
