@@ -391,11 +391,77 @@ spmm.defvjp(_spmm_fwd, _spmm_bwd)
 _NEG = -1e30
 
 
-def _attention_scores(ell: EllGraph, s_src, s_dst, slope):
+def _perm_bwd_scalar(ell: EllGraph, dpre, dpre_t, w, w_t, gtab):
+    """Shared slot-permutation backward (scalar lanes): ONE 2-lane gather
+    through b_perm/b_tail_perm yields BOTH the per-src sum of ``dpre`` and
+    the transposed aggregate of ``gtab`` weighted by ``w`` (the two lanes
+    share the permutation — one 16M-element gather instead of two; gathers
+    of this shape are per-element-overhead-bound on TPU).
+    Returns (dsrc [num_src], dx [num_src, F])."""
+    flat2 = jnp.stack(
+        [jnp.concatenate([dpre.reshape(-1), dpre_t.reshape(-1),
+                          jnp.zeros(1, dpre.dtype)]),
+         jnp.concatenate([w.reshape(-1), w_t.reshape(-1),
+                          jnp.zeros(1, w.dtype)])], axis=-1)
+    b_valid = ell.b_w != 0
+    g2 = jnp.take(flat2, ell.b_perm, axis=0)        # [Vs_pad, Kb, 2]
+    dsrc = jnp.sum(jnp.where(b_valid, g2[..., 0], 0.0), axis=1)
+    wb = jnp.where(b_valid, g2[..., 1], 0.0)
+    dx = slab_matvec(ell.b_idx, wb, gtab)[:ell.num_src]
+    if ell.b_tail_idx.shape[0]:
+        bt_valid = ell.b_tail_w != 0
+        g2t = jnp.take(flat2, ell.b_tail_perm, axis=0)
+        dsrc = _tail_combine(
+            dsrc[:ell.num_src],
+            jnp.sum(jnp.where(bt_valid, g2t[..., 0], 0.0), axis=1),
+            ell.b_tail_rows, ell.num_src)
+        wbt = jnp.where(bt_valid, g2t[..., 1], 0.0)
+        dx = _tail_combine(dx, slab_matvec(ell.b_tail_idx, wbt, gtab),
+                           ell.b_tail_rows, ell.num_src)
+    else:
+        dsrc = dsrc[:ell.num_src]
+    return dsrc, dx
+
+
+def _perm_bwd_lanes(ell: EllGraph, dpre, dpre_t, w, w_t, gtab):
+    """Shared slot-permutation backward, per-FEATURE-lane variant (gated):
+    one [slots, 2F] gather yields the per-src lane sums of ``dpre`` and the
+    ``w``-weighted transposed aggregate of ``gtab``.
+    Returns (dsrc [num_src, F], dx [num_src, F])."""
+    f = dpre.shape[-1]
+    flat2 = jnp.concatenate(
+        [jnp.concatenate([dpre.reshape(-1, f), dpre_t.reshape(-1, f),
+                          jnp.zeros((1, f), dpre.dtype)], axis=0),
+         jnp.concatenate([w.reshape(-1, f), w_t.reshape(-1, f),
+                          jnp.zeros((1, f), w.dtype)], axis=0)], axis=-1)
+    b_valid = (ell.b_w != 0)[:, :, None]
+    g2 = jnp.take(flat2, ell.b_perm, axis=0)        # [Vs_pad, Kb, 2F]
+    dsrc = jnp.sum(jnp.where(b_valid, g2[..., :f], 0.0), axis=1)
+    wb = jnp.where(b_valid, g2[..., f:], 0.0)
+    dx = slab_gated_matvec(ell.b_idx, wb, gtab)[:ell.num_src]
+    if ell.b_tail_idx.shape[0]:
+        bt_valid = (ell.b_tail_w != 0)[:, :, None]
+        g2t = jnp.take(flat2, ell.b_tail_perm, axis=0)
+        dsrc = _tail_combine(
+            dsrc[:ell.num_src],
+            jnp.sum(jnp.where(bt_valid, g2t[..., :f], 0.0), axis=1),
+            ell.b_tail_rows, ell.num_src)
+        wbt = jnp.where(bt_valid, g2t[..., f:], 0.0)
+        dx = _tail_combine(dx, slab_gated_matvec(ell.b_tail_idx, wbt, gtab),
+                           ell.b_tail_rows, ell.num_src)
+    else:
+        dsrc = dsrc[:ell.num_src]
+    return dsrc, dx
+
+
+def _attention_scores(ell: EllGraph, s_src, s_dst, slope, stats=False):
     """Masked pre-activations + softmax over each dst row (base ∥ tail).
 
     ``s_src``: [Vs] source-table scalars; ``s_dst``: [num_dst] scalars.
-    Returns (a, a_t, (pre, pre_t)) in slab layout; invalid slots get a=0.
+    Returns (a, a_t, (pre, pre_t), row_max, ssum) in slab layout; invalid
+    slots get a=0. With ``stats=True`` the slot weights come back
+    UN-normalized (z = e^{m−c}, skipping the divide — the stats ops
+    multiply den back in otherwise).
     """
     vd_pad = ell.f_idx.shape[0]
     s_dst_p = jnp.pad(s_dst, (0, vd_pad - s_dst.shape[0]))
@@ -432,6 +498,8 @@ def _attention_scores(ell: EllGraph, s_src, s_dst, slope):
     else:
         z_t = m_t
     ssum = jnp.maximum(ssum, 1e-30)
+    if stats:
+        return z, z_t, (pre, pre_t), row_max, ssum
     a = z / ssum[:, None]
     a_t = (z_t / jnp.take(ssum, ell.f_tail_rows)[:, None] if has_tail
            else z_t)
@@ -516,35 +584,11 @@ def _attn_bwd(slope, res, g):
             (0, ell.f_idx.shape[0] - ell.num_dst))
     ds_dst = ds_dst[:s_dst.shape[0]]
 
-    # d s_src and the permuted attention weights need the SAME slot
-    # permutation — gather them as ONE [slots, 2] table (one 16M-element
-    # scalar gather instead of two; gathers of this shape are
-    # per-element-overhead-bound on TPU)
-    flat2 = jnp.stack(
-        [jnp.concatenate([dpre.reshape(-1), dpre_t.reshape(-1),
-                          jnp.zeros(1, dpre.dtype)]),
-         jnp.concatenate([a.reshape(-1), a_t.reshape(-1),
-                          jnp.zeros(1, a.dtype)])], axis=-1)
-    b_valid = ell.b_w != 0
-    g2 = jnp.take(flat2, ell.b_perm, axis=0)        # [Vs_pad, Kb, 2]
-    ds_src_base = jnp.sum(jnp.where(b_valid, g2[..., 0], 0.0), axis=1)
-    a_bwd = jnp.where(b_valid, g2[..., 1], 0.0)
-    if ell.b_tail_idx.shape[0]:
-        bt_valid = ell.b_tail_w != 0
-        g2t = jnp.take(flat2, ell.b_tail_perm, axis=0)
-        ds_src_tail = jnp.sum(jnp.where(bt_valid, g2t[..., 0], 0.0), axis=1)
-        ds_src = _tail_combine(ds_src_base[:ell.num_src], ds_src_tail,
-                               ell.b_tail_rows, ell.num_src)
-    else:
-        ds_src = ds_src_base[:ell.num_src]
+    # ds_src + dX share the slot permutation — one 2-lane gather
+    # (_perm_bwd_scalar); dX is the transposed aggregate with permuted
+    # attention weights
+    ds_src, dx = _perm_bwd_scalar(ell, dpre, dpre_t, a, a_t, gc)
     ds_src = ds_src[:s_src.shape[0]]
-
-    # dX via transposed aggregate with permuted attention weights
-    dx = slab_matvec(ell.b_idx, a_bwd, gc)[:ell.num_src]
-    if ell.b_tail_idx.shape[0]:
-        a_bwd_t = jnp.where(bt_valid, g2t[..., 1], 0.0)
-        dx = _tail_combine(dx, slab_matvec(ell.b_tail_idx, a_bwd_t, gc),
-                           ell.b_tail_rows, ell.num_src)
     dx = dx[:x.shape[0]].astype(x.dtype)
 
     return None, dx, ds_src, ds_dst
@@ -583,51 +627,48 @@ def attention_stats(ell: EllGraph, x: jax.Array, s_src: jax.Array,
 
 
 def _attn_stats_fwd_impl(ell, x, s_src, s_dst, slope):
-    a, a_t, (pre, pre_t), row_max, ssum = _attention_scores(
-        ell, s_src, s_dst, slope)
+    z, z_t, (pre, pre_t), row_max, ssum = _attention_scores(
+        ell, s_src, s_dst, slope, stats=True)
     xc = ell.cast_in(x)
-    out = slab_matvec(ell.f_idx, a, xc)[:ell.num_dst]
-    tail = slab_matvec(ell.f_tail_idx, a_t, xc)
-    out = _tail_combine(out, tail, ell.f_tail_rows,
+    num = slab_matvec(ell.f_idx, z, xc)[:ell.num_dst]
+    tail = slab_matvec(ell.f_tail_idx, z_t, xc)
+    num = _tail_combine(num, tail, ell.f_tail_rows,
                         ell.num_dst).astype(x.dtype)
     den = ssum[:ell.num_dst]
     c = row_max[:ell.num_dst]
-    num = out * den[:, None].astype(out.dtype)
-    return num, den, c, (a, a_t, pre, pre_t, den)
+    return num, den, c, (z, z_t, pre, pre_t)
 
 
 def _attn_stats_fwd(ell, x, s_src, s_dst, slope):
-    num, den, c, (a, a_t, pre, pre_t, _) = _attn_stats_fwd_impl(
+    num, den, c, (z, z_t, pre, pre_t) = _attn_stats_fwd_impl(
         ell, x, s_src, s_dst, slope)
-    return (num, den, c), (ell, x, s_src, s_dst, a, a_t, pre, pre_t, den)
+    return (num, den, c), (ell, x, s_src, s_dst, z, z_t, pre, pre_t)
 
 
 def _attn_stats_bwd(slope, res, g):
     dnum, dden, _dc = g        # c is a stop-grad stabilizer by construction
-    ell, x, s_src, s_dst, a, a_t, pre_b, pre_t, den = res
+    ell, x, s_src, s_dst, z, z_t, pre_b, pre_t = res
     has_tail = ell.f_tail_idx.shape[0] > 0
     f_valid = ell.f_w != 0
     vd_pad = ell.f_idx.shape[0]
-    den_pad = jnp.pad(den, (0, vd_pad - den.shape[0]), constant_values=1.0)
-    z = a * den_pad[:, None]                      # unnormalized exp weights
     dnum_pad = jnp.pad(dnum, ((0, vd_pad - ell.num_dst), (0, 0)))
     dden_pad = jnp.pad(dden, (0, vd_pad - ell.num_dst))
     xc = ell.cast_in(x)
     dnc = ell.cast_in(dnum_pad)
 
+    # c is constant → dz_k = x_k·dnum_d + dden_d, dpre_k = z_k·dz_k·leaky'
+    # (NO softmax inner term — that appears only through the merge)
     dz = slab_sddmm(ell.f_idx, f_valid, xc, dnum_pad) + dden_pad[:, None]
     dpre = jnp.where(f_valid, z * dz * jnp.where(pre_b > 0, 1.0, slope), 0.0)
     if has_tail:
         t_valid = ell.f_tail_w != 0
-        z_t = a_t * jnp.take(den_pad, ell.f_tail_rows)[:, None]
         dz_t = (slab_sddmm(ell.f_tail_idx, t_valid, xc,
                            jnp.take(dnum_pad, ell.f_tail_rows, axis=0))
                 + jnp.take(dden_pad, ell.f_tail_rows)[:, None])
         dpre_t = jnp.where(
             t_valid, z_t * dz_t * jnp.where(pre_t > 0, 1.0, slope), 0.0)
     else:
-        z_t = a_t
-        dpre_t = jnp.zeros_like(a_t)
+        dpre_t = jnp.zeros_like(z_t)
 
     ds_dst = jnp.sum(dpre, axis=1)
     if has_tail:
@@ -637,30 +678,7 @@ def _attn_stats_bwd(slope, res, g):
             (0, vd_pad - ell.num_dst))
     ds_dst = ds_dst[:s_dst.shape[0]]
 
-    # ds_src and the permuted z weights share the slot permutation —
-    # ONE 2-lane gather (same trick as _attn_bwd)
-    flat2 = jnp.stack(
-        [jnp.concatenate([dpre.reshape(-1), dpre_t.reshape(-1),
-                          jnp.zeros(1, dpre.dtype)]),
-         jnp.concatenate([z.reshape(-1), z_t.reshape(-1),
-                          jnp.zeros(1, z.dtype)])], axis=-1)
-    b_valid = ell.b_w != 0
-    g2 = jnp.take(flat2, ell.b_perm, axis=0)
-    ds_src_base = jnp.sum(jnp.where(b_valid, g2[..., 0], 0.0), axis=1)
-    z_bwd = jnp.where(b_valid, g2[..., 1], 0.0)
-    dx = slab_matvec(ell.b_idx, z_bwd, dnc)[:ell.num_src]
-    if ell.b_tail_idx.shape[0]:
-        bt_valid = ell.b_tail_w != 0
-        g2t = jnp.take(flat2, ell.b_tail_perm, axis=0)
-        ds_src = _tail_combine(
-            ds_src_base[:ell.num_src],
-            jnp.sum(jnp.where(bt_valid, g2t[..., 0], 0.0), axis=1),
-            ell.b_tail_rows, ell.num_src)
-        z_bwd_t = jnp.where(bt_valid, g2t[..., 1], 0.0)
-        dx = _tail_combine(dx, slab_matvec(ell.b_tail_idx, z_bwd_t, dnc),
-                           ell.b_tail_rows, ell.num_src)
-    else:
-        ds_src = ds_src_base[:ell.num_src]
+    ds_src, dx = _perm_bwd_scalar(ell, dpre, dpre_t, z, z_t, dnc)
     ds_src = ds_src[:s_src.shape[0]]
     dx = dx[:x.shape[0]].astype(x.dtype)
     return None, dx, ds_src, ds_dst
@@ -956,11 +974,12 @@ def _slab_gated_blocks(idx, rows_fn, rows, k, f, budget=None, itemsize=4):
     return max(8, (bv // 8) * 8)
 
 
-def _gated_scores(ell: EllGraph, g_src, g_dst, slope):
+def _gated_scores(ell: EllGraph, g_src, g_dst, slope, stats=False):
     """Per-lane masked softmax over each dst row's slots (base ∥ tail).
 
     g_src: [Vs, F] source gate terms; g_dst: [num_dst, F].
-    Returns (a [Vd_pad,K,F], a_t [Rv,K,F], pre, pre_t).
+    Returns (a [Vd_pad,K,F], a_t [Rv,K,F], pre, pre_t, row_max, ssum);
+    with ``stats=True`` the slot weights are UN-normalized z.
     """
     vd_pad, k = ell.f_idx.shape
     f = g_src.shape[-1]
@@ -1000,6 +1019,8 @@ def _gated_scores(ell: EllGraph, g_src, g_dst, slope):
     else:
         z_t = m_t
     ssum = jnp.maximum(ssum, 1e-30)
+    if stats:
+        return z, z_t, pre, pre_t, row_max, ssum
     a = z / ssum[:, None, :]
     a_t = (z_t / jnp.take(ssum, jnp.clip(ell.f_tail_rows, 0, vd_pad - 1),
                           axis=0)[:, None, :] if has_tail else z_t)
@@ -1344,31 +1365,9 @@ def _gated_bwd(slope, resid, g):
         dg_dst = jnp.concatenate([comb, dg_dst[ell.num_dst:]])
     dg_dst = dg_dst[:g_dst.shape[0]]
 
-    # flat slot-major table for the permutation gathers: dpre and a share
-    # the slot permutation, so gather them as ONE [slots, 2F] table
-    flat2 = jnp.concatenate(
-        [jnp.concatenate([dpre.reshape(-1, f), dpre_t.reshape(-1, f),
-                          jnp.zeros((1, f), dpre.dtype)], axis=0),
-         jnp.concatenate([a.reshape(-1, f), a_t.reshape(-1, f),
-                          jnp.zeros((1, f), a.dtype)], axis=0)], axis=-1)
-
-    b_valid = (ell.b_w != 0)[:, :, None]
-    g2 = jnp.take(flat2, ell.b_perm, axis=0)      # [Vs_pad, Kb, 2F]
-    dg_src = jnp.sum(jnp.where(b_valid, g2[..., :f], 0.0), axis=1)
-    a_bwd = jnp.where(b_valid, g2[..., f:], 0.0)
-    dx = slab_gated_matvec(ell.b_idx, a_bwd, gc)[:ell.num_src]
-    if ell.b_tail_idx.shape[0]:
-        bt_valid = (ell.b_tail_w != 0)[:, :, None]
-        g2t = jnp.take(flat2, ell.b_tail_perm, axis=0)
-        dg_src_t = jnp.sum(jnp.where(bt_valid, g2t[..., :f], 0.0), axis=1)
-        dg_src = _tail_combine(dg_src[:ell.num_src], dg_src_t,
-                               ell.b_tail_rows, ell.num_src)
-        a_bwd_t = jnp.where(bt_valid, g2t[..., f:], 0.0)
-        dx = _tail_combine(dx, slab_gated_matvec(ell.b_tail_idx, a_bwd_t,
-                                                 gc),
-                           ell.b_tail_rows, ell.num_src)
-    else:
-        dg_src = dg_src[:ell.num_src]
+    # dpre and a share the slot permutation — one [slots, 2F] gather
+    # (_perm_bwd_lanes); dX is the a-weighted transposed aggregate
+    dg_src, dx = _perm_bwd_lanes(ell, dpre, dpre_t, a, a_t, gc)
     dg_src = dg_src[:g_src.shape[0]]
     dx = dx[:x.shape[0]].astype(x.dtype)
     return None, dx, dg_src, dg_dst
@@ -1389,38 +1388,32 @@ def gated_stats(ell: EllGraph, x: jax.Array, g_src: jax.Array,
 
 
 def _gated_stats_fwd_impl(ell, x, g_src, g_dst, slope):
-    a, a_t, pre, pre_t, row_max, ssum = _gated_scores(ell, g_src, g_dst,
-                                                      slope)
+    z, z_t, pre, pre_t, row_max, ssum = _gated_scores(ell, g_src, g_dst,
+                                                      slope, stats=True)
     xc = ell.cast_in(x)
-    out = slab_gated_matvec(ell.f_idx, a, xc)[:ell.num_dst]
-    tail = slab_gated_matvec(ell.f_tail_idx, a_t, xc)
-    out = _tail_combine(out, tail, ell.f_tail_rows,
+    num = slab_gated_matvec(ell.f_idx, z, xc)[:ell.num_dst]
+    tail = slab_gated_matvec(ell.f_tail_idx, z_t, xc)
+    num = _tail_combine(num, tail, ell.f_tail_rows,
                         ell.num_dst).astype(x.dtype)
-    den = ssum[:ell.num_dst]
-    c = row_max[:ell.num_dst]
-    num = out * den.astype(out.dtype)
-    return num, den, c, None
+    return num, ssum[:ell.num_dst], row_max[:ell.num_dst], None
 
 
 def _gated_stats_fwd(ell, x, g_src, g_dst, slope):
     num, den, c, _ = _gated_stats_fwd_impl(ell, x, g_src, g_dst, slope)
     # inputs-only residuals: [V,K,F] score tensors are recomputed in the
     # backward (rematerialization, same policy as _gated_fwd)
-    return (num, den, c), (ell, x, g_src, g_dst, den)
+    return (num, den, c), (ell, x, g_src, g_dst)
 
 
 def _gated_stats_bwd(slope, res, g):
-    dnum, dden, _dc = g
-    ell, x, g_src, g_dst, den = res
-    a, a_t, pre_b, pre_t, _, _ = _gated_scores(ell, g_src, g_dst, slope)
-    vd_pad, k = ell.f_idx.shape
-    f = x.shape[-1]
+    dnum, dden, _dc = g        # c is a stop-grad stabilizer by construction
+    ell, x, g_src, g_dst = res
+    z, z_t, pre_b, pre_t, _, _ = _gated_scores(ell, g_src, g_dst, slope,
+                                               stats=True)
+    vd_pad = ell.f_idx.shape[0]
     has_tail = ell.f_tail_idx.shape[0] > 0
     f_valid = (ell.f_w != 0)[:, :, None]
     trows = jnp.clip(ell.f_tail_rows, 0, vd_pad - 1)
-    den_pad = jnp.pad(den, ((0, vd_pad - den.shape[0]), (0, 0)),
-                      constant_values=1.0)
-    z = a * den_pad[:, None, :]
     dnum_pad = jnp.pad(dnum, ((0, vd_pad - ell.num_dst), (0, 0)))
     dden_pad = jnp.pad(dden, ((0, vd_pad - ell.num_dst), (0, 0)))
     xc = ell.cast_in(x)
@@ -1431,15 +1424,13 @@ def _gated_stats_bwd(slope, res, g):
     dpre = jnp.where(f_valid, z * dz * jnp.where(pre_b > 0, 1.0, slope), 0.0)
     if has_tail:
         t_valid = (ell.f_tail_w != 0)[:, :, None]
-        z_t = a_t * jnp.take(den_pad, trows, axis=0)[:, None, :]
         dz_t = (jnp.take(xc, ell.f_tail_idx, axis=0)
                 * jnp.take(dnum_pad, trows, axis=0)[:, None, :]
                 + jnp.take(dden_pad, trows, axis=0)[:, None, :])
         dpre_t = jnp.where(
             t_valid, z_t * dz_t * jnp.where(pre_t > 0, 1.0, slope), 0.0)
     else:
-        z_t = a_t
-        dpre_t = jnp.zeros_like(a_t)
+        dpre_t = jnp.zeros_like(z_t)
 
     dg_dst = jnp.sum(dpre, axis=1)
     if has_tail:
@@ -1448,29 +1439,7 @@ def _gated_stats_bwd(slope, res, g):
         dg_dst = jnp.concatenate([comb, dg_dst[ell.num_dst:]])
     dg_dst = dg_dst[:g_dst.shape[0]]
 
-    flat2 = jnp.concatenate(
-        [jnp.concatenate([dpre.reshape(-1, f), dpre_t.reshape(-1, f),
-                          jnp.zeros((1, f), dpre.dtype)], axis=0),
-         jnp.concatenate([z.reshape(-1, f), z_t.reshape(-1, f),
-                          jnp.zeros((1, f), z.dtype)], axis=0)], axis=-1)
-    b_valid = (ell.b_w != 0)[:, :, None]
-    g2 = jnp.take(flat2, ell.b_perm, axis=0)
-    dg_src = jnp.sum(jnp.where(b_valid, g2[..., :f], 0.0), axis=1)
-    z_bwd = jnp.where(b_valid, g2[..., f:], 0.0)
-    dx = slab_gated_matvec(ell.b_idx, z_bwd, dnc)[:ell.num_src]
-    if ell.b_tail_idx.shape[0]:
-        bt_valid = (ell.b_tail_w != 0)[:, :, None]
-        g2t = jnp.take(flat2, ell.b_tail_perm, axis=0)
-        dg_src = _tail_combine(
-            dg_src[:ell.num_src],
-            jnp.sum(jnp.where(bt_valid, g2t[..., :f], 0.0), axis=1),
-            ell.b_tail_rows, ell.num_src)
-        z_bwd_t = jnp.where(bt_valid, g2t[..., f:], 0.0)
-        dx = _tail_combine(dx, slab_gated_matvec(ell.b_tail_idx, z_bwd_t,
-                                                 dnc),
-                           ell.b_tail_rows, ell.num_src)
-    else:
-        dg_src = dg_src[:ell.num_src]
+    dg_src, dx = _perm_bwd_lanes(ell, dpre, dpre_t, z, z_t, dnc)
     dg_src = dg_src[:g_src.shape[0]]
     dx = dx[:x.shape[0]].astype(x.dtype)
     return None, dx, dg_src, dg_dst

@@ -503,9 +503,13 @@ class DistGraphTensors:
 
         The one communicating op per layer (DistGetDepNbrOp). Autodiff of
         this function IS the backward mirror→master gradient push.
-        """
+
+        The collective payload travels in exch_dtype (bf16 halves ICI),
+        but the combined table is returned in x's dtype — dense/score/BN/
+        loss math stays f32 exactly like the single-chip bf16 contract
+        (only the slab gathers cast down, via cast_in)."""
         remote = self.exchange_remote(x_local)
-        return jnp.concatenate([x_local.astype(remote.dtype), remote],
+        return jnp.concatenate([x_local, remote.astype(x_local.dtype)],
                                axis=0)
 
     def _gather_hot(self, x_local: jax.Array) -> jax.Array:

@@ -515,7 +515,9 @@ class DistTrainer:
         if dg.ring_sizes is not None:
             rows = int(sum(dg.ring_sizes))
         else:
-            rows = p * dg.m_pad  # every pair padded to m_pad
+            # rows that actually cross a link: the all_to_all's own q->q
+            # self-chunk stays on device, so only (p-1) pairs count
+            rows = (p - 1) * dg.m_pad
         from neutronstarlite_tpu.parallel.depcomm import mirror_rows_total
         info = {
             "engine": "dist",

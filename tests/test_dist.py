@@ -563,7 +563,10 @@ class TestBf16Exchange:
     feed bf16 slab gathers regardless), halving ICI volume both ways (the
     all_to_all transpose carries bf16 grads too)."""
 
-    def test_table_dtype_follows_agg_dtype(self, sbm):
+    def test_payload_bf16_table_stays_f32(self, sbm):
+        """The COLLECTIVE payload travels bf16, but the combined table
+        returns in x's dtype — dense/score/BN/loss math stays f32 like the
+        single-chip bf16 contract (only slab gathers cast down)."""
         mesh = make_mesh(2)
         dg = build_dist_graph(sbm.graph, 2)
         arrs = jax.tree.map(jnp.asarray, device_view(dg))
@@ -572,12 +575,23 @@ class TestBf16Exchange:
         def f(arrs, x):
             sq = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
             gt = make_tensors(sq(arrs), dg, agg_dtype="bfloat16")
-            return gt.get_dep_nbr(sq(x))[None]
+            xl = sq(x)
+            remote = gt.exchange_remote(xl)
+            table = gt.get_dep_nbr(xl)
+            return remote[None], table[None]
 
         spec = jax.tree.map(lambda _: P("p"), arrs)
-        y = jax.jit(_shard_map(f, mesh, in_specs=(spec, P("p")),
-                               out_specs=P("p")))(arrs, x)
-        assert y.dtype == jnp.bfloat16
+        remote, table = jax.jit(_shard_map(
+            f, mesh, in_specs=(spec, P("p")),
+            out_specs=(P("p"), P("p"))))(arrs, x)
+        assert remote.dtype == jnp.bfloat16     # what crossed the ICI
+        assert table.dtype == jnp.float32       # what the model consumes
+        # upcast-after-exchange: the table's remote rows equal the bf16
+        # round trip of the f32 originals
+        v = dg.v_pad
+        np.testing.assert_array_equal(
+            np.asarray(table[:, v:], np.float32),
+            np.asarray(remote, np.float32))
 
     def test_bf16_exchange_tracks_f32(self, sbm):
         cfg = make_config(sbm, epochs=6)
