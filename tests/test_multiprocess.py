@@ -71,3 +71,39 @@ def test_two_processes_match_single_process():
         # identical SPMD program, different process topology → fp noise only
         assert abs(a["loss"] - b["loss"]) < 1e-4, (a, b)
         assert abs(a["test"] - b["test"]) < 1e-6, (a, b)
+
+
+def test_two_processes_ring_exchange_matches():
+    """EXCHANGE:ring across REAL processes: the P-1 chained ppermutes ride
+    the cross-process transport (the reference's explicit ring order,
+    comm/network.cpp:612-633) and must reproduce the single-process
+    uniform-all_to_all run — same math, different schedule AND topology."""
+    port = _free_port()
+    env = _clean_env()
+    env["NSL_MP_EXCHANGE"] = "ring"
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, "dist", "2", str(pid), str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        cwd=REPO) for pid in (0, 1)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed rc={rc}\nstdout:{out}\nstderr:{err}"
+    hist_ring = _parse(outs[0][1])
+
+    local = subprocess.run(
+        [sys.executable, WORKER, "local", "2"], capture_output=True,
+        text=True, env=_clean_env(), cwd=REPO, timeout=420)
+    assert local.returncode == 0, local.stderr
+    hist_local = _parse(local.stdout)
+    assert len(hist_ring) == len(hist_local)
+    for a, b in zip(hist_ring, hist_local):
+        assert abs(a["loss"] - b["loss"]) < 1e-4, (a, b)
+        assert abs(a["test"] - b["test"]) < 1e-6, (a, b)

@@ -55,6 +55,9 @@ def main():
     cfg = InputInfo(vertices=257, epochs=8, layer_string="16-8-3",
                     learn_rate=0.01, weight_decay=1e-4, drop_rate=0.0,
                     seed=7)
+    # NSL_MP_EXCHANGE=ring: cross-process ppermute schedule instead of the
+    # all_to_all (EXCHANGE:ring over a real jax.distributed world)
+    cfg.exchange = os.environ.get("NSL_MP_EXCHANGE", "uniform")
     tr = DistTrainer(sbm, cfg, model=gcn, num_partitions=num)
     hist = tr.run()
     if pid == 0:
