@@ -676,21 +676,39 @@ class DistGraphTensors:
                                            g_dst, slope)
         if self.ell is not None and "local" in self.ell:
             # PROC_OVERLAP split slabs: per-lane merged softmax stats
-            # (see attention_aggregate above). gated_stats is the dense
-            # form ([rows,K,F] score tensors) — above the chunk threshold
-            # fall through to segment ops (static, shape-based decision)
+            # (see attention_aggregate above). The gated softmax is
+            # per-FEATURE-lane, so when the dense [rows,K,F] score tensors
+            # would exceed the chunk threshold we chunk the LANES — exact,
+            # and each chunk's transient tensors stay bounded (the static
+            # Python loop unrolls; lane count is a compile-time shape)
             from neutronstarlite_tpu.ops import ell as ell_mod
+            v = self.num_vertices
             f_lanes = table.shape[-1]
-            if not (ell_mod._gated_big(self.ell["local"], f_lanes)
-                    or ell_mod._gated_big(self.ell["remote"], f_lanes)):
-                v = self.num_vertices
+            big = (ell_mod._gated_big(self.ell["local"], f_lanes)
+                   or ell_mod._gated_big(self.ell["remote"], f_lanes))
+            fc = f_lanes
+            if big:
+                while fc > 8 and (ell_mod._gated_big(self.ell["local"], fc)
+                                  or ell_mod._gated_big(self.ell["remote"],
+                                                        fc)):
+                    fc = -(-fc // 2)
+            outs = []
+            for lo in range(0, f_lanes, fc):
+                hi = min(lo + fc, f_lanes)
                 parts = [
-                    ell_mod.gated_stats(self.ell["local"], table[:v],
-                                        g_src[:v], g_dst, slope),
-                    ell_mod.gated_stats(self.ell["remote"], table[v:],
-                                        g_src[v:], g_dst, slope),
+                    ell_mod.gated_stats(self.ell["local"],
+                                        table[:v, lo:hi],
+                                        g_src[:v, lo:hi],
+                                        g_dst[:, lo:hi], slope),
+                    ell_mod.gated_stats(self.ell["remote"],
+                                        table[v:, lo:hi],
+                                        g_src[v:, lo:hi],
+                                        g_dst[:, lo:hi], slope),
                 ]
-                return ell_mod.merge_softmax_parts(parts).astype(table.dtype)
+                outs.append(ell_mod.merge_softmax_parts(parts))
+            out = outs[0] if len(outs) == 1 else jnp.concatenate(outs,
+                                                                 axis=1)
+            return out.astype(table.dtype)
         m = jax.nn.leaky_relu(
             jnp.take(g_src, self.e_src, axis=0)
             + jnp.take(g_dst, self.e_dst, axis=0), negative_slope=slope)

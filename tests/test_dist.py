@@ -605,3 +605,22 @@ class TestBf16Exchange:
         # bf16 payload: same trajectory class, small numeric drift
         np.testing.assert_allclose(l16, l32, rtol=0.05, atol=0.02)
         assert abs(h16[-1]["test"] - h32[-1]["test"]) < 0.05
+
+
+def test_overlap_gated_lane_chunked_matches(sbm, monkeypatch):
+    """Force the big-graph branch of the gated overlap path: the per-lane
+    softmax is chunked over FEATURE lanes (exact); losses must still equal
+    the non-overlap run."""
+    from neutronstarlite_tpu.models import ggcn
+    from neutronstarlite_tpu.ops import ell as ell_mod
+    cfg = make_config(sbm, epochs=4)
+    h1 = DistTrainer(sbm, cfg, model=ggcn, num_partitions=2).run()
+    monkeypatch.setattr(ell_mod, "_GATED_CHUNK_BYTES", 20000)
+    cfg2 = make_config(sbm, epochs=4)
+    cfg2.overlap = True
+    tr = DistTrainer(sbm, cfg2, model=ggcn, num_partitions=2)
+    assert tr.dg.ell_mode == "split"
+    h2 = tr.run()
+    np.testing.assert_allclose([r["loss"] for r in h2],
+                               [r["loss"] for r in h1],
+                               rtol=5e-4, atol=5e-5)
