@@ -1325,8 +1325,7 @@ def _gated_bwd(slope, resid, g):
         return (None,) + _gated_chunked_bwd(ell, x, g_src, g_dst, slope, g,
                                             rmax, ssum)
     a, a_t, pre_b, pre_t, _, _ = _gated_scores(ell, g_src, g_dst, slope)
-    vd_pad, k = ell.f_idx.shape
-    f = x.shape[-1]
+    vd_pad = ell.f_idx.shape[0]
     has_tail = ell.f_tail_idx.shape[0] > 0
     f_valid = (ell.f_w != 0)[:, :, None]
     g_pad = jnp.pad(g, ((0, vd_pad - ell.num_dst), (0, 0)))

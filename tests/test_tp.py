@@ -121,3 +121,24 @@ def test_tp_dim_cfg_key(tmp_path):
     cfg = InputInfo()
     cfg._set_key("TP_DIM", "2")
     assert cfg.tp_dim == 2
+
+
+@pytest.mark.parametrize("model,flags", [
+    (gat, dict(overlap=True)),
+    (ggcn, dict(overlap=True)),
+    (gcn, dict(exchange="ring", overlap=True)),
+])
+def test_tp_composes_with_comm_flags(model, flags):
+    """TP_DIM x PROC_OVERLAP/EXCHANGE: the 2-D mesh with split slabs (and
+    the merged-stats attention path) must track the plain 1-D dist run."""
+    datum = _datum()
+    l1, _ = _losses(DistTrainer(datum, _cfg(), model=model,
+                                num_partitions=2))
+    cfg = _cfg()
+    cfg.overlap = flags.get("overlap", False)
+    cfg.exchange = flags.get("exchange", "uniform")
+    tr = DistTrainer(datum, cfg, model=model, num_partitions=2, tp=2)
+    if cfg.overlap:
+        assert tr.dg.ell_mode == "split"
+    l2, _ = _losses(tr)
+    np.testing.assert_allclose(l2, l1, rtol=5e-4, atol=5e-5)
