@@ -13,6 +13,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <random>
@@ -160,6 +161,59 @@ int64_t nsl_dedup_relabel(const int32_t* flat, int64_t n, int32_t v,
   // pass 4: clear marks
   for (int64_t i = 0; i < cnt; i++) scratch[table[i]] = 0;
   return cnt;
+}
+
+// ---------------------------------------------------------------------------
+// Fennel streaming vertex partitioner (beyond-reference: the reference only
+// has the contiguous locality-aware range partition, core/graph.hpp:1185-
+// 1213). One pass over vertices in the given order; each vertex joins the
+// partition maximizing
+//     |assigned neighbors in i|  -  alpha * gamma * load_i^(gamma-1)
+// (Tsourakakis et al., Fennel, WSDM'14), with a hard per-partition cap
+// slack*ceil(v/p). Neighborhood = in-edges (CSC) + out-edges (CSR) — mirror
+// counts depend on both directions. Ties break toward the lighter load.
+// ---------------------------------------------------------------------------
+void nsl_fennel(const int64_t* in_off, const int32_t* in_nbr,
+                const int64_t* out_off, const int32_t* out_nbr,
+                int32_t v, int64_t e, int32_t p, double gamma,
+                double slack, int32_t passes, const int32_t* order,
+                int32_t* owner) {
+  const double alpha =
+      std::pow((double)p, gamma - 1.0) * (double)e / std::pow((double)v, gamma);
+  const int64_t cap = (int64_t)(slack * ((v + p - 1) / p)) + 1;
+  std::vector<int64_t> load(p, 0);
+  std::vector<int64_t> cnt(p);
+  for (int32_t i = 0; i < v; i++) owner[i] = -1;
+  for (int32_t pass = 0; pass < passes; pass++) {
+    for (int32_t s = 0; s < v; s++) {
+      const int32_t u = order ? order[s] : s;
+      if (owner[u] >= 0) load[owner[u]]--;  // re-evaluate on later passes
+      std::fill(cnt.begin(), cnt.end(), 0);
+      for (int64_t k = in_off[u]; k < in_off[u + 1]; k++) {
+        const int32_t o = owner[in_nbr[k]];
+        if (o >= 0) cnt[o]++;
+      }
+      for (int64_t k = out_off[u]; k < out_off[u + 1]; k++) {
+        const int32_t o = owner[out_nbr[k]];
+        if (o >= 0) cnt[o]++;
+      }
+      int32_t best = -1;
+      double best_s = 0.0;
+      for (int32_t i = 0; i < p; i++) {
+        if (load[i] >= cap) continue;
+        const double sc =
+            (double)cnt[i] -
+            alpha * gamma * std::pow((double)load[i], gamma - 1.0);
+        if (best < 0 || sc > best_s ||
+            (sc == best_s && load[i] < load[best])) {
+          best = i;
+          best_s = sc;
+        }
+      }
+      owner[u] = best;
+      load[best]++;
+    }
+  }
 }
 
 }  // extern "C"

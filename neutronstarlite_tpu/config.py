@@ -77,6 +77,12 @@ class InputInfo:
     debuginfo: bool = False         # DEBUGINFO: print the end-of-run
                                     # breakdown (the reference's DEBUGINFO()
                                     # phase table, toolkits/GCN.hpp:308-353)
+    partition_mode: str = "range"   # PARTITION: range (reference's
+                                    # contiguous locality-aware split) |
+                                    # fennel (streaming edge-locality
+                                    # partitioner + relabel — cuts mirror
+                                    # sets on clustered graphs; beyond-
+                                    # reference)
 
     @property
     def layer_sizes(self) -> List[int]:
@@ -147,6 +153,7 @@ class InputInfo:
             "PROFILE_DIR": lambda: setattr(self, "profile_dir", val),
             "TP_DIM": lambda: setattr(self, "tp_dim", int(val)),
             "DEBUGINFO": lambda: setattr(self, "debuginfo", flag(val)),
+            "PARTITION": lambda: setattr(self, "partition_mode", val),
         }
         fn = dispatch.get(key)
         if fn is None:

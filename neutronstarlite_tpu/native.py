@@ -46,8 +46,13 @@ def _load():
         lib.nsl_dedup_relabel.argtypes = [_I32P, ctypes.c_int64,
                                           ctypes.c_int32, _I32P, _I32P, _I32P]
         lib.nsl_dedup_relabel.restype = ctypes.c_int64
+        lib.nsl_fennel.argtypes = [_I64P, _I32P, _I64P, _I32P,
+                                   ctypes.c_int32, ctypes.c_int64,
+                                   ctypes.c_int32, ctypes.c_double,
+                                   ctypes.c_double, ctypes.c_int32,
+                                   _I32P, _I32P]
         _LIB = lib
-    except OSError:
+    except (OSError, AttributeError):  # missing .so or stale build
         _LIB = None
     return _LIB
 
@@ -132,3 +137,24 @@ class DedupWorkspace:
         n = lib.nsl_dedup_relabel(flat, flat.size, self.num_vertices, table,
                                   local, self.scratch)
         return table[:n].copy(), local
+
+
+def fennel(in_offsets: np.ndarray, in_nbr: np.ndarray,
+           out_offsets: np.ndarray, out_nbr: np.ndarray,
+           num_vertices: int, num_partitions: int, gamma: float,
+           slack: float, passes: int, order: np.ndarray
+           ) -> np.ndarray | None:
+    """Streaming Fennel partition → owner[v] int32 (None without the .so)."""
+    lib = _load()
+    if lib is None:
+        return None
+    in_offsets = np.ascontiguousarray(in_offsets, np.int64)
+    in_nbr = np.ascontiguousarray(in_nbr, np.int32)
+    out_offsets = np.ascontiguousarray(out_offsets, np.int64)
+    out_nbr = np.ascontiguousarray(out_nbr, np.int32)
+    order = np.ascontiguousarray(order, np.int32)
+    owner = np.zeros(num_vertices, np.int32)
+    lib.nsl_fennel(in_offsets, in_nbr, out_offsets, out_nbr,
+                   num_vertices, in_nbr.size, num_partitions,
+                   float(gamma), float(slack), int(passes), order, owner)
+    return owner

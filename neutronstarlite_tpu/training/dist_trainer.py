@@ -104,7 +104,16 @@ class DistTrainer:
             self.model_kwargs = dict(model_kwargs, tp_axis="f")
         rep = rep_threshold if rep_threshold is not None else config.repthreshold
 
-        if config.shuffle_vertices:
+        partition = None
+        if getattr(config, "partition_mode", "range") == "fennel":
+            # edge-locality streaming partition (beyond-reference; the
+            # reference only has the contiguous range split) — relabels
+            # vertices so each Fennel part is a contiguous range
+            from neutronstarlite_tpu.graph.reorder import fennel_partition
+            datum, partition = fennel_partition(datum, self.p,
+                                                seed=config.seed)
+            self.datum = datum
+        elif config.shuffle_vertices:
             # balance per-pair mirror counts (see graph/reorder.py)
             from neutronstarlite_tpu.graph.reorder import random_shuffle
             datum = random_shuffle(datum, seed=config.seed)
@@ -119,6 +128,7 @@ class DistTrainer:
         # merges by online-softmax rescaling (ops/ell.py merge_softmax_parts)
         overlap = bool(config.overlap or config.process_local)
         self.dg = build_dist_graph(datum.graph, self.p, rep_threshold=rep,
+                                   partition=partition,
                                    overlap=overlap,
                                    rep_mode=config.rep_mode,
                                    exchange=config.exchange)

@@ -624,3 +624,87 @@ def test_overlap_gated_lane_chunked_matches(sbm, monkeypatch):
     np.testing.assert_allclose([r["loss"] for r in h2],
                                [r["loss"] for r in h1],
                                rtol=5e-4, atol=5e-5)
+
+
+class TestFennelPartition:
+    """PARTITION:fennel — streaming edge-locality partitioner (beyond-
+    reference; the reference only has the contiguous range split). The
+    partition changes WHERE vertices live, never the math."""
+
+    @pytest.fixture(scope="class")
+    def clustered(self):
+        return synthetic_sbm_dataset(num_vertices=2000, feat_dim=8,
+                                     num_classes=8, avg_degree=12,
+                                     homophily=0.9, seed=5)
+
+    def test_fennel_aggregate_matches_single(self, clustered):
+        from neutronstarlite_tpu.graph.reorder import fennel_partition
+        from neutronstarlite_tpu.ops.graph_ops import GraphTensors
+        fd, fp = fennel_partition(clustered, 4)
+        gt = GraphTensors.from_graph(fd.graph, backend="xla")
+        oracle = np.asarray(gt.aggregate_neighbors(jnp.asarray(fd.features)))
+        mesh = make_mesh(4)
+        dg = build_dist_graph(fd.graph, 4, partition=fp)
+        arrs = jax.tree.map(jnp.asarray, device_view(dg))
+        x = jnp.asarray(dg.shard_features(fd.features))
+
+        def f(arrs, x):
+            sq = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
+            gt_d = make_tensors(sq(arrs), dg)
+            return gt_d.aggregate_neighbors(sq(x))[None]
+
+        spec = jax.tree.map(lambda _: P("p"), arrs)
+        y = np.asarray(jax.jit(_shard_map(f, mesh, in_specs=(spec, P("p")),
+                                          out_specs=P("p")))(arrs, x))
+        off = dg.partition.offsets
+        for i in range(4):
+            n = off[i + 1] - off[i]
+            np.testing.assert_allclose(y[i, :n], oracle[off[i]:off[i + 1]],
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_fennel_cuts_edges_on_clustered_graph(self, clustered):
+        """Edge-cut is the robust quality metric at test scale (mirror
+        counts saturate on tiny dense graphs — nearly every vertex is
+        SOME partition's mirror regardless of locality; the mirror-volume
+        effect at scale is measured in tools/analyze_comm.py: −74% ring
+        volume at V=20K p=8, −73% mirrors on the homophily-0.9 SBM)."""
+        from neutronstarlite_tpu.graph.partition import (
+            locality_aware_partition)
+        from neutronstarlite_tpu.graph.reorder import fennel_partition
+        g = clustered.graph
+        base = locality_aware_partition(g.in_degree, 4)
+        cut0 = float(np.mean(base.owner[g.fwd_src]
+                             != base.owner[g.fwd_dst]))
+        fd, fp = fennel_partition(clustered, 4)
+        gf = fd.graph
+        cut1 = float(np.mean(fp.owner[gf.fwd_src]
+                             != fp.owner[gf.fwd_dst]))
+        assert cut1 < 0.5 * cut0, (cut1, cut0)
+        # balance: no partition above the slack cap
+        assert fp.local_counts.max() <= 1.1 * (-(-clustered.num_vertices
+                                                 // 4)) + 1
+
+    def test_fennel_native_matches_numpy_fallback(self, clustered):
+        from neutronstarlite_tpu import native
+        from neutronstarlite_tpu.graph.reorder import _fennel_owner_np
+        if not native.available():
+            pytest.skip("native lib absent")
+        g = clustered.graph
+        order = np.random.default_rng(1).permutation(
+            g.num_vertices).astype(np.int32)
+        got = native.fennel(g.fwd_offsets, g.fwd_src, g.bwd_offsets,
+                            g.bwd_dst, g.num_vertices, 4, 1.5, 1.1, 2,
+                            order)
+        want = _fennel_owner_np(g, 4, 1.5, 1.1, 2, order)
+        np.testing.assert_array_equal(got, want)
+
+    def test_fennel_trainer_cfg(self, clustered):
+        cfg = InputInfo(vertices=clustered.num_vertices, epochs=10,
+                        layer_string="8-8-8", learn_rate=0.01,
+                        weight_decay=1e-4, drop_rate=0.0, seed=7)
+        cfg._set_key("PARTITION", "fennel")
+        assert cfg.partition_mode == "fennel"
+        tr = DistTrainer(clustered, cfg, model=gcn, num_partitions=4)
+        hist = tr.run()
+        assert np.isfinite(hist[-1]["loss"])
+        assert hist[-1]["loss"] < hist[0]["loss"]
