@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from neutronstarlite_tpu.config import InputInfo                 # noqa: E402
 from neutronstarlite_tpu.graph.dataset import load_dataset       # noqa: E402
-from neutronstarlite_tpu.models import gcn, gat, gin, commnet, ggcn  # noqa: E402
+from neutronstarlite_tpu.models import gcn, gat, gin, commnet, ggcn, sage  # noqa: E402
 from neutronstarlite_tpu.training.trainer import FullGraphTrainer    # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -51,7 +51,8 @@ def main():
               ("gin_eager", gin, {"eager": True}, 60, 0.01),
               ("commnet", commnet, {}, 60, 0.01),
               ("commnet_eager", commnet, {"eager": True}, 60, 0.01),
-              ("ggcn", ggcn, {}, 300, 0.001))
+              ("ggcn", ggcn, {}, 300, 0.001),
+              ("sage", sage, {}, 60, 0.01))
     deltas = {}
     for name, model, kwargs, epochs, lr in models:
         accs = {}
