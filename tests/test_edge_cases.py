@@ -106,3 +106,80 @@ class TestEllAllModels:
         op, _ = model.forward(st, gt_p, x, None, training=False)
         np.testing.assert_allclose(np.asarray(op), np.asarray(ox),
                                    rtol=1e-3, atol=1e-4)
+
+
+class TestStructuralFuzz:
+    """Seeded random-graph sweep: structural oddities (isolated vertices,
+    multi-edges, self-loops, hub rows, near-empty partitions) through the
+    DIST engine must reproduce the single-chip oracle for both the linear
+    aggregate and the fused attention chain."""
+
+    def _random_graph(self, seed):
+        r = np.random.default_rng(seed)
+        v = int(r.integers(40, 200))
+        e = int(r.integers(v // 2, v * 8))      # sparse → denseish
+        src = r.integers(0, v, e).astype(np.int32)
+        # zipf-ish dst skew (high-id vertices get few or no real edges;
+        # add_self_loops then gives every row its self edge, as the pipeline does)
+        w = (np.arange(1, v + 1) ** -float(r.uniform(0.3, 1.2)))
+        w /= w.sum()
+        dst = r.choice(v, size=e, p=w).astype(np.int32)
+        # multi-edges: duplicate a random slice
+        k = int(r.integers(0, e // 4 + 1))
+        src = np.concatenate([src, src[:k]])
+        dst = np.concatenate([dst, dst[:k]])
+        src, dst = add_self_loops(src, dst, v)
+        return build_graph(src, dst, v), v
+
+    @pytest.mark.parametrize("seed", [11, 22, 33, 44])
+    def test_dist_matches_single_on_random_graphs(self, seed):
+        from jax.sharding import PartitionSpec as P
+        from neutronstarlite_tpu.ops import segment
+        from neutronstarlite_tpu.parallel.depcomm import (build_dist_graph,
+                                                          device_view,
+                                                          make_tensors)
+        from neutronstarlite_tpu.parallel.mesh import make_mesh
+        from neutronstarlite_tpu.training.dist_trainer import _shard_map
+        g, v = self._random_graph(seed)
+        r = np.random.default_rng(seed + 1)
+        x_np = r.standard_normal((v, 12)).astype(np.float32)
+        s_src = r.standard_normal(v).astype(np.float32)
+        s_dst = r.standard_normal(v).astype(np.float32)
+
+        gt = GraphTensors.from_graph(g, backend="xla")
+        x = jnp.asarray(x_np)
+        want_sum = np.asarray(gt.aggregate_neighbors(x))
+        want_att = np.asarray(gt.attention_aggregate(
+            x, jnp.asarray(s_src), jnp.asarray(s_dst), 0.2))
+
+        mesh = make_mesh(4)
+        dg = build_dist_graph(g, 4)
+        arrs = jax.tree.map(jnp.asarray, device_view(dg))
+        xs = jnp.asarray(dg.shard_features(x_np))
+        ss = jnp.asarray(dg.shard_features(s_src[:, None]))
+        sd = jnp.asarray(dg.shard_features(s_dst[:, None]))
+
+        def f(arrs, xs, ss, sd):
+            sq = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
+            gt_d = make_tensors(sq(arrs), dg)
+            xl, ssl, sdl = sq(xs), sq(ss)[:, 0], sq(sd)[:, 0]
+            agg = gt_d.aggregate_neighbors(xl)
+            tab = gt_d.get_dep_nbr(xl)
+            stab = gt_d.get_dep_nbr(ssl[:, None])[:, 0]
+            att = gt_d.attention_aggregate(tab, stab, sdl, 0.2)
+            return agg[None], att[None]
+
+        spec = jax.tree.map(lambda _: P("p"), arrs)
+        agg, att = jax.jit(_shard_map(
+            f, mesh, in_specs=(spec, P("p"), P("p"), P("p")),
+            out_specs=(P("p"), P("p"))))(arrs, xs, ss, sd)
+        agg, att = np.asarray(agg), np.asarray(att)
+        off = dg.partition.offsets
+        for i in range(4):
+            n = off[i + 1] - off[i]
+            np.testing.assert_allclose(agg[i, :n],
+                                       want_sum[off[i]:off[i + 1]],
+                                       rtol=2e-4, atol=2e-5)
+            np.testing.assert_allclose(att[i, :n],
+                                       want_att[off[i]:off[i + 1]],
+                                       rtol=2e-4, atol=2e-5)
