@@ -48,10 +48,11 @@ def permute_dataset(datum: GNNDatum, perm: np.ndarray) -> GNNDatum:
         num_classes=datum.num_classes)
 
 
-def random_shuffle(datum: GNNDatum, seed: int = 0) -> GNNDatum:
+def random_shuffle(datum: GNNDatum, seed: int = 0, return_perm: bool = False):
     perm = np.random.default_rng(seed).permutation(
         datum.num_vertices).astype(np.int32)
-    return permute_dataset(datum, perm)
+    out = permute_dataset(datum, perm)
+    return (out, perm) if return_perm else out
 
 
 def degree_sort(datum: GNNDatum) -> GNNDatum:
@@ -93,7 +94,8 @@ def _fennel_owner_np(g: Graph, p: int, gamma: float, slack: float,
 
 def fennel_partition(datum: GNNDatum, num_partitions: int,
                      gamma: float = 1.5, slack: float = 1.1,
-                     passes: int = 4, seed: int = 0):
+                     passes: int = 4, seed: int = 0,
+                     return_perm: bool = False):
     """Fennel streaming partition (Tsourakakis et al., WSDM'14) adapted to
     the contiguous-range engine: compute an owner per vertex over the
     UNDIRECTED neighborhood, then relabel so each partition's vertices are
@@ -132,4 +134,5 @@ def fennel_partition(datum: GNNDatum, num_partitions: int,
     v_pad = -(-max(int(counts.max()), 1) // pad_multiple) * pad_multiple
     part = Partition(num_partitions=p, offsets=offsets, owner=new_owner,
                      local_counts=counts, v_pad=v_pad)
-    return permute_dataset(datum, perm), part
+    out = permute_dataset(datum, perm)
+    return (out, part, perm) if return_perm else (out, part)

@@ -105,18 +105,23 @@ class DistTrainer:
         rep = rep_threshold if rep_threshold is not None else config.repthreshold
 
         partition = None
+        # vertex_perm: old→new id map of any relabeling (SHUFFLE_VERTICES /
+        # PARTITION:fennel) so predict() can return logits in the USER's
+        # original vertex order
+        self.vertex_perm = None
         if getattr(config, "partition_mode", "range") == "fennel":
             # edge-locality streaming partition (beyond-reference; the
             # reference only has the contiguous range split) — relabels
             # vertices so each Fennel part is a contiguous range
             from neutronstarlite_tpu.graph.reorder import fennel_partition
-            datum, partition = fennel_partition(datum, self.p,
-                                                seed=config.seed)
+            datum, partition, self.vertex_perm = fennel_partition(
+                datum, self.p, seed=config.seed, return_perm=True)
             self.datum = datum
         elif config.shuffle_vertices:
             # balance per-pair mirror counts (see graph/reorder.py)
             from neutronstarlite_tpu.graph.reorder import random_shuffle
-            datum = random_shuffle(datum, seed=config.seed)
+            datum, self.vertex_perm = random_shuffle(
+                datum, seed=config.seed, return_perm=True)
             self.datum = datum
         # PROC_LOCAL (hybrid local processing, ref: core/graph.hpp:3464,3645
         # — process local edges while communication is in flight) maps to the
@@ -509,6 +514,10 @@ class DistTrainer:
         for i in range(self.p):
             n = off[i + 1] - off[i]
             out[off[i]:off[i + 1]] = y[i, :n]
+        if self.vertex_perm is not None:
+            # undo the SHUFFLE_VERTICES / PARTITION:fennel relabeling:
+            # row v of the result is the logits of the USER's vertex v
+            out = out[self.vertex_perm]
         return out
 
     def debuginfo(self) -> dict:

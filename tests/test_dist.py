@@ -708,3 +708,24 @@ class TestFennelPartition:
         hist = tr.run()
         assert np.isfinite(hist[-1]["loss"])
         assert hist[-1]["loss"] < hist[0]["loss"]
+
+
+@pytest.mark.parametrize("mode", ["shuffle", "fennel"])
+def test_predict_returns_original_vertex_order(sbm, mode):
+    """SHUFFLE_VERTICES / PARTITION:fennel relabel vertices internally;
+    predict() must return logits in the USER's original order. With equal
+    (seeded) init params and no training, the forward is deterministic and
+    permutation-invariant, so per-original-vertex logits must be identical
+    to the unrelabeled run."""
+    cfg = make_config(sbm, epochs=1)
+    base = DistTrainer(sbm, cfg, model=gcn, num_partitions=2)
+    want = base.predict()
+    cfg2 = make_config(sbm, epochs=1)
+    if mode == "shuffle":
+        cfg2.shuffle_vertices = True
+    else:
+        cfg2.partition_mode = "fennel"
+    tr = DistTrainer(sbm, cfg2, model=gcn, num_partitions=2)
+    assert tr.vertex_perm is not None
+    got = tr.predict()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
