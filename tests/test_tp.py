@@ -142,3 +142,20 @@ def test_tp_composes_with_comm_flags(model, flags):
         assert tr.dg.ell_mode == "split"
     l2, _ = _losses(tr)
     np.testing.assert_allclose(l2, l1, rtol=5e-4, atol=5e-5)
+
+
+def test_tp_checkpoint_resume(tmp_path):
+    """Checkpoint/resume under the 2-D mesh: sharded params/opt-state save
+    as global arrays and restore onto the same shardings bit-exactly."""
+    datum = _datum()
+    cfg = _cfg()
+    cfg.checkpoint_path = str(tmp_path / "ck")
+    t1 = DistTrainer(datum, cfg, model=gcn, num_partitions=2, tp=2)
+    t1.run(epochs=4)
+    ref = t1.predict()
+
+    cfg2 = _cfg()
+    t2 = DistTrainer(datum, cfg2, model=gcn, num_partitions=2, tp=2)
+    start = t2.resume(str(tmp_path / "ck"))
+    assert start == 4
+    np.testing.assert_allclose(t2.predict(), ref, rtol=1e-5, atol=1e-6)
