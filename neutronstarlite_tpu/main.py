@@ -102,6 +102,13 @@ def main(argv=None):
     if not argv:
         print("usage: python -m neutronstarlite_tpu.main <config.cfg>")
         return 1
+    import os
+    if os.environ.get("NSL_PLATFORM"):
+        # explicit platform pin: some PJRT plugins (axon) ignore the
+        # JAX_PLATFORMS env var, so the CLI offers a config-level override
+        # (e.g. NSL_PLATFORM=cpu ./run_nsl_dist.sh 2 cfg for a CPU world)
+        import jax
+        jax.config.update("jax_platforms", os.environ["NSL_PLATFORM"])
     _maybe_init_distributed()
     config = InputInfo.from_cfg_file(argv[0])
     config.print()
