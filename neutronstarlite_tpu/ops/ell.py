@@ -741,7 +741,7 @@ def _lin_stats_pass(idx, w, xc, a_vec, s_dst_rows, slope):
     if rows == 0:
         z = jnp.zeros((0,), jnp.float32)
         return z, z, jnp.zeros((0, f), jnp.float32)
-    bv = _slab_gated_blocks(idx, None, rows, k, f,
+    bv = _slab_gated_blocks(rows, k, f,
                             itemsize=xc.dtype.itemsize)
 
     def block(args):
@@ -768,7 +768,7 @@ def _lin_da_pre_pass(idx, xc, a_vec, s_dst_rows, g_rows):
     if rows == 0:
         z = jnp.zeros((0, k), jnp.float32)
         return z, z
-    bv = _slab_gated_blocks(idx, None, rows, k, f,
+    bv = _slab_gated_blocks(rows, k, f,
                             itemsize=xc.dtype.itemsize)
 
     def block(args):
@@ -802,7 +802,7 @@ def _lin_bwd_pass(idx, w, gc, stats4, x_rows, s_src_rows, f, slope):
     fuse_lanes = f + 4 <= 128
     g_aug = (jnp.concatenate([gc, stats4.astype(gc.dtype)], axis=1)
              if fuse_lanes else gc)
-    bv = _slab_gated_blocks(idx, None, rows, k, g_aug.shape[-1],
+    bv = _slab_gated_blocks(rows, k, g_aug.shape[-1],
                             itemsize=g_aug.dtype.itemsize)
 
     def block(args):
@@ -960,14 +960,13 @@ def _attn_lin_bwd(slope, res, g):
 attention_aggregate_linear.defvjp(_attn_lin_fwd, _attn_lin_bwd)
 
 
-Pytree = Any
 
 
 # ---------------------------------------------------------------------------
 # Fused multi-lane gated aggregation (GGCN)
 # ---------------------------------------------------------------------------
 
-def _slab_gated_blocks(idx, rows_fn, rows, k, f, budget=None, itemsize=4):
+def _slab_gated_blocks(rows, k, f, budget=None, itemsize=4):
     """Helper: iterate row blocks with [bv, K, F] temps under the budget."""
     budget = budget or _BLOCK_GATHER_BUDGET
     bv = max(8, min(rows, budget // max(k * f * itemsize, 1)))
@@ -1035,7 +1034,7 @@ def slab_gated_matvec(idx: jax.Array, w3: jax.Array, x: jax.Array
     f = x.shape[-1]
     if rows == 0:
         return jnp.zeros((0, f), x.dtype)
-    bv = _slab_gated_blocks(idx, None, rows, k, f, itemsize=x.dtype.itemsize)
+    bv = _slab_gated_blocks(rows, k, f, itemsize=x.dtype.itemsize)
     if rows <= bv:
         g = jnp.take(x, idx, axis=0)                  # [rows, K, F]
         return jnp.sum(w3 * g, axis=1).astype(x.dtype)
@@ -1134,7 +1133,7 @@ def _gated_chunked_fwd(ell: EllGraph, x, g_src, g_dst, slope, gl=None):
         z = jnp.where(valid, jnp.exp(lk - m[:, None, :]), 0.0)
         return m, jnp.sum(z, axis=1), jnp.sum(z * xg, axis=1)
 
-    bv2 = _slab_gated_blocks(None, None, vd_pad, k, 2 * f)
+    bv2 = _slab_gated_blocks(vd_pad, k, 2 * f)
     m_b, s_b, o_b = _map_row_blocks(
         blk_mso, (ell.f_idx, ell.f_w, g_dst_p), vd_pad, bv2)
     if has_tail:
@@ -1212,7 +1211,7 @@ def _gated_chunked_bwd(ell: EllGraph, x, g_src, g_dst, slope, g, rmax, ssum,
         return (jnp.sum(a * da, axis=1), jnp.sum(a * dl * da, axis=1),
                 jnp.sum(a * dl, axis=1))
 
-    bv2 = _slab_gated_blocks(None, None, vd_pad, k, 2 * f)
+    bv2 = _slab_gated_blocks(vd_pad, k, 2 * f)
     inner, s1, s2 = _map_row_blocks(
         blk_inner, (ell.f_idx, ell.f_w, g_dst_p, rmax, ssum, g_pad),
         vd_pad, bv2)
@@ -1258,7 +1257,7 @@ def _gated_chunked_bwd(ell: EllGraph, x, g_src, g_dst, slope, g, rmax, ssum,
         return (jnp.sum(e * dl * (xs[:, None, :] * gr2 - inn2), axis=1),
                 jnp.sum(e * gr2, axis=1))             # dg_src rows, dx rows
 
-    bv4 = _slab_gated_blocks(None, None, vs_pad, kb, 4 * f)
+    bv4 = _slab_gated_blocks(vs_pad, kb, 4 * f)
     dg_src, dx = _map_row_blocks(
         blk_src, (ell.b_idx, ell.b_w, g_src_p, x_p), vs_pad, bv4)
     if ell.b_tail_idx.shape[0]:

@@ -211,4 +211,3 @@ class GraphTensors:
         return segment.sddmm_dot(a, b, self.fwd_src, self.fwd_dst)
 
 
-Pytree = Any

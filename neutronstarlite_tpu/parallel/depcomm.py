@@ -44,6 +44,7 @@ import numpy as np
 
 from neutronstarlite_tpu.graph.partition import Partition, locality_aware_partition
 from neutronstarlite_tpu.graph.structure import Graph
+from neutronstarlite_tpu.ops import ell as ell_mod
 from neutronstarlite_tpu.ops import segment
 
 
@@ -333,6 +334,10 @@ def build_dist_graph(g: Graph, num_partitions: int,
                 u = mirrors[(q + s) % p][q]
                 arr[q, :u.size] = (u - off[q]).astype(np.int32)
             send_ring.append(arr)
+        # the uniform-pad all_to_all table is dead in ring mode; ship a
+        # dummy instead of [P, P, m_pad] (m_pad is largest exactly on the
+        # skewed graphs ring mode targets)
+        send_idx = send_idx[:, :, :1].copy()
 
     row_valid = np.zeros((p, v_pad), bool)
     global_ids = np.full((p, v_pad), -1, np.int32)
@@ -343,7 +348,6 @@ def build_dist_graph(g: Graph, num_partitions: int,
 
     # per-device dual-ELL slabs (scatter-free local aggregate). SPMD needs
     # identical shapes: share the max K across devices and pad tails.
-    from neutronstarlite_tpu.ops import ell as ell_mod
     comb = v_pad + m_total + h_pad
 
     def build_slab_set(edge_sets, num_dst_rows, num_src_rows):
@@ -536,7 +540,6 @@ class DistGraphTensors:
 
     # ---- op zoo (same API as GraphTensors) ----
     def aggregate_neighbors(self, x_local: jax.Array) -> jax.Array:
-        from neutronstarlite_tpu.ops import ell as ell_mod
         if self.ell is not None and "local" in self.ell:
             # PROC_OVERLAP: the local-src aggregate has no data dependency
             # on the exchange — XLA's latency-hiding scheduler runs the
@@ -553,7 +556,12 @@ class DistGraphTensors:
 
     def aggregate_weighted(self, edge_weight: jax.Array, table: jax.Array
                            ) -> jax.Array:
-        return segment.spmm(edge_weight, table, self.e_src, self.e_dst,
+        """Σ_e w_e·table[src(e)] per dst (DistAggregateDstFuseWeight,
+        ref: core/ntsDistCPUGraphOp.hpp:243-305). Padding edges are zeroed
+        HERE — callers may pass any weights (e.g. softmax outputs, which
+        give padding-only segments uniform nonzero weight)."""
+        w = jnp.where(self.e_w != 0, edge_weight, 0.0)
+        return segment.spmm(w, table, self.e_src, self.e_dst,
                             self.num_vertices)
 
     def aggregate_dst_sum(self, edge_val: jax.Array) -> jax.Array:
@@ -623,7 +631,6 @@ class DistGraphTensors:
         (split slabs under PROC_OVERLAP merge per-set softmax stats);
         fallback: segment ops with padding edges masked via zero weights."""
         if self.ell is not None and "comb" in self.ell:
-            from neutronstarlite_tpu.ops import ell as ell_mod
             return ell_mod.attention_aggregate(self.ell["comb"], table,
                                                s_src, s_dst, slope)
         if self.ell is not None and "local" in self.ell:
@@ -634,7 +641,6 @@ class DistGraphTensors:
             # x_local through XLA's slice-of-concat simplification), so
             # the all_to_all overlaps with the local stats pass — P6
             # overlap WITH the fused ELL path (ref: graph.hpp:3490-3535).
-            from neutronstarlite_tpu.ops import ell as ell_mod
             v = self.num_vertices
             parts = [
                 ell_mod.attention_stats(self.ell["local"], table[:v],
@@ -659,7 +665,6 @@ class DistGraphTensors:
         recompute per-slot scores from the gathered rows; the segment
         fallback (PROC_OVERLAP split) materializes s_src = table·a_l."""
         if self.ell is not None and "comb" in self.ell:
-            from neutronstarlite_tpu.ops import ell as ell_mod
             return ell_mod.attention_aggregate_linear(
                 self.ell["comb"], table, a_l, s_dst, slope)
         # split (PROC_OVERLAP) or segment fallback: materialize s_src —
@@ -671,7 +676,6 @@ class DistGraphTensors:
         """GGCN fused per-feature gating over local edges (see
         GraphTensors.gated_aggregate). ELL comb slabs when available."""
         if self.ell is not None and "comb" in self.ell:
-            from neutronstarlite_tpu.ops import ell as ell_mod
             return ell_mod.gated_aggregate(self.ell["comb"], table, g_src,
                                            g_dst, slope)
         if self.ell is not None and "local" in self.ell:
@@ -681,17 +685,21 @@ class DistGraphTensors:
             # would exceed the chunk threshold we chunk the LANES — exact,
             # and each chunk's transient tensors stay bounded (the static
             # Python loop unrolls; lane count is a compile-time shape)
-            from neutronstarlite_tpu.ops import ell as ell_mod
             v = self.num_vertices
             f_lanes = table.shape[-1]
-            big = (ell_mod._gated_big(self.ell["local"], f_lanes)
-                   or ell_mod._gated_big(self.ell["remote"], f_lanes))
-            fc = f_lanes
-            if big:
-                while fc > 8 and (ell_mod._gated_big(self.ell["local"], fc)
-                                  or ell_mod._gated_big(self.ell["remote"],
-                                                        fc)):
-                    fc = -(-fc // 2)
+            # lane-chunk size from the REAL transient footprint: the stats
+            # backward materializes ~8 slot-shaped f32 copies per lane
+            # (2F flat2 + 2F permutation gather + recomputed z/dz/dpre),
+            # so budget slots*4*8 bytes per lane; fc may go down to 1
+
+            def _slots(e):
+                return (e.f_idx.size + e.f_tail_idx.size
+                        + e.b_idx.size + e.b_tail_idx.size)
+
+            slots = max(_slots(self.ell["local"]),
+                        _slots(self.ell["remote"]))
+            budget = ell_mod._GATED_CHUNK_BYTES
+            fc = max(1, min(f_lanes, budget // max(slots * 4 * 8, 1)))
             outs = []
             for lo in range(0, f_lanes, fc):
                 hi = min(lo + fc, f_lanes)
@@ -727,7 +735,6 @@ class DistGraphTensors:
         recompute g_src = table·gl on the MXU inside each slot block; the
         segment fallback (PROC_OVERLAP split) materializes g_src."""
         if self.ell is not None and "comb" in self.ell:
-            from neutronstarlite_tpu.ops import ell as ell_mod
             return ell_mod.gated_aggregate_linear(
                 self.ell["comb"], table, gl, g_dst, slope)
         # split (PROC_OVERLAP) or segment fallback: materialize g_src —
@@ -784,7 +791,6 @@ def make_tensors(arrs: dict, dg: DistGraph, axis_name: str = "p",
     """Wrap per-device (already squeezed) arrays into DistGraphTensors."""
     ell_graphs = None
     if "ell" in arrs:
-        from neutronstarlite_tpu.ops import ell as ell_mod
         comb = dg.v_pad + mirror_rows_total(dg) + dg.h_pad
         dims = {"comb": (dg.v_pad, comb),
                 "local": (dg.v_pad, dg.v_pad),
@@ -809,4 +815,3 @@ def make_tensors(arrs: dict, dg: DistGraph, axis_name: str = "p",
         exch_dtype=agg_dtype)
 
 
-Pytree = Any

@@ -189,3 +189,51 @@ class TestSageModel:
         h2 = DistTrainer(sbm, cfg, model=sage, num_partitions=N_DEV).run()
         for a, b in zip(h1, h2):
             assert abs(a["loss"] - b["loss"]) < 0.08, (a, b)
+
+
+def test_aggregate_weighted_masks_padding_edges(sbm):
+    """aggregate_weighted must zero padding edges ITSELF: callers may pass
+    arbitrary weights (e.g. softmax outputs give padding-only dst segments
+    uniform nonzero weight, and plain ones hit it unconditionally) — the
+    padding edges' (src=0, dst=last-row) contribution must not leak."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+    from neutronstarlite_tpu.ops import segment
+    from neutronstarlite_tpu.ops.graph_ops import GraphTensors
+    from neutronstarlite_tpu.parallel.depcomm import (build_dist_graph,
+                                                      device_view,
+                                                      make_tensors)
+    from neutronstarlite_tpu.parallel.mesh import make_mesh
+    from neutronstarlite_tpu.training.dist_trainer import _shard_map
+
+    g = sbm.graph
+    x_np = np.random.default_rng(3).standard_normal(
+        (g.num_vertices, 6)).astype(np.float32)
+    gt = GraphTensors.from_graph(g, backend="xla")
+    want = np.asarray(segment.spmm(
+        jnp.ones(g.num_edges), jnp.asarray(x_np),
+        jnp.asarray(g.fwd_src), jnp.asarray(g.fwd_dst), g.num_vertices))
+
+    mesh = make_mesh(4)
+    dg = build_dist_graph(g, 4)
+    assert (dg.e_w == 0).any(), "fixture must have padding edges"
+    arrs = jax.tree.map(jnp.asarray, device_view(dg))
+    x = jnp.asarray(dg.shard_features(x_np))
+
+    def f(arrs, x):
+        sq = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
+        gt_d = make_tensors(sq(arrs), dg)
+        table = gt_d.get_dep_nbr(sq(x))
+        # ONES for every edge INCLUDING padding — the op must mask
+        return gt_d.aggregate_weighted(jnp.ones_like(gt_d.e_w), table)[None]
+
+    spec = jax.tree.map(lambda _: P("p"), arrs)
+    y = np.asarray(jax.jit(_shard_map(f, mesh, in_specs=(spec, P("p")),
+                                      out_specs=P("p")))(arrs, x))
+    off = dg.partition.offsets
+    for i in range(4):
+        n = off[i + 1] - off[i]
+        np.testing.assert_allclose(y[i, :n], want[off[i]:off[i + 1]],
+                                   rtol=1e-4, atol=1e-5)
