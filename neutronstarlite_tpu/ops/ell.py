@@ -290,16 +290,7 @@ def slab_matvec(idx: jax.Array, w: jax.Array, x: jax.Array) -> jax.Array:
         return jnp.einsum("vk,vkf->vf", wb, g,
                           preferred_element_type=jnp.float32).astype(x.dtype)
 
-    if rows <= bv:
-        return block((idx, w))
-    n_blocks = -(-rows // bv)
-    pad = n_blocks * bv - rows
-    if pad:
-        idx = jnp.pad(idx, ((0, pad), (0, 0)))
-        w = jnp.pad(w, ((0, pad), (0, 0)))
-    out = jax.lax.map(block, (idx.reshape(n_blocks, bv, k),
-                              w.reshape(n_blocks, bv, k)))
-    return out.reshape(n_blocks * bv, f)[:rows]
+    return _map_row_blocks(block, (idx, w), rows, bv)
 
 
 def slab_sddmm(idx: jax.Array, valid: jax.Array, x: jax.Array,
@@ -314,25 +305,14 @@ def slab_sddmm(idx: jax.Array, valid: jax.Array, x: jax.Array,
                     _BLOCK_GATHER_BUDGET // max(k * f * x.dtype.itemsize, 1)))
     bv = max(8, (bv // 8) * 8)
 
-    def dense(ib, vb, gb):
+    def dense(args):
+        ib, vb, gb = args
         xt = jnp.take(x, ib, axis=0)                  # [bv, K, F]
         out = jnp.einsum("vkf,vf->vk", xt, gb,
                          preferred_element_type=jnp.float32)
         return jnp.where(vb, out, 0.0).astype(g_rows.dtype)
 
-    if rows <= bv:
-        return dense(idx, valid, g_rows)
-    n_blocks = -(-rows // bv)
-    pad = n_blocks * bv - rows
-    if pad:
-        idx = jnp.pad(idx, ((0, pad), (0, 0)))
-        valid = jnp.pad(valid, ((0, pad), (0, 0)))
-        g_rows = jnp.pad(g_rows, ((0, pad), (0, 0)))
-    out = jax.lax.map(
-        lambda t: dense(*t),
-        (idx.reshape(n_blocks, bv, k), valid.reshape(n_blocks, bv, k),
-         g_rows.reshape(n_blocks, bv, f)))
-    return out.reshape(n_blocks * bv, k)[:rows]
+    return _map_row_blocks(dense, (idx, valid, g_rows), rows, bv)
 
 
 def _tail_combine(base_rows: jax.Array, tail_vals: jax.Array,
@@ -1035,23 +1015,13 @@ def slab_gated_matvec(idx: jax.Array, w3: jax.Array, x: jax.Array
     if rows == 0:
         return jnp.zeros((0, f), x.dtype)
     bv = _slab_gated_blocks(rows, k, f, itemsize=x.dtype.itemsize)
-    if rows <= bv:
-        g = jnp.take(x, idx, axis=0)                  # [rows, K, F]
-        return jnp.sum(w3 * g, axis=1).astype(x.dtype)
-    n_blocks = -(-rows // bv)
-    pad = n_blocks * bv - rows
-    if pad:
-        idx = jnp.pad(idx, ((0, pad), (0, 0)))
-        w3 = jnp.pad(w3, ((0, pad), (0, 0), (0, 0)))
 
     def block(args):
         ib, wb = args
-        g = jnp.take(x, ib, axis=0)
+        g = jnp.take(x, ib, axis=0)                   # [bv, K, F]
         return jnp.sum(wb * g, axis=1).astype(x.dtype)
 
-    out = jax.lax.map(block, (idx.reshape(n_blocks, bv, k),
-                              w3.reshape(n_blocks, bv, k, f)))
-    return out.reshape(n_blocks * bv, f)[:rows]
+    return _map_row_blocks(block, (idx, w3), rows, bv)
 
 
 # Above this many bytes of [slots, F] score tensors the gated op switches
