@@ -77,6 +77,10 @@ class InputInfo:
     debuginfo: bool = False         # DEBUGINFO: print the end-of-run
                                     # breakdown (the reference's DEBUGINFO()
                                     # phase table, toolkits/GCN.hpp:308-353)
+    optimizer: str = "adam"         # OPTIMIZER: adam (reference default,
+                                    # learnC2C_with_decay_Adam) | sgd
+                                    # (learnC2C_with_decay_SGD — the
+                                    # Parameter class's other variant)
     partition_mode: str = "range"   # PARTITION: range (reference's
                                     # contiguous locality-aware split) |
                                     # fennel (streaming edge-locality
@@ -154,6 +158,7 @@ class InputInfo:
             "TP_DIM": lambda: setattr(self, "tp_dim", int(val)),
             "DEBUGINFO": lambda: setattr(self, "debuginfo", flag(val)),
             "PARTITION": lambda: setattr(self, "partition_mode", val),
+            "OPTIMIZER": lambda: setattr(self, "optimizer", val),
         }
         fn = dispatch.get(key)
         if fn is None:

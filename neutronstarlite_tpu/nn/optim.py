@@ -116,3 +116,20 @@ def nts_sgd(learn_rate: float, weight_decay: float):
             params, grads)
         return new_params, state
     return init_fn, update_fn
+
+
+def make_optimizer(config):
+    """Optimizer factory from the cfg (OPTIMIZER: adam | sgd).
+
+    adam = the reference's default training path
+    (learnC2C_with_decay_Adam, core/NtsScheduler.hpp:694-748); sgd = its
+    SGD variant (learnC2C_with_decay_SGD, core/NtsScheduler.hpp:750-755),
+    now reachable from the same cfg surface."""
+    kind = getattr(config, "optimizer", "adam").lower()
+    if kind == "sgd":
+        return nts_sgd(config.learn_rate, config.weight_decay)
+    if kind != "adam":
+        raise ValueError(f"not supported OPTIMIZER: {kind} (adam|sgd)")
+    return nts_adam(config.learn_rate, config.weight_decay,
+                    decay_rate=config.decay_rate,
+                    decay_epoch=config.decay_epoch)

@@ -81,9 +81,7 @@ class MinibatchTrainer:
         keys = jax.random.split(self.init_key, len(sizes) - 1)
         self.params = [param.init_linear(keys[i], sizes[i], sizes[i + 1])
                        for i in range(len(sizes) - 1)]
-        self.opt_init, self.opt_update = optim.nts_adam(
-            config.learn_rate, config.weight_decay,
-            decay_rate=config.decay_rate, decay_epoch=config.decay_epoch)
+        self.opt_init, self.opt_update = optim.make_optimizer(config)
         self.opt_state = self.opt_init(self.params)
 
         self.features = jnp.asarray(datum.features)

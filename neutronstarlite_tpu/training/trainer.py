@@ -69,9 +69,7 @@ class FullGraphTrainer:
         key = jax.random.PRNGKey(config.seed)
         self.init_key, self.run_key = jax.random.split(key)
         self.state = model.init(self.init_key, config.layer_sizes)
-        self.opt_init, self.opt_update = optim.nts_adam(
-            config.learn_rate, config.weight_decay,
-            decay_rate=config.decay_rate, decay_epoch=config.decay_epoch)
+        self.opt_init, self.opt_update = optim.make_optimizer(config)
         self.opt_state = self.opt_init(self.state.params)
 
         self.x = jnp.asarray(datum.features)

@@ -147,3 +147,49 @@ class TestGGCN:
         tr = DistTrainer(data, cfg, model=ggcn, num_partitions=4)
         hist = tr.run()
         assert hist[-1]["loss"] < hist[0]["loss"]
+
+
+class TestSgdOptimizer:
+    """OPTIMIZER:sgd — the reference Parameter class's SGD variant
+    (learnC2C_with_decay_SGD, core/NtsScheduler.hpp:750-755), reachable
+    from the same cfg surface as Adam."""
+
+    def test_sgd_trains_single_chip(self, sbm):
+        from neutronstarlite_tpu.config import InputInfo
+        cfg = InputInfo(vertices=sbm.num_vertices, epochs=25,
+                        layer_string=f"32-8-{sbm.num_classes}",
+                        learn_rate=0.05, weight_decay=1e-5,
+                        drop_rate=0.0, seed=3)
+        cfg._set_key("OPTIMIZER", "sgd")
+        assert cfg.optimizer == "sgd"
+        from neutronstarlite_tpu.training.trainer import FullGraphTrainer
+        from neutronstarlite_tpu.models import gcn
+        tr = FullGraphTrainer(sbm, cfg, model=gcn, backend="xla")
+        hist = tr.run()
+        assert hist[-1]["loss"] < hist[0]["loss"]
+        assert hist[-1]["test"] > 0.5, hist[-1]
+
+    def test_sgd_trains_dist(self, sbm):
+        from neutronstarlite_tpu.config import InputInfo
+        from neutronstarlite_tpu.models import gcn
+        from neutronstarlite_tpu.training.dist_trainer import DistTrainer
+        cfg = InputInfo(vertices=sbm.num_vertices, epochs=15,
+                        layer_string=f"32-8-{sbm.num_classes}",
+                        learn_rate=0.05, weight_decay=1e-5,
+                        drop_rate=0.0, seed=3)
+        cfg.optimizer = "sgd"
+        hist = DistTrainer(sbm, cfg, model=gcn, num_partitions=2).run()
+        assert hist[-1]["loss"] < hist[0]["loss"]
+
+    def test_unknown_optimizer_rejected(self, sbm):
+        import pytest as _pytest
+        from neutronstarlite_tpu.config import InputInfo
+        from neutronstarlite_tpu.training.trainer import FullGraphTrainer
+        from neutronstarlite_tpu.models import gcn
+        cfg = InputInfo(vertices=sbm.num_vertices, epochs=1,
+                        layer_string=f"32-8-{sbm.num_classes}",
+                        learn_rate=0.01, weight_decay=0.0, drop_rate=0.0,
+                        seed=3)
+        cfg.optimizer = "adamw"
+        with _pytest.raises(ValueError, match="OPTIMIZER"):
+            FullGraphTrainer(sbm, cfg, model=gcn, backend="xla")
