@@ -83,7 +83,8 @@ def validate_dist(datum: GNNDatum, num_partitions: int,
     def f(arrs, x):
         sq = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
         gt = make_tensors(sq(arrs), dg)
-        y = gt.aggregate_weighted(jnp.ones_like(gt.e_w) * (gt.e_w != 0),
+        # plain ones: aggregate_weighted masks padding edges itself
+        y = gt.aggregate_weighted(jnp.ones_like(gt.e_w),
                                   gt.get_dep_nbr(sq(x)))
         return y[None]
 
