@@ -253,3 +253,28 @@ class TestDebuginfo:
         t3.run(epochs=1)
         for tr in (t1, t2, t3):
             json.dumps(tr.debuginfo())
+
+
+def test_resume_equals_uninterrupted_run(sbm, tmp_path):
+    """Fault-recovery contract: train 4 epochs, checkpoint, restore in a
+    FRESH trainer and train 4 more — the final params/history must equal
+    the uninterrupted 8-epoch run bit-near (run_key travels through the
+    checkpoint, drop_rate=0 makes epochs deterministic). The reference has
+    no training persistence at all (SURVEY.md §5)."""
+    cfg = make_config(sbm)
+    cfg.epochs = 8
+    straight = FullGraphTrainer(sbm, cfg, model=gcn, backend="xla")
+    h_all = straight.run()
+
+    cfg1 = make_config(sbm, tmp=tmp_path)
+    t1 = FullGraphTrainer(sbm, cfg1, model=gcn, backend="xla")
+    t1.run(epochs=4)   # saves at end (checkpoint_path set)
+
+    cfg2 = make_config(sbm, tmp=tmp_path)
+    t2 = FullGraphTrainer(sbm, cfg2, model=gcn, backend="xla")
+    start = t2.resume(str(tmp_path / "ck"))
+    assert start == 4
+    h_tail = t2.run(epochs=4)
+    assert abs(h_tail[-1]["loss"] - h_all[-1]["loss"]) < 2e-4, (
+        h_tail[-1], h_all[-1])
+    assert abs(h_tail[-1]["test"] - h_all[-1]["test"]) < 1e-6
