@@ -81,6 +81,30 @@ def main():
     # aggregates at F=128 instead of F=602, cutting the dominant gather
     # traffic ~4.7×. NSL_BENCH_EAGER=0 for the aggregate-first order.
     eager = os.environ.get("NSL_BENCH_EAGER", "1") == "1"
+    # Watchdog: the axon tunnel can go DEAD (observed 2026-08-18: even a
+    # 256x256 matmul produced nothing for hours; device puts in trainer
+    # construction hang too). Rather than hang the driver, emit an
+    # explanatory JSON line and exit. Zero cost when healthy;
+    # NSL_BENCH_WATCHDOG_S=0 disables.
+    import threading
+    wd_s = float(os.environ.get("NSL_BENCH_WATCHDOG_S", "1500"))
+    done = threading.Event()
+
+    def _watchdog():
+        if not done.wait(wd_s):
+            print(json.dumps({
+                "metric": "edges_per_sec_per_chip", "value": 0,
+                "unit": "edges/s", "vs_baseline": None,
+                "detail": {"error": "TPU unresponsive: device setup + "
+                           f"warmup did not complete within {wd_s:.0f}s "
+                           "(tunnel outage — see BASELINE.md / memory "
+                           "notes); this is an environment failure, not a "
+                           "framework number"},
+            }), flush=True)
+            os._exit(3)
+
+    if wd_s > 0:
+        threading.Thread(target=_watchdog, daemon=True).start()
     t0 = time.time()
     tr = FullGraphTrainer(datum, cfg, model=gcn, backend=backend,
                           eager=eager)
@@ -90,6 +114,7 @@ def main():
     # the scan-fused executable (epochs=fuse → one fused call, no
     # unfused remainder), else the single-step executable
     tr.run(epochs=max(2, fuse) if fuse > 1 else 2)  # warmup + compile
+    done.set()
     warmup_s = time.time() - t0
     _log(f"warmup (compile + 2 epochs) {warmup_s:.1f}s")
     # three timed windows, report the MEDIAN (the axon tunnel adds
