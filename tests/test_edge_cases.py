@@ -183,3 +183,28 @@ class TestStructuralFuzz:
             np.testing.assert_allclose(att[i, :n],
                                        want_att[off[i]:off[i + 1]],
                                        rtol=2e-4, atol=2e-5)
+
+
+class TestDeepAttentionStacks:
+    """3-layer attention stacks through the fused slab ops (the deep-stack
+    tests above cover GCN/GIN only)."""
+
+    def test_three_layer_gat(self, sbm):
+        cfg = InputInfo(vertices=sbm.num_vertices, epochs=20,
+                        layer_string="16-16-8-3", learn_rate=0.005,
+                        weight_decay=1e-4, drop_rate=0.0, seed=5)
+        tr = FullGraphTrainer(sbm, cfg, model=gat, backend="pallas")
+        hist = tr.run()
+        assert np.isfinite(hist[-1]["loss"])
+        assert hist[-1]["loss"] < hist[0]["loss"]
+
+    def test_three_layer_ggcn_dist(self, sbm):
+        from neutronstarlite_tpu.models import ggcn
+        from neutronstarlite_tpu.training.dist_trainer import DistTrainer
+        cfg = InputInfo(vertices=sbm.num_vertices, epochs=15,
+                        layer_string="16-16-8-3", learn_rate=0.005,
+                        weight_decay=1e-4, drop_rate=0.0, seed=5)
+        tr = DistTrainer(sbm, cfg, model=ggcn, num_partitions=2)
+        hist = tr.run()
+        assert np.isfinite(hist[-1]["loss"])
+        assert hist[-1]["loss"] < hist[0]["loss"]
