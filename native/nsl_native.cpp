@@ -187,7 +187,10 @@ void nsl_fennel(const int64_t* in_off, const int32_t* in_nbr,
   for (int32_t pass = 0; pass < passes; pass++) {
     for (int32_t s = 0; s < v; s++) {
       const int32_t u = order ? order[s] : s;
-      if (owner[u] >= 0) load[owner[u]]--;  // re-evaluate on later passes
+      if (owner[u] >= 0) {
+        load[owner[u]]--;  // re-evaluate on later passes
+        owner[u] = -1;     // self-loops must not count the stale assignment
+      }
       std::fill(cnt.begin(), cnt.end(), 0);
       for (int64_t k = in_off[u]; k < in_off[u + 1]; k++) {
         const int32_t o = owner[in_nbr[k]];

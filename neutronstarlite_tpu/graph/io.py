@@ -41,12 +41,16 @@ def read_edge_file(path: str, num_vertices: int | None = None) -> tuple[np.ndarr
     if raw.size % 2 != 0:
         raise ValueError(f"edge file {path} has odd word count {raw.size}")
     edges = raw.reshape(-1, 2)
+    # validate on the RAW uint32 words: ids >= 2^31 would wrap negative
+    # after the int32 cast and silently bypass a post-cast range check
+    # (then crash bincount or index out of bounds in the native path)
+    if num_vertices is not None and edges.size and \
+            int(edges.max()) >= num_vertices:
+        raise ValueError(
+            f"edge file {path} references vertex {int(edges.max())} >= "
+            f"VERTICES={num_vertices}")
     src = edges[:, 0].astype(np.int32)
     dst = edges[:, 1].astype(np.int32)
-    if num_vertices is not None:
-        if src.size and (src.max() >= num_vertices or dst.max() >= num_vertices):
-            raise ValueError(
-                f"edge file {path} references vertex >= VERTICES={num_vertices}")
     return src, dst
 
 

@@ -77,6 +77,7 @@ def _fennel_owner_np(g: Graph, p: int, gamma: float, slack: float,
     for u in np.tile(order, passes):
         if owner[u] >= 0:
             load[owner[u]] -= 1  # re-evaluate on later passes
+            owner[u] = -1        # self-loops must not count the stale owner
         nbrs = np.concatenate([
             in_nbr[in_off[u]:in_off[u + 1]],
             out_nbr[out_off[u]:out_off[u + 1]]])

@@ -201,15 +201,26 @@ def pad_block(block: SampledBlock, caps: Sequence[int], scaps: Sequence[int]
                         batch_real=block.batch_real)
 
 
-def static_caps(batch_size: int, fanout: Sequence[int]) -> tuple[list, list]:
+def static_caps(batch_size: int, fanout: Sequence[int],
+                num_vertices: int | None = None) -> tuple[list, list]:
     """Worst-case per-hop caps: cap_0 = B; scap_h = cap_h * fanout_h (dedup
-    can only shrink); cap_{h+1} = scap_h."""
+    can only shrink); cap_{h+1} = scap_h.
+
+    With ``num_vertices`` given, caps clamp at V: dedup can never produce
+    more than V unique ids, so deep hops stop growing exponentially —
+    B·Πfanout tables on a graph with V ≪ that are pure padding (HBM +
+    gather work on rows that are always -1)."""
     hops = len(fanout)
     caps, scaps = [], []
     cap = batch_size
     for h in range(hops):
         fo = fanout[hops - 1 - h]
+        if num_vertices is not None:
+            cap = min(cap, num_vertices)
         caps.append(cap)
-        scaps.append(cap * fo)
-        cap = cap * fo
+        sc = cap * fo
+        if num_vertices is not None:
+            sc = min(sc, num_vertices)
+        scaps.append(sc)
+        cap = sc
     return caps, scaps

@@ -447,6 +447,12 @@ class DistTrainer:
                               f"train {w[j, 1]:.4f} val {w[j, 2]:.4f} "
                               f"test {w[j, 3]:.4f}")
             done += fuse
+            # periodic checkpoints still fire under epoch fusion
+            if (self.config.checkpoint_path and self.config.checkpoint_every
+                    and (done // self.config.checkpoint_every)
+                    > ((done - fuse) // self.config.checkpoint_every)):
+                self._save(self.config.checkpoint_path, params, bn,
+                           opt_state, done)
         # remainder epochs run unfused (must not over-train past ``epochs``)
         for ep in range(done, epochs):
             self.run_key, k = jax.random.split(self.run_key)

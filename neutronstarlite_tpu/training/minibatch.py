@@ -74,7 +74,8 @@ class MinibatchTrainer:
         if len(self.fanout) != len(sizes) - 1:
             raise ValueError(f"FANOUT length {len(self.fanout)} must equal "
                              f"model layers {len(sizes) - 1}")
-        self.caps, self.scaps = static_caps(config.batch_size, self.fanout)
+        self.caps, self.scaps = static_caps(config.batch_size, self.fanout,
+                                            datum.graph.num_vertices)
 
         key = jax.random.PRNGKey(config.seed)
         self.init_key, self.run_key = jax.random.split(key)
@@ -116,10 +117,6 @@ class MinibatchTrainer:
                                              replace=(sb == "device_wr"))
             self.labels_dev = jnp.asarray(datum.labels.astype(np.int32))
             self.nids = nids
-            self._train_step_dev = jax.jit(
-                self._make_device_step(training=True))
-            self._eval_step_dev = jax.jit(
-                self._make_device_step(training=False))
 
     # ---- the per-batch jitted step ----
     def _make_step(self, training: bool):
@@ -168,12 +165,17 @@ class MinibatchTrainer:
         n_layers = len(self.config.layer_sizes) - 1
         ds = self.dev_sampler
 
-        def step(params, opt_state, features, labels_all, seeds, key):
+        def step(params, opt_state, features, labels_all, samp, seeds, key):
             ks, kd = jax.random.split(key)
             from neutronstarlite_tpu.sampling.device_sampler import (
                 sample_block)
+            # graph arrays arrive as ARGUMENTS (samp), not closures —
+            # closed-over device arrays become HLO constants the remote
+            # compiler must ingest (CLAUDE.md; the dist variant already
+            # passed them explicitly)
+            offsets, nbr, out_deg, in_deg = samp
             dst0, tables, idxs, ws = sample_block(
-                ks, ds.offsets, ds.nbr, ds.out_degree, ds.in_degree, seeds,
+                ks, offsets, nbr, out_deg, in_deg, seeds,
                 fanout=tuple(ds.fanout), num_vertices=ds.num_vertices,
                 caps=tuple(ds.caps), scaps=tuple(ds.scaps),
                 replace=ds.replace)
@@ -194,7 +196,18 @@ class MinibatchTrainer:
             if training:
                 (loss, logits), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params)
-                params, opt_state = self.opt_update(grads, opt_state, params)
+                new_params, new_opt = self.opt_update(grads, opt_state,
+                                                      params)
+                # all-padding scan steps (seed tail shorter than
+                # bs*DEVICE_STEPS_PER_CALL) must be true no-ops: an
+                # unconditional NtsAdam call would still decay weights and
+                # advance the lr/beta schedule on zero grads, drifting off
+                # the host-sampler trajectory
+                live = jnp.any(valid)
+                pick = lambda new, old: jax.tree.map(  # noqa: E731
+                    lambda a, b: jnp.where(live, a, b), new, old)
+                params = pick(new_params, params)
+                opt_state = pick(new_opt, opt_state)
             else:
                 loss, logits = loss_fn(params)
             pred = jnp.argmax(logits, axis=-1).astype(labels.dtype)
@@ -212,13 +225,15 @@ class MinibatchTrainer:
         step = self._make_device_step(training)
         n_steps = self.DEVICE_STEPS_PER_CALL
 
-        def epoch_fn(params, opt_state, features, labels_all, seeds_2d, key):
+        def epoch_fn(params, opt_state, features, labels_all, samp, seeds_2d,
+                     key):
             keys = jax.random.split(key, n_steps)
 
             def body(carry, inp):
                 p, o = carry
                 seeds, k = inp
-                p, o, loss, c, n = step(p, o, features, labels_all, seeds, k)
+                p, o, loss, c, n = step(p, o, features, labels_all, samp,
+                                        seeds, k)
                 return (p, o), (loss, c, n)
 
             (params, opt_state), (losses, cs, ns) = jax.lax.scan(
@@ -238,9 +253,14 @@ class MinibatchTrainer:
                 True: self._make_device_epoch(True),
                 False: self._make_device_epoch(False)}
         epoch_fn = self._epoch_dev[training]
+        ds = self.dev_sampler
+        samp = (ds.offsets, ds.nbr, ds.out_degree, ds.in_degree)
         nids = self.nids[split]
+        # consume a FRESH subkey for the shuffle order (reusing run_key and
+        # then splitting it would correlate batch order with step keys)
+        self.run_key, ko = jax.random.split(self.run_key)
         order = np.random.default_rng(
-            int(jax.random.randint(self.run_key, (), 0, 2**31 - 1))
+            int(jax.random.randint(ko, (), 0, 2**31 - 1))
         ).permutation(nids) if training else nids
         bs = self.config.batch_size
         sb = bs * self.DEVICE_STEPS_PER_CALL     # seeds per device call
@@ -260,7 +280,7 @@ class MinibatchTrainer:
             self.run_key, k = jax.random.split(self.run_key)
             with self.timer.phase(f"{split}_dev_scan"):
                 (self.params, self.opt_state, loss_sum, live, c, n) =                     epoch_fn(self.params, self.opt_state, self.features,
-                             self.labels_dev, seeds_2d, k)
+                             self.labels_dev, samp, seeds_2d, k)
                 rows.append(jnp.stack([loss_sum, live,
                                        c.astype(jnp.float32),
                                        n.astype(jnp.float32)]))
@@ -280,26 +300,49 @@ class MinibatchTrainer:
 
         q: "queue.Queue" = queue.Queue(maxsize=depth)
         stop = object()
+        cancel = threading.Event()   # consumer gone: unblock + exit
+
+        def _put(item):
+            """Bounded put that gives up if the consumer cancelled —
+            otherwise an abandoned generator (exception in the train step,
+            GeneratorExit) leaves the producer blocked on a full queue
+            forever, leaking the thread and its block arrays."""
+            while not cancel.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for block in self.samplers[split].sample():
-                    q.put(self._block_to_device(block))
-                q.put(stop)
+                    if not _put(self._block_to_device(block)):
+                        return
+                _put(stop)
             except BaseException as e:  # propagate to the consumer
-                q.put(e)
+                _put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            if isinstance(item, BaseException):
-                t.join()
-                raise item
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, BaseException):
+                    t.join()
+                    raise item
+                yield item
+            t.join()
+        finally:
+            cancel.set()
+            try:                       # release a producer blocked on put
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
 
     def run_epoch(self, split: str = "train"):
         """One pass over a split; returns (mean_loss, accuracy)."""
@@ -535,8 +578,9 @@ class DistMinibatchTrainer(MinibatchTrainer):
         ds = self.dev_sampler
         samp = (ds.offsets, ds.nbr, ds.out_degree, ds.in_degree)
         nids = self.nids[split]
+        self.run_key, ko = jax.random.split(self.run_key)  # fresh subkey
         order = np.random.default_rng(
-            int(jax.random.randint(self.run_key, (), 0, 2 ** 31 - 1))
+            int(jax.random.randint(ko, (), 0, 2 ** 31 - 1))
         ).permutation(nids) if training else nids
         bs = self.config.batch_size
         gs = bs * self.p

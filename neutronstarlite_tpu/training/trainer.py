@@ -192,6 +192,13 @@ class FullGraphTrainer:
                               f"train {w[j, 1]:.4f} val {w[j, 2]:.4f} "
                               f"test {w[j, 3]:.4f}")
             done += fuse
+            # periodic checkpoints still fire under epoch fusion (at the
+            # window granularity): a crash must not lose the whole run
+            if (self.config.checkpoint_path and self.config.checkpoint_every
+                    and (done // self.config.checkpoint_every)
+                    > ((done - fuse) // self.config.checkpoint_every)):
+                self._save(self.config.checkpoint_path, params, bn,
+                           opt_state, done)
         # remainder epochs run unfused (must not over-train past ``epochs``)
         for ep in range(done, epochs):
             self.run_key, k = jax.random.split(self.run_key)
@@ -199,6 +206,10 @@ class FullGraphTrainer:
                 self.gt, params, bn, opt_state, k, self.x, self.labels,
                 self.masks)
             rows.append(_pack_stats(loss, accs))
+            if (self.config.checkpoint_path and self.config.checkpoint_every
+                    and (ep + 1) % self.config.checkpoint_every == 0):
+                self._save(self.config.checkpoint_path, params, bn,
+                           opt_state, ep + 1)
         history = _unpack_history(rows)
         self.exec_time = time.time() - t0
         self.state = type(self.state)(params=params, bn=bn)

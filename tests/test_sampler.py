@@ -159,6 +159,25 @@ class TestDeviceSampler:
             if x < v:
                 assert table[local[i]] == x
 
+    def test_device_dead_steps_are_noops(self, sbm):
+        """The device epoch pads seeds to bs*DEVICE_STEPS_PER_CALL; the
+        all-padding scan steps must not touch params or the NtsAdam
+        schedule (an unconditional update would decay weights and advance
+        beta/lr ~10x faster than the host-sampler path). The optimizer's
+        epoch counter equals the number of LIVE batches."""
+        cfg = InputInfo(vertices=sbm.num_vertices, epochs=1,
+                        layer_string="16-16-3", fanout_string="4-4",
+                        batch_size=64, learn_rate=0.01, weight_decay=1e-4,
+                        drop_rate=0.0, seed=5)
+        cfg.sampler_backend = "device"
+        tr = MinibatchTrainer(sbm, cfg)
+        n_train = int((sbm.masks == 0).sum())
+        live = -(-n_train // 64)          # ceil: real batches in the split
+        assert live < tr.DEVICE_STEPS_PER_CALL, "fixture must have padding"
+        tr.run(epochs=1)
+        assert int(tr.opt_state.epoch) == live, (
+            int(tr.opt_state.epoch), live)
+
     def test_device_trainer_converges(self, sbm):
         cfg = InputInfo(vertices=sbm.num_vertices, epochs=10,
                         layer_string="16-16-3", fanout_string="4-4",
