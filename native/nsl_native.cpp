@@ -4,8 +4,8 @@
 // (core/graph.hpp load/partition/CSC-CSR build; core/ntsSampler.hpp
 // reservoir sampling; core/coocsc.hpp relabeling). This library provides the
 // TPU build's equivalents for the host-side hot paths — everything the
-// device (XLA) can't do: edge sorting/CSC construction, ELLPACK packing, and
-// minibatch neighbor sampling. Exposed as a C ABI consumed via ctypes
+// device (XLA) cannot do: edge sorting/CSC construction, minibatch neighbor
+// sampling, and the Fennel partitioner. Exposed as a C ABI consumed via ctypes
 // (neutronstarlite_tpu/native.py), with pure-numpy fallbacks when the .so is
 // absent.
 //
@@ -57,41 +57,6 @@ void nsl_sort_edges(const int32_t* key, int64_t e, int32_t v,
   for (int32_t j = 0; j < v; j++) offsets[j + 1] = offsets[j] + deg[j];
   std::vector<int64_t> cursor(offsets, offsets + v);
   for (int64_t i = 0; i < e; i++) perm[cursor[key[i]]++] = i;
-}
-
-// ---------------------------------------------------------------------------
-// ELLPACK packing of a CSC/CSR: rows x k slots; overflow beyond k spills to
-// a COO tail. Returns tail length. Pass tail arrays sized to (e) worst case.
-// ---------------------------------------------------------------------------
-int64_t nsl_pack_ell(const int64_t* offsets, const int32_t* nbr,
-                     const float* w, int32_t rows, int32_t k,
-                     int32_t* ell_idx, float* ell_w, int32_t* tail_src,
-                     int32_t* tail_dst, float* tail_w) {
-  // zero-fill ELL slabs
-  std::memset(ell_idx, 0, sizeof(int32_t) * (int64_t)rows * k);
-  std::memset(ell_w, 0, sizeof(float) * (int64_t)rows * k);
-  std::atomic<int64_t> tail_n{0};
-#ifdef _OPENMP
-#pragma omp parallel for schedule(dynamic, 64)
-#endif
-  for (int32_t r = 0; r < rows; r++) {
-    int64_t lo = offsets[r], hi = offsets[r + 1];
-    int64_t take = std::min<int64_t>(hi - lo, k);
-    for (int64_t j = 0; j < take; j++) {
-      ell_idx[(int64_t)r * k + j] = nbr[lo + j];
-      ell_w[(int64_t)r * k + j] = w[lo + j];
-    }
-    int64_t extra = (hi - lo) - take;
-    if (extra > 0) {
-      int64_t base = tail_n.fetch_add(extra);
-      for (int64_t j = 0; j < extra; j++) {
-        tail_src[base + j] = nbr[lo + take + j];
-        tail_dst[base + j] = r;
-        tail_w[base + j] = w[lo + take + j];
-      }
-    }
-  }
-  return tail_n.load();
 }
 
 // ---------------------------------------------------------------------------
@@ -212,6 +177,11 @@ void nsl_fennel(const int64_t* in_off, const int32_t* in_nbr,
           best = i;
           best_s = sc;
         }
+      }
+      if (best < 0) {  // every partition at cap (slack<1): least-loaded
+        best = 0;
+        for (int32_t i = 1; i < p; i++)
+          if (load[i] < load[best]) best = i;
       }
       owner[u] = best;
       load[best]++;

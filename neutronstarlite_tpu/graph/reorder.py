@@ -88,6 +88,8 @@ def _fennel_owner_np(g: Graph, p: int, gamma: float, slack: float,
         score[load >= cap] = -np.inf
         # tie-break toward the lighter load (matches nsl_fennel)
         best = np.lexsort((load, -score))[0]
+        if load[best] >= cap:   # every partition at cap: least-loaded
+            best = int(np.argmin(load))
         owner[u] = best
         load[best] += 1
     return owner
@@ -110,6 +112,10 @@ def fennel_partition(datum: GNNDatum, num_partitions: int,
     from neutronstarlite_tpu import native
     from neutronstarlite_tpu.graph.partition import Partition
 
+    if slack < 1.0:
+        raise ValueError(
+            f"fennel slack must be >= 1 (capacity p*slack*ceil(V/p) must "
+            f"cover all V vertices); got {slack}")
     g = datum.graph
     v = g.num_vertices
     p = num_partitions

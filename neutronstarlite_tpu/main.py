@@ -51,7 +51,14 @@ def run_from_config(config: InputInfo, log_every: int = 1):
         else:
             trainer = MinibatchTrainer(datum, config)
     else:
-        model = ALGORITHMS.get(algo, gcn)
+        if algo not in ALGORITHMS:
+            # a typo must not silently train the default model (the
+            # reference's else-if chain silently does NOTHING for unknown
+            # strings, main.cpp:53-188 — also bad; fail loudly instead)
+            raise ValueError(
+                f"not supported algorithm: {config.algorithm!r} — known: "
+                + ", ".join(sorted(ALGORITHMS)))
+        model = ALGORITHMS[algo]
         eager = "EAGER" in algo
         backend = config.kernel_backend
         if not config.optim_kernel_enable and backend == "auto":

@@ -23,7 +23,8 @@ ALGORITHMS = {
     "GATCPU": gat, "GATCPUDIST": gat, "GATGPUDIST": gat,
     "GINCPU": gin, "GINGPU": gin, "GINCPUEAGER": gin,
     "COMMNETGPU": commnet, "COMMNETGPUEAGER": commnet,
-    "GGCN_CPU": ggcn, "GGNN_CPU": ggcn, "GGCN": ggcn,
+    "GGCN_CPU": ggcn, "GGNN_CPU": ggcn, "GGCN": ggcn, "GGCNCPU": ggcn,
+    "GGNNCPU": ggcn,
     # extension beyond the reference zoo (max/min-pool aggregator)
     "SAGE": sage, "SAGECPU": sage,
 }

@@ -75,8 +75,13 @@ def forward(state: GGCNState, gt, x: jax.Array, key: jax.Array | None,
             # extra exchange lanes (the in-block recompute needs full-F'
             # rows, which the narrow shard doesn't hold).
             x_t = layers.dense(x, p["w"], tp_axis)        # [V_p, F'/f]
-            g_src = layers.dense(x_t, g_l, tp_axis)
-            g_dst = layers.dense(x_t, g_r, tp_axis)
+            # ONE 'f' all_gather feeds both gate matmuls (dense's width
+            # test skips its own gather on the pre-gathered rows); two
+            # separate dense calls would also emit two un-CSE-able
+            # reduce_scatters in backward
+            xg = jax.lax.all_gather(x_t, tp_axis, axis=1, tiled=True)
+            g_src = layers.dense(xg, g_l, tp_axis)
+            g_dst = layers.dense(xg, g_r, tp_axis)
             c = x_t.shape[1]
             aug = jnp.concatenate([x_t, g_src.astype(x_t.dtype)], axis=1)
             m = gt.get_dep_nbr(aug)

@@ -36,10 +36,6 @@ def _load():
                                    _I32P]
         lib.nsl_sort_edges.argtypes = [_I32P, ctypes.c_int64, ctypes.c_int32,
                                        _I64P, _I64P]
-        lib.nsl_pack_ell.argtypes = [_I64P, _I32P, _F32P, ctypes.c_int32,
-                                     ctypes.c_int32, _I32P, _F32P, _I32P,
-                                     _I32P, _F32P]
-        lib.nsl_pack_ell.restype = ctypes.c_int64
         lib.nsl_sample_hop.argtypes = [_I64P, _I32P, _I32P, ctypes.c_int32,
                                        ctypes.c_int32, ctypes.c_uint64,
                                        ctypes.c_void_p, _I32P]
@@ -81,27 +77,6 @@ def sort_edges(key: np.ndarray, num_vertices: int):
     perm = np.zeros(key.size, np.int64)
     lib.nsl_sort_edges(key, key.size, num_vertices, offsets, perm)
     return offsets, perm
-
-
-def pack_ell(offsets: np.ndarray, nbr: np.ndarray, w: np.ndarray,
-             rows: int, k: int):
-    """→ (ell_idx [rows,k], ell_w [rows,k], tail_src, tail_dst, tail_w)."""
-    lib = _load()
-    if lib is None:
-        return None
-    offsets = np.ascontiguousarray(offsets, np.int64)
-    nbr = np.ascontiguousarray(nbr, np.int32)
-    w = np.ascontiguousarray(w, np.float32)
-    ell_idx = np.zeros((rows, k), np.int32)
-    ell_w = np.zeros((rows, k), np.float32)
-    e = nbr.size
-    tail_src = np.zeros(e, np.int32)
-    tail_dst = np.zeros(e, np.int32)
-    tail_w = np.zeros(e, np.float32)
-    n = lib.nsl_pack_ell(offsets, nbr, w, rows, k, ell_idx, ell_w,
-                         tail_src, tail_dst, tail_w)
-    return ell_idx, ell_w, tail_src[:n].copy(), tail_dst[:n].copy(), \
-        tail_w[:n].copy()
 
 
 def sample_hop(offsets: np.ndarray, nbr: np.ndarray, seeds: np.ndarray,

@@ -65,10 +65,13 @@ def aggregate_dst_mean(edge_val: jax.Array, dst_ids: jax.Array,
                        num_vertices: int) -> jax.Array:
     """E→V mean (sum / indegree, 0-degree guarded)."""
     s = aggregate_dst_sum(edge_val, dst_ids, num_vertices)
-    cnt = jax.ops.segment_sum(jnp.ones_like(dst_ids, dtype=edge_val.dtype),
+    # count in f32 regardless of edge_val dtype: a bf16 running count
+    # saturates at 256 (1000 ones sum to 256 in bf16), corrupting the
+    # mean for high-degree vertices
+    cnt = jax.ops.segment_sum(jnp.ones_like(dst_ids, dtype=jnp.float32),
                               dst_ids, num_segments=num_vertices,
                               indices_are_sorted=True)
-    cnt = jnp.maximum(cnt, 1)
+    cnt = jnp.maximum(cnt, 1).astype(s.dtype)
     return s / cnt.reshape((-1,) + (1,) * (s.ndim - 1))
 
 

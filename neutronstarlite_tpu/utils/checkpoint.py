@@ -43,7 +43,15 @@ def save_checkpoint(path: str, state: dict) -> None:
         return
     flat, _ = jax.tree.flatten(_to_host(state))
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez(path + ".npz", **{f"leaf_{i}": lf for i, lf in enumerate(flat)})
+    # np.load returns unreadable void ('|V2') arrays for ml_dtypes like
+    # bfloat16 — widen them to float32 for storage (lossless: f32 ⊃ bf16);
+    # restore casts back to the template leaf's dtype
+    def widen(a):
+        a = np.asarray(a)
+        return a.astype(np.float32) if a.dtype.kind == "V" or \
+            a.dtype.name == "bfloat16" else a
+    np.savez(path + ".npz",
+             **{f"leaf_{i}": widen(lf) for i, lf in enumerate(flat)})
 
 
 def restore_checkpoint(path: str, template: dict) -> dict:
@@ -70,4 +78,8 @@ def restore_checkpoint(path: str, template: dict) -> dict:
             [data[f"leaf_{i}"] for i in range(len(flat))])
     else:
         raise FileNotFoundError(f"no checkpoint at {path} (or {path}.npz)")
-    return jax.tree.map(lambda t, r: jnp.asarray(r), template, restored)
+    # cast to the TEMPLATE leaf's dtype: the npz writer widens bf16 to f32
+    # for storage, and restored dtypes must not silently drift anyway
+    return jax.tree.map(
+        lambda t, r: jnp.asarray(r, dtype=getattr(t, "dtype", None)),
+        template, restored)

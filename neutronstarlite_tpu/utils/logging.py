@@ -14,5 +14,11 @@ def get_logger(name: str = "nsl_tpu") -> logging.Logger:
         handler = logging.StreamHandler()
         handler.setFormatter(logging.Formatter(_FMT))
         logger.addHandler(handler)
-        logger.setLevel(os.environ.get("NSL_LOG_LEVEL", "INFO").upper())
+        # stop propagation: a root logger with its own handlers (pytest,
+        # basicConfig callers) would print every message twice
+        logger.propagate = False
+        level = os.environ.get("NSL_LOG_LEVEL", "INFO").upper()
+        if level not in logging._nameToLevel:
+            level = "INFO"            # bad NSL_LOG_LEVEL must not crash
+        logger.setLevel(level)
     return logger

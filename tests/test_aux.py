@@ -278,3 +278,27 @@ def test_resume_equals_uninterrupted_run(sbm, tmp_path):
     assert abs(h_tail[-1]["loss"] - h_all[-1]["loss"]) < 2e-4, (
         h_tail[-1], h_all[-1])
     assert abs(h_tail[-1]["test"] - h_all[-1]["test"]) < 1e-6
+
+
+def test_npz_checkpoint_roundtrips_bf16(tmp_path):
+    """The npz fallback must round-trip bfloat16 leaves: np.load returns
+    void '|V2' arrays for ml_dtypes, so the writer widens to f32 (lossless)
+    and restore casts back to the template dtype."""
+    import jax
+    import jax.numpy as jnp
+    from neutronstarlite_tpu.utils import checkpoint as ckpt
+    orig = ckpt._orbax
+    ckpt._orbax = lambda: None        # force the npz path
+    try:
+        st = ckpt.make_state(
+            params=[{"w": jnp.arange(6, dtype=jnp.bfloat16).reshape(2, 3)}],
+            bn=[], opt_state=(), run_key=jax.random.PRNGKey(0), epoch=4)
+        ckpt.save_checkpoint(str(tmp_path / "ck"), st)
+        r = ckpt.restore_checkpoint(str(tmp_path / "ck"), st)
+        assert r["params"][0]["w"].dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(r["params"][0]["w"], np.float32),
+            np.asarray(st["params"][0]["w"], np.float32))
+        assert int(r["epoch"]) == 4
+    finally:
+        ckpt._orbax = orig
