@@ -64,14 +64,16 @@ def forward(state: SageState, gt, x: jax.Array, key: jax.Array | None,
     for i, p in enumerate(state.params):
         table = gt.get_dep_nbr(x)
         if tp_axis is None:
-            e = gt.scatter_src(jax.nn.relu(table @ p["w_pool"]))
+            t = jax.nn.relu(table @ p["w_pool"])
         else:
-            e = gt.scatter_src(jax.nn.relu(
-                layers.dense(table, p["w_pool"], tp_axis)))
+            t = jax.nn.relu(layers.dense(table, p["w_pool"], tp_axis))
+        # fused slab extremal on the ELL backend: no [E, F] edge tensor
+        # (the scatter+segment form is ~14 GB at Reddit scale, F=602);
+        # lane-wise independent, so it runs on the TP feature shard as-is
         if aggregator == "max":
-            pool = gt.aggregate_dst_max(e)
+            pool = gt.aggregate_neighbor_max(t)
         elif aggregator == "min":
-            pool = gt.aggregate_dst_min(e)
+            pool = gt.aggregate_neighbor_min(t)
         else:
             raise ValueError(aggregator)
         if tp_axis is None:

@@ -365,6 +365,150 @@ spmm.defvjp(_spmm_fwd, _spmm_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Fused extremal aggregation (SAGE max/min pooling)
+# ---------------------------------------------------------------------------
+#
+# The slab answer to SingleCPUDstAggregateOpMin/Max + DistAggregateDstMin/Max
+# (ref: core/ntsSingleCPUGraphOp.hpp:206-340, core/ntsDistCPUGraphOp.hpp:
+# 306-440): Y[d] = max_k X[idx[d,k]] with the gradient routed to the FIRST
+# extremal edge per (dst, lane) — the reference's record[] + nts_assign
+# semantics.  The segment-op form materializes [E, F] edge tensors (14 GB at
+# Reddit scale, F=602 — kills the compiler); here the forward is ONE
+# blockwise F-lane slot gather per slab computing (running max, winning flat
+# slab position) together, and the backward routes dst grads through the
+# BACKWARD slabs by comparing each slot's b_perm position against the
+# recorded winner — no [E, F] tensors, scatters only in the tiny virtual-row
+# combine.  Within a dst row, flat forward-slab position is monotone in the
+# dst-sorted edge rank (pack_slab: base pos = row·K+rank, tail pos follows
+# after base_size), so min-position tie-breaking == the segment path's
+# first-edge-index rule exactly.
+
+_WIN_NONE = 2**31 - 1  # argwin sentinel: no candidate in this part
+
+
+def _slab_rowext(idx, valid, row_id, x, pos_offset, k):
+    """Blockwise masked per-lane max over slots + winning flat position.
+
+    Returns (m [rows,F] f32 with empty rows at _NEG, win [rows,F] int32
+    flat forward-slab position, or _WIN_NONE where the row/lane is empty).
+    ``row_id`` carries each row's global slab row index through the block
+    map (lax.map gives no block offset); positions are row_id·K + slot +
+    pos_offset."""
+    rows = idx.shape[0]
+    f = x.shape[-1]
+    if rows == 0:
+        return (jnp.full((0, f), _NEG, jnp.float32),
+                jnp.full((0, f), _WIN_NONE, jnp.int32))
+    # three [bv, K, F] block temps (gathered rows, f32 widened, int32 cand)
+    bv = max(8, min(rows, _BLOCK_GATHER_BUDGET // max(3 * k * f * 4, 1)))
+    bv = max(8, (bv // 8) * 8)
+    karange = jnp.arange(k, dtype=jnp.int32)
+
+    def block(args):
+        ib, vb, rb = args
+        g = jnp.take(x, ib, axis=0).astype(jnp.float32)       # [bv, K, F]
+        g = jnp.where(vb[:, :, None], g, _NEG)
+        m = jnp.max(g, axis=1)                                # [bv, F]
+        pos = rb[:, None] * k + karange[None, :] + pos_offset  # [bv, K]
+        cand = jnp.where(vb[:, :, None] & (g == m[:, None, :]),
+                         pos[:, :, None], _WIN_NONE)
+        win = jnp.min(cand, axis=1).astype(jnp.int32)         # [bv, F]
+        return m, win
+
+    return _map_row_blocks(block, (idx, valid, row_id), rows, bv)
+
+
+def _ext_fwd_impl(ell: EllGraph, x):
+    vd_pad, k = ell.f_idx.shape
+    xc = ell.cast_in(x)
+    rows_base = jnp.arange(vd_pad, dtype=jnp.int32)
+    m, win = _slab_rowext(ell.f_idx, ell.f_w != 0, rows_base, xc, 0, k)
+    m, win = m[:ell.num_dst], win[:ell.num_dst]
+    if ell.f_tail_idx.shape[0] > 0:
+        rows_t = jnp.arange(ell.f_tail_idx.shape[0], dtype=jnp.int32)
+        m_t, win_t = _slab_rowext(ell.f_tail_idx, ell.f_tail_w != 0, rows_t,
+                                  xc, vd_pad * k, k)
+        # per-real-row tail max + the min position attaining it
+        t_max = jax.ops.segment_max(m_t, ell.f_tail_rows,
+                                    num_segments=ell.num_dst,
+                                    indices_are_sorted=True)
+        cand = jnp.where(
+            m_t == jnp.take(t_max, ell.f_tail_rows, axis=0), win_t, _WIN_NONE)
+        t_win = jax.ops.segment_min(cand, ell.f_tail_rows,
+                                    num_segments=ell.num_dst,
+                                    indices_are_sorted=True)
+        # tail wins only on STRICTLY greater value: every base position
+        # precedes every tail position of the same row, so ties keep base
+        take_t = t_max > m
+        m = jnp.where(take_t, t_max, m)
+        win = jnp.where(take_t, t_win, win)
+    out = jnp.where(win != _WIN_NONE, m, 0.0).astype(x.dtype)
+    return out, win
+
+
+def _slab_route_win(idx, valid, perm, win, gtab, k):
+    """dx rows over a backward slab: dx[s,f] = Σ_k [perm[s,k] == win[dst,f]]
+    · g[dst,f] — one int32 + one feature gather per block, summed over K."""
+    rows = idx.shape[0]
+    f = win.shape[-1]
+    if rows == 0:
+        return jnp.zeros((0, f), jnp.float32)
+    bv = max(8, min(rows, _BLOCK_GATHER_BUDGET // max(3 * k * f * 4, 1)))
+    bv = max(8, (bv // 8) * 8)
+
+    def block(args):
+        ib, vb, pb = args
+        wg = jnp.take(win, ib, axis=0)                        # [bv, K, F] i32
+        gg = jnp.take(gtab, ib, axis=0).astype(jnp.float32)   # [bv, K, F]
+        mask = vb[:, :, None] & (wg == pb[:, :, None])
+        return jnp.sum(jnp.where(mask, gg, 0.0), axis=1)
+
+    return _map_row_blocks(block, (idx, valid, perm), rows, bv)
+
+
+@jax.custom_vjp
+def aggregate_max(ell: EllGraph, x: jax.Array) -> jax.Array:
+    """Y[d] = max over in-edges of X[src]; empty rows give 0; gradient to
+    the first extremal edge per (dst, lane). [num_src, F] → [num_dst, F]."""
+    out, _ = _ext_fwd_impl(ell, x)
+    return out
+
+
+def _ext_fwd(ell, x):
+    out, win = _ext_fwd_impl(ell, x)
+    return out, (ell, win, jnp.zeros((0,), x.dtype))
+
+
+def _ext_bwd(res, g):
+    ell, win, probe = res
+    vd_pad, _ = ell.f_idx.shape
+    kb = ell.b_idx.shape[1]
+    win_pad = jnp.pad(win, ((0, vd_pad - win.shape[0]), (0, 0)),
+                      constant_values=_WIN_NONE)
+    gc = ell.cast_in(jnp.pad(g, ((0, vd_pad - g.shape[0]), (0, 0))))
+    # b_perm's padding slots point at the trailing dummy position, which is
+    # strictly greater than any recorded winner and != _WIN_NONE only by
+    # construction — mask on b_w anyway for safety
+    dx = _slab_route_win(ell.b_idx, ell.b_w != 0, ell.b_perm, win_pad, gc,
+                         kb)[:ell.num_src]
+    if ell.b_tail_idx.shape[0]:
+        t = _slab_route_win(ell.b_tail_idx, ell.b_tail_w != 0,
+                            ell.b_tail_perm, win_pad, gc, kb)
+        dx = _tail_combine(dx, t, ell.b_tail_rows, ell.num_src)
+    return None, dx.astype(probe.dtype)
+
+
+aggregate_max.defvjp(_ext_fwd, _ext_bwd)
+
+
+def aggregate_min(ell: EllGraph, x: jax.Array) -> jax.Array:
+    """Y[d] = min over in-edges of X[src] (empty rows 0, first-extremal
+    grads): max(−x) negated — the winner of max(−x) under min-position
+    tie-breaking IS the first edge attaining min(x)."""
+    return -aggregate_max(ell, -x)
+
+
+# ---------------------------------------------------------------------------
 # Fused GAT attention layer
 # ---------------------------------------------------------------------------
 

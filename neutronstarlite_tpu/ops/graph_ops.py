@@ -134,6 +134,27 @@ class GraphTensors:
         return segment.spmm(self.fwd_weight, x, self.fwd_src, self.fwd_dst,
                             self.num_vertices)
 
+    def aggregate_neighbor_max(self, table: jax.Array) -> jax.Array:
+        """Fused per-lane max over in-neighbors of ``table`` rows (``table``
+        is the get_dep_nbr output — the feature table itself single-chip).
+        ELL backend: blockwise slab max with recorded winners, NO [E, F]
+        edge tensor (the segment form is 14 GB at Reddit scale, F=602);
+        gradient to the first extremal edge (SingleCPUDstAggregateOpMax,
+        ref: core/ntsSingleCPUGraphOp.hpp:274-340)."""
+        if self.ell is not None:
+            from neutronstarlite_tpu.ops import ell as ell_mod
+            return ell_mod.aggregate_max(self.ell, table)
+        return self.aggregate_dst_max(self.scatter_src(table))
+
+    def aggregate_neighbor_min(self, table: jax.Array) -> jax.Array:
+        """Fused per-lane min over in-neighbors (SingleCPUDstAggregateOpMin,
+        ref: core/ntsSingleCPUGraphOp.hpp:206-272); see
+        aggregate_neighbor_max."""
+        if self.ell is not None:
+            from neutronstarlite_tpu.ops import ell as ell_mod
+            return ell_mod.aggregate_min(self.ell, table)
+        return self.aggregate_dst_min(self.scatter_src(table))
+
     def attention_aggregate(self, table: jax.Array, s_src: jax.Array,
                             s_dst: jax.Array, slope: float = 0.2
                             ) -> jax.Array:

@@ -608,6 +608,25 @@ class DistGraphTensors:
                                                 self.e_w != 0,
                                                 self.num_vertices)
 
+    def aggregate_neighbor_max(self, table: jax.Array) -> jax.Array:
+        """Fused per-lane max over local in-edges of combined-table rows
+        (DistAggregateDstMax, ref: core/ntsDistCPUGraphOp.hpp:374-440) —
+        no [E, F] edge tensor on the ELL path; grads flow back through the
+        combined table (→ the get_dep_nbr transpose). PROC_OVERLAP split
+        slabs fall back to the masked segment form (extremal winners don't
+        merge across slab sets with first-edge tie semantics)."""
+        if self.ell is not None and "comb" in self.ell:
+            return ell_mod.aggregate_max(self.ell["comb"], table)
+        return self.aggregate_dst_max(jnp.take(table, self.e_src, axis=0))
+
+    def aggregate_neighbor_min(self, table: jax.Array) -> jax.Array:
+        """Fused per-lane min over local in-edges (DistAggregateDstMin,
+        ref: core/ntsDistCPUGraphOp.hpp:306-372); see
+        aggregate_neighbor_max."""
+        if self.ell is not None and "comb" in self.ell:
+            return ell_mod.aggregate_min(self.ell["comb"], table)
+        return self.aggregate_dst_min(jnp.take(table, self.e_src, axis=0))
+
     def sddmm_dot(self, a: jax.Array, b: jax.Array) -> jax.Array:
         """Per-edge dot(a[src], b[dst]) with a in the combined table space
         (the SDDMM inside DistAggregateDstFuseWeight::backward,

@@ -151,6 +151,36 @@ class TestDistOpZoo:
         y0, _ = _single_oracle(sbm, chain)
         np.testing.assert_allclose(y, y0, rtol=1e-4, atol=1e-4)
 
+    def test_fused_neighbor_max_matches_single(self, sbm):
+        """The FUSED slab extremal (aggregate_neighbor_max: dist comb-ELL
+        path) must match the single-chip segment oracle — values and
+        first-extremal grads — including relu-style tie inputs (SAGE's
+        actual pooling input)."""
+        def chain(gt, x):
+            return gt.aggregate_neighbor_max(gt.get_dep_nbr(x))
+
+        y, g, _ = _dist_run(sbm, chain, with_grad=True)
+        y0, g0 = _single_oracle(sbm, chain, with_grad=True)
+        np.testing.assert_allclose(y, y0, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(g, g0, rtol=1e-4, atol=1e-5)
+        relu = type(sbm)(graph=sbm.graph,
+                         features=np.maximum(sbm.features, 0),
+                         labels=sbm.labels, masks=sbm.masks,
+                         num_classes=sbm.num_classes)
+        y, g, _ = _dist_run(relu, chain, with_grad=True)
+        y0, g0 = _single_oracle(relu, chain, with_grad=True)
+        np.testing.assert_allclose(y, y0, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(g, g0, rtol=1e-4, atol=1e-5)
+
+    def test_fused_neighbor_min_matches_single(self, sbm):
+        def chain(gt, x):
+            return gt.aggregate_neighbor_min(gt.get_dep_nbr(x))
+
+        y, g, _ = _dist_run(sbm, chain, with_grad=True)
+        y0, g0 = _single_oracle(sbm, chain, with_grad=True)
+        np.testing.assert_allclose(y, y0, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(g, g0, rtol=1e-4, atol=1e-5)
+
     def test_max_grad_routes_to_first_extremal(self, sbm):
         """Tie: duplicate edges share the extremal value; gradient must go
         to exactly ONE edge per (dst, lane) on both engines → grads equal."""

@@ -204,3 +204,80 @@ class TestEllBackend:
         np.testing.assert_allclose(gt_p.aggregate_neighbors(feats),
                                    gt_x.aggregate_neighbors(feats),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestEllExtremal:
+    """Fused slab max/min (ell.aggregate_max/min) vs the segment path:
+    values AND first-extremal-edge gradient routing must match exactly —
+    including under ties, where both must pick the same single winner."""
+
+    def _grad_pair(self, gt_p, gt_x, x, op):
+        co = jnp.asarray(np.random.default_rng(7).standard_normal(
+            x.shape).astype(np.float32))
+
+        def make_f(gt):
+            def f(xx):
+                return jnp.sum(getattr(gt, op)(xx) * co)
+            return f
+        return (jax.value_and_grad(make_f(gt_p))(x),
+                jax.value_and_grad(make_f(gt_x))(x))
+
+    @pytest.mark.parametrize("op", ["aggregate_neighbor_max",
+                                    "aggregate_neighbor_min"])
+    def test_fused_matches_segment(self, small_graph, feats, op):
+        gt_p = GraphTensors.from_graph(small_graph, backend="pallas")
+        gt_x = GraphTensors.from_graph(small_graph, backend="xla")
+        np.testing.assert_allclose(getattr(gt_p, op)(feats),
+                                   getattr(gt_x, op)(feats),
+                                   rtol=1e-5, atol=1e-6)
+        (vp, gp), (vx, gx) = self._grad_pair(gt_p, gt_x, feats, op)
+        np.testing.assert_allclose(vp, vx, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(gp, gx, rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("ell_cap", [2, 256])
+    def test_tie_routing_matches_segment(self, small_graph, ell_cap):
+        """relu-style inputs (many exact zeros) make extremal TIES common —
+        exactly SAGE's pooling input. Both engines must route the gradient
+        to the SAME single first edge per (dst, lane); ell_cap=2 forces
+        winners to live in (and tie across) base vs tail slabs."""
+        r = np.random.default_rng(11)
+        x = jnp.asarray(np.maximum(r.standard_normal(
+            (small_graph.num_vertices, 16)), 0).astype(np.float32))
+        gt_p = GraphTensors.from_graph(small_graph, backend="pallas",
+                                       ell_cap=ell_cap)
+        gt_x = GraphTensors.from_graph(small_graph, backend="xla")
+        (vp, gp), (vx, gx) = self._grad_pair(
+            gt_p, gt_x, x, "aggregate_neighbor_max")
+        np.testing.assert_allclose(vp, vx, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(gp, gx, rtol=1e-5, atol=1e-6)
+        # all-constant: EVERY edge ties; still exactly one winner each
+        ones = jnp.ones_like(x)
+        (vp, gp), (vx, gx) = self._grad_pair(
+            gt_p, gt_x, ones, "aggregate_neighbor_max")
+        np.testing.assert_allclose(vp, vx, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(gp, gx, rtol=1e-5, atol=1e-6)
+
+    def test_empty_rows_zero_and_no_grad(self):
+        """Vertices with no in-edges: output 0, no gradient contribution
+        (matching the segment path's empty-segment convention)."""
+        from neutronstarlite_tpu.graph.structure import build_graph
+        # vertex 3 has no in-edges; vertex 4 no edges at all
+        src = np.array([0, 1, 2, 0, 1], np.int32)
+        dst = np.array([1, 0, 0, 2, 2], np.int32)
+        g = build_graph(src, dst, 5, weight="ones")
+        gt_p = GraphTensors.from_graph(g, backend="pallas")
+        gt_x = GraphTensors.from_graph(g, backend="xla")
+        x = jnp.asarray(np.random.default_rng(5).standard_normal(
+            (5, 4)).astype(np.float32))
+        out = np.asarray(gt_p.aggregate_neighbor_max(x))
+        np.testing.assert_allclose(out[3:], 0.0)
+
+        co = jnp.asarray(np.random.default_rng(9).standard_normal(
+            (5, 4)).astype(np.float32))
+
+        def make_f(gt):
+            return lambda xx: jnp.sum(gt.aggregate_neighbor_max(xx) * co)
+        gp = jax.grad(make_f(gt_p))(x)
+        gx = jax.grad(make_f(gt_x))(x)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                   rtol=1e-5, atol=1e-6)

@@ -27,7 +27,7 @@ def main():
     from bench import make_powerlaw_graph
     from neutronstarlite_tpu.config import InputInfo
     from neutronstarlite_tpu.graph.dataset import GNNDatum
-    from neutronstarlite_tpu.models import commnet, gat, gcn, ggcn, gin
+    from neutronstarlite_tpu.models import commnet, gat, gcn, ggcn, gin, sage
     from neutronstarlite_tpu.training.trainer import FullGraphTrainer
 
     g = make_powerlaw_graph(v, deg)
@@ -42,7 +42,11 @@ def main():
             ("gin", gin, {}), ("gin_eager", gin, {"eager": True}),
             ("commnet", commnet, {}),
             ("commnet_eager", commnet, {"eager": True}),
-            ("gat", gat, {}), ("ggcn", ggcn, {}))
+            ("gat", gat, {}), ("ggcn", ggcn, {}), ("sage", sage, {}))
+    only = os.environ.get("NSL_BENCH_MODELS")  # comma-separated name filter
+    if only:
+        wanted = {s.strip() for s in only.split(",")}
+        runs = tuple(r for r in runs if r[0] in wanted)
     for name, model, kwargs in runs:
         cfg = InputInfo(vertices=v, epochs=epochs,
                         layer_string="602-128-41", learn_rate=0.01,
