@@ -386,22 +386,29 @@ spmm.defvjp(_spmm_fwd, _spmm_bwd)
 _WIN_NONE = 2**31 - 1  # argwin sentinel: no candidate in this part
 
 
-def _slab_rowext(idx, valid, row_id, x, pos_offset, k):
-    """Blockwise masked per-lane max over slots + winning flat position.
+def _block_rows(rows: int, bytes_per_row: int) -> int:
+    """Rows per block under the gather budget, floored to 8s."""
+    bv = max(8, min(rows, _BLOCK_GATHER_BUDGET // max(bytes_per_row, 1)))
+    return max(8, (bv // 8) * 8)
+
+
+def _slab_rowext(idx, valid, row_id, x, pos_offset, k, want_win):
+    """Blockwise masked per-lane max over slots (+ winning flat position).
 
     Returns (m [rows,F] f32 with empty rows at _NEG, win [rows,F] int32
     flat forward-slab position, or _WIN_NONE where the row/lane is empty).
     ``row_id`` carries each row's global slab row index through the block
     map (lax.map gives no block offset); positions are row_id·K + slot +
-    pos_offset."""
+    pos_offset. ``want_win=False`` (the primal/inference forward, which
+    needs no gradient routing) skips the int32 candidate build + min
+    reduction entirely and returns win=None."""
     rows = idx.shape[0]
     f = x.shape[-1]
     if rows == 0:
         return (jnp.full((0, f), _NEG, jnp.float32),
-                jnp.full((0, f), _WIN_NONE, jnp.int32))
-    # three [bv, K, F] block temps (gathered rows, f32 widened, int32 cand)
-    bv = max(8, min(rows, _BLOCK_GATHER_BUDGET // max(3 * k * f * 4, 1)))
-    bv = max(8, (bv // 8) * 8)
+                jnp.full((0, f), _WIN_NONE, jnp.int32) if want_win else None)
+    # up to three [bv, K, F] block temps (gathered, f32 widened, int32 cand)
+    bv = _block_rows(rows, (3 if want_win else 2) * k * f * 4)
     karange = jnp.arange(k, dtype=jnp.int32)
 
     def block(args):
@@ -409,40 +416,50 @@ def _slab_rowext(idx, valid, row_id, x, pos_offset, k):
         g = jnp.take(x, ib, axis=0).astype(jnp.float32)       # [bv, K, F]
         g = jnp.where(vb[:, :, None], g, _NEG)
         m = jnp.max(g, axis=1)                                # [bv, F]
+        if not want_win:
+            return m
         pos = rb[:, None] * k + karange[None, :] + pos_offset  # [bv, K]
         cand = jnp.where(vb[:, :, None] & (g == m[:, None, :]),
                          pos[:, :, None], _WIN_NONE)
         win = jnp.min(cand, axis=1).astype(jnp.int32)         # [bv, F]
         return m, win
 
-    return _map_row_blocks(block, (idx, valid, row_id), rows, bv)
+    out = _map_row_blocks(block, (idx, valid, row_id), rows, bv)
+    return out if want_win else (out, None)
 
 
-def _ext_fwd_impl(ell: EllGraph, x):
+def _ext_fwd_impl(ell: EllGraph, x, want_win):
     vd_pad, k = ell.f_idx.shape
     xc = ell.cast_in(x)
     rows_base = jnp.arange(vd_pad, dtype=jnp.int32)
-    m, win = _slab_rowext(ell.f_idx, ell.f_w != 0, rows_base, xc, 0, k)
-    m, win = m[:ell.num_dst], win[:ell.num_dst]
+    m, win = _slab_rowext(ell.f_idx, ell.f_w != 0, rows_base, xc, 0, k,
+                          want_win)
+    m = m[:ell.num_dst]
+    win = win[:ell.num_dst] if want_win else None
     if ell.f_tail_idx.shape[0] > 0:
         rows_t = jnp.arange(ell.f_tail_idx.shape[0], dtype=jnp.int32)
         m_t, win_t = _slab_rowext(ell.f_tail_idx, ell.f_tail_w != 0, rows_t,
-                                  xc, vd_pad * k, k)
+                                  xc, vd_pad * k, k, want_win)
         # per-real-row tail max + the min position attaining it
         t_max = jax.ops.segment_max(m_t, ell.f_tail_rows,
-                                    num_segments=ell.num_dst,
-                                    indices_are_sorted=True)
-        cand = jnp.where(
-            m_t == jnp.take(t_max, ell.f_tail_rows, axis=0), win_t, _WIN_NONE)
-        t_win = jax.ops.segment_min(cand, ell.f_tail_rows,
                                     num_segments=ell.num_dst,
                                     indices_are_sorted=True)
         # tail wins only on STRICTLY greater value: every base position
         # precedes every tail position of the same row, so ties keep base
         take_t = t_max > m
+        if want_win:
+            cand = jnp.where(
+                m_t == jnp.take(t_max, ell.f_tail_rows, axis=0), win_t,
+                _WIN_NONE)
+            t_win = jax.ops.segment_min(cand, ell.f_tail_rows,
+                                        num_segments=ell.num_dst,
+                                        indices_are_sorted=True)
+            win = jnp.where(take_t, t_win, win)
         m = jnp.where(take_t, t_max, m)
-        win = jnp.where(take_t, t_win, win)
-    out = jnp.where(win != _WIN_NONE, m, 0.0).astype(x.dtype)
+    # empty (row, lane)s sit at exactly _NEG — zero them like the segment
+    # path's empty-segment convention (no winner dependence: the primal
+    # forward never builds winners at all)
+    out = jnp.where(m > _NEG / 2, m, 0.0).astype(x.dtype)
     return out, win
 
 
@@ -453,8 +470,7 @@ def _slab_route_win(idx, valid, perm, win, gtab, k):
     f = win.shape[-1]
     if rows == 0:
         return jnp.zeros((0, f), jnp.float32)
-    bv = max(8, min(rows, _BLOCK_GATHER_BUDGET // max(3 * k * f * 4, 1)))
-    bv = max(8, (bv // 8) * 8)
+    bv = _block_rows(rows, 3 * k * f * 4)
 
     def block(args):
         ib, vb, pb = args
@@ -469,13 +485,14 @@ def _slab_route_win(idx, valid, perm, win, gtab, k):
 @jax.custom_vjp
 def aggregate_max(ell: EllGraph, x: jax.Array) -> jax.Array:
     """Y[d] = max over in-edges of X[src]; empty rows give 0; gradient to
-    the first extremal edge per (dst, lane). [num_src, F] → [num_dst, F]."""
-    out, _ = _ext_fwd_impl(ell, x)
+    the first extremal edge per (dst, lane). [num_src, F] → [num_dst, F].
+    The primal (inference) forward skips winner recording entirely."""
+    out, _ = _ext_fwd_impl(ell, x, want_win=False)
     return out
 
 
 def _ext_fwd(ell, x):
-    out, win = _ext_fwd_impl(ell, x)
+    out, win = _ext_fwd_impl(ell, x, want_win=True)
     return out, (ell, win, jnp.zeros((0,), x.dtype))
 
 

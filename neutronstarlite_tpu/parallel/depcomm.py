@@ -617,7 +617,21 @@ class DistGraphTensors:
         merge across slab sets with first-edge tie semantics)."""
         if self.ell is not None and "comb" in self.ell:
             return ell_mod.aggregate_max(self.ell["comb"], table)
+        self._warn_extremal_fallback()
         return self.aggregate_dst_max(jnp.take(table, self.e_src, axis=0))
+
+    def _warn_extremal_fallback(self):
+        """The segment extremal materializes an [E, F] edge tensor — fine at
+        test scale, ~14 GB (compiler-killing) at Reddit scale F=602. Fires
+        once per trace so PROC_OVERLAP+SAGE users learn the fix."""
+        if self.ell is not None and "local" in self.ell:
+            import warnings
+            warnings.warn(
+                "aggregate_neighbor_min/max under PROC_OVERLAP falls back to "
+                "the [E, F] segment form (extremal winners don't merge "
+                "across split slab sets with first-edge tie semantics); at "
+                "large V·F this is memory-prohibitive — disable PROC_OVERLAP "
+                "for extremal-aggregation models.", stacklevel=3)
 
     def aggregate_neighbor_min(self, table: jax.Array) -> jax.Array:
         """Fused per-lane min over local in-edges (DistAggregateDstMin,
@@ -625,6 +639,7 @@ class DistGraphTensors:
         aggregate_neighbor_max."""
         if self.ell is not None and "comb" in self.ell:
             return ell_mod.aggregate_min(self.ell["comb"], table)
+        self._warn_extremal_fallback()
         return self.aggregate_dst_min(jnp.take(table, self.e_src, axis=0))
 
     def sddmm_dot(self, a: jax.Array, b: jax.Array) -> jax.Array:

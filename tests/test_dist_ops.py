@@ -207,6 +207,21 @@ class TestSageModel:
         assert hist[-1]["loss"] < hist[0]["loss"]
         assert hist[-1]["test"] > 0.5, hist[-1]
 
+    def test_sage_overlap_fallback_warns_and_trains(self, sbm):
+        """PROC_OVERLAP splits the slabs (no comb ELL) → extremal pooling
+        falls back to the [E,F] segment form, which is memory-prohibitive
+        at scale: the downgrade must be LOUD, and still correct."""
+        from neutronstarlite_tpu.config import InputInfo
+        cfg = InputInfo(vertices=sbm.num_vertices, epochs=3,
+                        layer_string=f"12-8-{sbm.num_classes}",
+                        learn_rate=0.01, weight_decay=1e-4, drop_rate=0.0,
+                        seed=7)
+        cfg.overlap = True
+        with pytest.warns(UserWarning, match="PROC_OVERLAP"):
+            hist = DistTrainer(sbm, cfg, model=sage,
+                               num_partitions=N_DEV).run()
+        assert np.isfinite(hist[-1]["loss"])
+
     def test_sage_dist_tracks_single(self, sbm):
         """The min/max model family must run under DistTrainer and track the
         single-chip run (VERDICT r1 item 5 done-criterion)."""

@@ -234,18 +234,23 @@ class TestEllExtremal:
         np.testing.assert_allclose(vp, vx, rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(gp, gx, rtol=1e-5, atol=1e-6)
 
-    @pytest.mark.parametrize("ell_cap", [2, 256])
+    @pytest.mark.parametrize("ell_cap", [8, 256])
     def test_tie_routing_matches_segment(self, small_graph, ell_cap):
         """relu-style inputs (many exact zeros) make extremal TIES common —
         exactly SAGE's pooling input. Both engines must route the gradient
-        to the SAME single first edge per (dst, lane); ell_cap=2 forces
-        winners to live in (and tie across) base vs tail slabs."""
+        to the SAME single first edge per (dst, lane); ell_cap=8 (choose_k's
+        floor) forces winners to live in (and tie across) base vs tail
+        slabs — asserted below so a fixture change can't silently drop the
+        cross-slab coverage."""
         r = np.random.default_rng(11)
         x = jnp.asarray(np.maximum(r.standard_normal(
             (small_graph.num_vertices, 16)), 0).astype(np.float32))
         gt_p = GraphTensors.from_graph(small_graph, backend="pallas",
                                        ell_cap=ell_cap)
         gt_x = GraphTensors.from_graph(small_graph, backend="xla")
+        if ell_cap == 8:
+            assert gt_p.ell.f_tail_idx.shape[0] > 0, \
+                "fixture no longer spills into tail slabs at K=8"
         (vp, gp), (vx, gx) = self._grad_pair(
             gt_p, gt_x, x, "aggregate_neighbor_max")
         np.testing.assert_allclose(vp, vx, rtol=1e-5, atol=1e-6)

@@ -1,11 +1,12 @@
 """All-model throughput at Reddit scale on one chip, in one process.
 
 Times the full train epoch (fwd+bwd+NtsAdam) for GCN (+eager) / GAT / GIN /
-CommNet / GGCN on the same power-law graph. One JSON line per model,
+CommNet / GGCN / SAGE on the same power-law graph. One JSON line per model,
 median of 3 timed windows (axon dispatch jitter).
 
 Usage: python tools/bench_models.py
-Env: NSL_BENCH_V / NSL_BENCH_DEG / NSL_BENCH_EPOCHS / NSL_BENCH_DTYPE
+Env: NSL_BENCH_V / NSL_BENCH_DEG / NSL_BENCH_EPOCHS / NSL_BENCH_DTYPE /
+     NSL_BENCH_MODELS (comma-separated subset, e.g. NSL_BENCH_MODELS=sage)
 """
 
 import json
