@@ -139,6 +139,18 @@ class EllGraph:
     # (padding slots point at the trailing dummy position)
     b_perm: jax.Array      # [Vs_pad, Kb] int32
     b_tail_perm: jax.Array  # [Rvb_pad, Kb] int32
+    # OPTIONAL global edge positions (the edge's index in the ORIGINAL,
+    # pre-split edge list; padding slots = _WIN_NONE). Built for the
+    # PROC_OVERLAP local/remote slab sets so extremal winners carry a
+    # position comparable ACROSS sets — the first-extremal tie-break then
+    # matches the unsplit engine exactly (the reference's record[] routing,
+    # core/ntsDistCPUGraphOp.hpp:306-440, composes with its overlap
+    # pipeline the same way). None on single-set graphs (flat slab
+    # positions suffice there).
+    f_gpos: Any = None       # [Vd_pad, K] int32
+    f_tail_gpos: Any = None  # [Rvf_pad, K] int32
+    b_gpos: Any = None       # [Vs_pad, Kb] int32
+    b_tail_gpos: Any = None  # [Rvb_pad, Kb] int32
     num_dst: int = 0       # true dst rows (<= Vd_pad)
     num_src: int = 0       # true src rows
     # compute dtype for the gathered feature rows ("bfloat16" halves the
@@ -148,7 +160,8 @@ class EllGraph:
     def tree_flatten(self):
         ch = (self.f_idx, self.f_w, self.f_tail_idx, self.f_tail_w,
               self.f_tail_rows, self.b_idx, self.b_w, self.b_tail_idx,
-              self.b_tail_w, self.b_tail_rows, self.b_perm, self.b_tail_perm)
+              self.b_tail_w, self.b_tail_rows, self.b_perm, self.b_tail_perm,
+              self.f_gpos, self.f_tail_gpos, self.b_gpos, self.b_tail_gpos)
         return ch, (self.num_dst, self.num_src, self.agg_dtype)
 
     @classmethod
@@ -169,14 +182,18 @@ class EllGraph:
 def build_ell_rect_np(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
                       num_dst_rows: int, num_src_rows: int,
                       ell_cap: int = 256, kf: int | None = None,
-                      kb: int | None = None) -> dict:
+                      kb: int | None = None,
+                      gpos: np.ndarray | None = None) -> dict:
     """Build the dual-ELL slabs for a (possibly rectangular) edge set as
     host numpy arrays — the general form used per-device by the distributed
     engine (dst rows = local vertices, src rows = combined
     local∪mirror∪hot table).
 
     ``kf``/``kb`` override slot widths (the SPMD engine needs identical
-    shapes on every device)."""
+    shapes on every device). ``gpos`` (optional, [E] int): each edge's
+    GLOBAL position in the original pre-split edge list — packed into
+    slot-aligned ``*_gpos`` slabs (padding = _WIN_NONE) so extremal
+    winners merge across split slab sets with exact first-edge ties."""
     src = np.ascontiguousarray(src, np.int32)
     dst = np.ascontiguousarray(dst, np.int32)
     w = np.ascontiguousarray(w, np.float32)
@@ -211,7 +228,7 @@ def build_ell_rect_np(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
     if b_tidx.size:
         b_tail_perm_flat[b_pos[~base_sel] - base_size_b] = bp[~base_sel]
 
-    return {
+    out = {
         "f_idx": f_idx, "f_w": f_w, "f_tail_idx": f_tidx, "f_tail_w": f_tw,
         "f_tail_rows": f_trows,
         "b_idx": b_idx, "b_w": b_w, "b_tail_idx": b_tidx, "b_tail_w": b_tw,
@@ -221,6 +238,23 @@ def build_ell_rect_np(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
             b_tidx.shape if b_tidx.size else (0, b_idx.shape[1])
         ).astype(np.int32),
     }
+    if gpos is not None:
+        gpos = np.ascontiguousarray(gpos, np.int64)
+        f_g = np.full(f_idx.size + f_tidx.size, _WIN_NONE, np.int64)
+        if e:
+            f_g[f_pos] = gpos[fwd_perm]
+        out["f_gpos"] = f_g[:f_idx.size].reshape(f_idx.shape).astype(np.int32)
+        out["f_tail_gpos"] = f_g[f_idx.size:].reshape(
+            f_tidx.shape if f_tidx.size else (0, f_idx.shape[1])
+        ).astype(np.int32)
+        b_g = np.full(b_idx.size + b_tidx.size, _WIN_NONE, np.int64)
+        if e:
+            b_g[b_pos] = gpos[bwd_perm]
+        out["b_gpos"] = b_g[:b_idx.size].reshape(b_idx.shape).astype(np.int32)
+        out["b_tail_gpos"] = b_g[b_idx.size:].reshape(
+            b_tidx.shape if b_tidx.size else (0, b_idx.shape[1])
+        ).astype(np.int32)
+    return out
 
 
 def ell_from_np(d: dict, num_dst: int, num_src: int,
@@ -392,16 +426,18 @@ def _block_rows(rows: int, bytes_per_row: int) -> int:
     return max(8, (bv // 8) * 8)
 
 
-def _slab_rowext(idx, valid, row_id, x, pos_offset, k, want_win):
-    """Blockwise masked per-lane max over slots (+ winning flat position).
+def _slab_rowext(idx, valid, row_id, x, pos_offset, k, want_win, gpos=None):
+    """Blockwise masked per-lane max over slots (+ winning position).
 
     Returns (m [rows,F] f32 with empty rows at _NEG, win [rows,F] int32
-    flat forward-slab position, or _WIN_NONE where the row/lane is empty).
-    ``row_id`` carries each row's global slab row index through the block
-    map (lax.map gives no block offset); positions are row_id·K + slot +
-    pos_offset. ``want_win=False`` (the primal/inference forward, which
-    needs no gradient routing) skips the int32 candidate build + min
-    reduction entirely and returns win=None."""
+    position, or _WIN_NONE where the row/lane is empty). Positions are
+    flat forward-slab positions row_id·K + slot + pos_offset by default
+    (``row_id`` carries each row's global slab row index through the block
+    map — lax.map gives no block offset); with ``gpos`` (a [rows, K] slab
+    of GLOBAL edge positions) they are read from the slab instead, making
+    winners comparable across split slab sets. ``want_win=False`` (the
+    primal/inference forward, which needs no gradient routing) skips the
+    int32 candidate build + min reduction entirely and returns win=None."""
     rows = idx.shape[0]
     f = x.shape[-1]
     if rows == 0:
@@ -410,6 +446,7 @@ def _slab_rowext(idx, valid, row_id, x, pos_offset, k, want_win):
     # up to three [bv, K, F] block temps (gathered, f32 widened, int32 cand)
     bv = _block_rows(rows, (3 if want_win else 2) * k * f * 4)
     karange = jnp.arange(k, dtype=jnp.int32)
+    use_gpos = gpos is not None
 
     def block(args):
         ib, vb, rb = args
@@ -418,34 +455,47 @@ def _slab_rowext(idx, valid, row_id, x, pos_offset, k, want_win):
         m = jnp.max(g, axis=1)                                # [bv, F]
         if not want_win:
             return m
-        pos = rb[:, None] * k + karange[None, :] + pos_offset  # [bv, K]
+        if use_gpos:
+            pos = rb                                           # [bv, K]
+        else:
+            pos = rb[:, None] * k + karange[None, :] + pos_offset
         cand = jnp.where(vb[:, :, None] & (g == m[:, None, :]),
                          pos[:, :, None], _WIN_NONE)
         win = jnp.min(cand, axis=1).astype(jnp.int32)         # [bv, F]
         return m, win
 
-    out = _map_row_blocks(block, (idx, valid, row_id), rows, bv)
+    third = gpos if use_gpos else row_id
+    out = _map_row_blocks(block, (idx, valid, third), rows, bv)
     return out if want_win else (out, None)
 
 
-def _ext_fwd_impl(ell: EllGraph, x, want_win):
+def _ext_fwd_impl(ell: EllGraph, x, want_win, use_gpos=False, raw=False):
+    """Per-set extremal forward. ``use_gpos``: record winners as GLOBAL
+    edge positions (ell.*_gpos slabs) instead of flat slab positions —
+    within a dst row both orderings agree (pack_slab keeps the stable
+    dst-sorted edge order, so rank order == original order), but only
+    global positions compare across split slab sets. ``raw``: return m
+    with empty lanes at _NEG (for the cross-set merge) instead of 0."""
     vd_pad, k = ell.f_idx.shape
     xc = ell.cast_in(x)
     rows_base = jnp.arange(vd_pad, dtype=jnp.int32)
     m, win = _slab_rowext(ell.f_idx, ell.f_w != 0, rows_base, xc, 0, k,
-                          want_win)
+                          want_win, gpos=ell.f_gpos if use_gpos else None)
     m = m[:ell.num_dst]
     win = win[:ell.num_dst] if want_win else None
     if ell.f_tail_idx.shape[0] > 0:
         rows_t = jnp.arange(ell.f_tail_idx.shape[0], dtype=jnp.int32)
-        m_t, win_t = _slab_rowext(ell.f_tail_idx, ell.f_tail_w != 0, rows_t,
-                                  xc, vd_pad * k, k, want_win)
+        m_t, win_t = _slab_rowext(
+            ell.f_tail_idx, ell.f_tail_w != 0, rows_t, xc, vd_pad * k, k,
+            want_win, gpos=ell.f_tail_gpos if use_gpos else None)
         # per-real-row tail max + the min position attaining it
         t_max = jax.ops.segment_max(m_t, ell.f_tail_rows,
                                     num_segments=ell.num_dst,
                                     indices_are_sorted=True)
         # tail wins only on STRICTLY greater value: every base position
-        # precedes every tail position of the same row, so ties keep base
+        # precedes every tail position of the same row (true in BOTH the
+        # flat and global orderings — rank order == original order within
+        # a row), so ties keep base
         take_t = t_max > m
         if want_win:
             cand = jnp.where(
@@ -456,6 +506,8 @@ def _ext_fwd_impl(ell: EllGraph, x, want_win):
                                         indices_are_sorted=True)
             win = jnp.where(take_t, t_win, win)
         m = jnp.where(take_t, t_max, m)
+    if raw:
+        return m, win
     # empty (row, lane)s sit at exactly _NEG — zero them like the segment
     # path's empty-segment convention (no winner dependence: the primal
     # forward never builds winners at all)
@@ -496,22 +548,33 @@ def _ext_fwd(ell, x):
     return out, (ell, win, jnp.zeros((0,), x.dtype))
 
 
-def _ext_bwd(res, g):
-    ell, win, probe = res
+def _route_ext_bwd(ell: EllGraph, win, g, use_gpos=False):
+    """Route dst cotangents to recorded winners through the backward slabs
+    (dx[s,f] = Σ over s's out-edges e of [pos(e) == win[dst(e),f]]·g[dst,f]).
+    ``use_gpos`` compares against the global-position slabs instead of
+    b_perm (the cross-set merge records global winners)."""
     vd_pad, _ = ell.f_idx.shape
     kb = ell.b_idx.shape[1]
     win_pad = jnp.pad(win, ((0, vd_pad - win.shape[0]), (0, 0)),
                       constant_values=_WIN_NONE)
     gc = ell.cast_in(jnp.pad(g, ((0, vd_pad - g.shape[0]), (0, 0))))
+    perm = ell.b_gpos if use_gpos else ell.b_perm
+    tperm = ell.b_tail_gpos if use_gpos else ell.b_tail_perm
     # b_perm's padding slots point at the trailing dummy position, which is
     # strictly greater than any recorded winner and != _WIN_NONE only by
-    # construction — mask on b_w anyway for safety
-    dx = _slab_route_win(ell.b_idx, ell.b_w != 0, ell.b_perm, win_pad, gc,
+    # construction (gpos padding IS _WIN_NONE) — mask on b_w anyway
+    dx = _slab_route_win(ell.b_idx, ell.b_w != 0, perm, win_pad, gc,
                          kb)[:ell.num_src]
     if ell.b_tail_idx.shape[0]:
         t = _slab_route_win(ell.b_tail_idx, ell.b_tail_w != 0,
-                            ell.b_tail_perm, win_pad, gc, kb)
+                            tperm, win_pad, gc, kb)
         dx = _tail_combine(dx, t, ell.b_tail_rows, ell.num_src)
+    return dx
+
+
+def _ext_bwd(res, g):
+    ell, win, probe = res
+    dx = _route_ext_bwd(ell, win, g)
     return None, dx.astype(probe.dtype)
 
 
@@ -523,6 +586,76 @@ def aggregate_min(ell: EllGraph, x: jax.Array) -> jax.Array:
     grads): max(−x) negated — the winner of max(−x) under min-position
     tie-breaking IS the first edge attaining min(x)."""
     return -aggregate_max(ell, -x)
+
+
+# ---------------------------------------------------------------------------
+# Cross-slab-set extremal merge (PROC_OVERLAP local/remote split)
+# ---------------------------------------------------------------------------
+#
+# Under PROC_OVERLAP the edge set is split into local/remote slab sets; the
+# extremal aggregate couples them only through the per-(dst, lane) winner.
+# Each set computes (raw max, first GLOBAL-position winner) over ITS edges —
+# the positions come from the *_gpos slabs, indices into the ORIGINAL
+# interleaved edge list — and the union is the elementwise merge: value by
+# max, tie by min global position. Gradients route per-set through each
+# set's backward slabs against the MERGED winner, so exactly one edge per
+# (dst, lane) receives gradient — identical to the unsplit engine and to the
+# reference's record[] semantics composing with its overlap pipeline
+# (core/ntsDistCPUGraphOp.hpp:306-440 + core/graph.hpp:3490-3535). The local
+# set's pass has no data dependency on the boundary exchange, so XLA
+# overlaps the exchange with it — closing the r2 hole where SAGE +
+# PROC_OVERLAP fell back to the [E, F] segment form.
+
+
+def _ext_pair_impl(ell_a: EllGraph, x_a, ell_b: EllGraph, x_b, want_win):
+    if want_win and (ell_a.f_gpos is None or ell_b.f_gpos is None):
+        raise ValueError(
+            "aggregate_max_pair needs global-position (gpos) slabs on both "
+            "slab sets — build them with build_ell_rect_np(..., gpos=...)")
+    m_a, win_a = _ext_fwd_impl(ell_a, x_a, want_win, use_gpos=True, raw=True)
+    m_b, win_b = _ext_fwd_impl(ell_b, x_b, want_win, use_gpos=True, raw=True)
+    m = jnp.maximum(m_a, m_b)
+    win = None
+    if want_win:
+        cand_a = jnp.where(m_a == m, win_a, _WIN_NONE)
+        cand_b = jnp.where(m_b == m, win_b, _WIN_NONE)
+        win = jnp.minimum(cand_a, cand_b)
+    out = jnp.where(m > _NEG / 2, m, 0.0).astype(x_a.dtype)
+    return out, win
+
+
+@jax.custom_vjp
+def aggregate_max_pair(ell_a: EllGraph, x_a: jax.Array,
+                       ell_b: EllGraph, x_b: jax.Array) -> jax.Array:
+    """Per-lane max over the UNION of two slab sets' edges (set a reads
+    x_a rows, set b reads x_b rows; both aggregate into the same num_dst
+    rows). Empty rows give 0; the gradient goes to the FIRST extremal edge
+    per (dst, lane) in the original interleaved edge order — exact
+    first-edge ties across the set boundary via the gpos slabs."""
+    out, _ = _ext_pair_impl(ell_a, x_a, ell_b, x_b, want_win=False)
+    return out
+
+
+def _ext_pair_fwd(ell_a, x_a, ell_b, x_b):
+    out, win = _ext_pair_impl(ell_a, x_a, ell_b, x_b, want_win=True)
+    return out, (ell_a, ell_b, win, jnp.zeros((0,), x_a.dtype),
+                 jnp.zeros((0,), x_b.dtype))
+
+
+def _ext_pair_bwd(res, g):
+    ell_a, ell_b, win, pa, pb = res
+    dx_a = _route_ext_bwd(ell_a, win, g, use_gpos=True)
+    dx_b = _route_ext_bwd(ell_b, win, g, use_gpos=True)
+    return None, dx_a.astype(pa.dtype), None, dx_b.astype(pb.dtype)
+
+
+aggregate_max_pair.defvjp(_ext_pair_fwd, _ext_pair_bwd)
+
+
+def aggregate_min_pair(ell_a: EllGraph, x_a: jax.Array,
+                       ell_b: EllGraph, x_b: jax.Array) -> jax.Array:
+    """Union min with first-extremal grads (see aggregate_min)."""
+    return -aggregate_max_pair(ell_a, -x_a, ell_b, -x_b)
 
 
 # ---------------------------------------------------------------------------

@@ -351,16 +351,19 @@ def build_dist_graph(g: Graph, num_partitions: int,
     comb = v_pad + m_total + h_pad
 
     def build_slab_set(edge_sets, num_dst_rows, num_src_rows):
-        """edge_sets: per-device (src, dst, w); uniform K + padded tails."""
+        """edge_sets: per-device (src, dst, w[, gpos]); uniform K + padded
+        tails. A 4th element (global edge positions in the device's
+        original edge order) builds the *_gpos slabs for cross-set
+        extremal merging."""
         kf = kb = 8
-        for (es, ed, _) in edge_sets:
+        for st in edge_sets:
             kf = max(kf, ell_mod.choose_k(
-                np.bincount(ed, minlength=num_dst_rows)))
+                np.bincount(st[1], minlength=num_dst_rows)))
             kb = max(kb, ell_mod.choose_k(
-                np.bincount(es, minlength=num_src_rows)))
-        per_dev = [ell_mod.build_ell_rect_np(es, ed, ew, num_dst_rows,
-                                             num_src_rows, kf=kf, kb=kb)
-                   for (es, ed, ew) in edge_sets]
+                np.bincount(st[0], minlength=num_src_rows)))
+        per_dev = [ell_mod.build_ell_rect_np(
+            st[0], st[1], st[2], num_dst_rows, num_src_rows, kf=kf, kb=kb,
+            gpos=(st[3] if len(st) > 3 else None)) for st in edge_sets]
 
         def stack(key, pad_rows=None, fill=0):
             arrs = [d[key] for d in per_dev]
@@ -375,7 +378,7 @@ def build_dist_graph(g: Graph, num_partitions: int,
         # with indices_are_sorted=True, and a trailing 0 would violate the
         # sorted contract (implementation-defined results on TPU) — see
         # ADVICE.md r1 (medium).
-        return {
+        out = {
             "f_idx": stack("f_idx"), "f_w": stack("f_w"),
             "f_tail_idx": stack("f_tail_idx", pad_rows=True),
             "f_tail_w": stack("f_tail_w", pad_rows=True),
@@ -389,15 +392,32 @@ def build_dist_graph(g: Graph, num_partitions: int,
             "b_perm": stack("b_perm"),
             "b_tail_perm": stack("b_tail_perm", pad_rows=True),
         }
+        if "f_gpos" in per_dev[0]:
+            none = ell_mod._WIN_NONE
+            out.update({
+                "f_gpos": stack("f_gpos"),
+                "f_tail_gpos": stack("f_tail_gpos", pad_rows=True,
+                                     fill=none),
+                "b_gpos": stack("b_gpos"),
+                "b_tail_gpos": stack("b_tail_gpos", pad_rows=True,
+                                     fill=none),
+            })
+        return out
 
     if overlap:
+        # each split set carries its edges' positions in the device's
+        # ORIGINAL (interleaved) edge order → gpos slabs, so extremal
+        # winners merge across the local/remote boundary with exact
+        # first-edge tie semantics (ell.aggregate_max_pair)
         loc_sets, rem_sets = [], []
         for i in range(p):
             n = e_counts[i]
             es, ed, ew = e_src[i, :n], e_dst[i, :n], e_w[i, :n]
             sel = es < v_pad
-            loc_sets.append((es[sel], ed[sel], ew[sel]))
-            rem_sets.append((es[~sel] - v_pad, ed[~sel], ew[~sel]))
+            pos = np.arange(n, dtype=np.int64)
+            loc_sets.append((es[sel], ed[sel], ew[sel], pos[sel]))
+            rem_sets.append((es[~sel] - v_pad, ed[~sel], ew[~sel],
+                             pos[~sel]))
         ell_np = {
             "local": build_slab_set(loc_sets, v_pad, v_pad),
             "remote": build_slab_set(rem_sets, v_pad, comb - v_pad),
@@ -613,25 +633,19 @@ class DistGraphTensors:
         (DistAggregateDstMax, ref: core/ntsDistCPUGraphOp.hpp:374-440) —
         no [E, F] edge tensor on the ELL path; grads flow back through the
         combined table (→ the get_dep_nbr transpose). PROC_OVERLAP split
-        slabs fall back to the masked segment form (extremal winners don't
-        merge across slab sets with first-edge tie semantics)."""
+        slabs run the cross-set winner merge (ell.aggregate_max_pair,
+        exact first-edge ties via the gpos slabs): the local set's pass
+        has no data dependency on the exchange (table[:V] slices back to
+        x_local through XLA's slice-of-concat simplification), so the
+        all_to_all overlaps it — the reference's extremal ops compose with
+        its overlap pipeline the same way (graph.hpp:3490-3535)."""
         if self.ell is not None and "comb" in self.ell:
             return ell_mod.aggregate_max(self.ell["comb"], table)
-        self._warn_extremal_fallback()
-        return self.aggregate_dst_max(jnp.take(table, self.e_src, axis=0))
-
-    def _warn_extremal_fallback(self):
-        """The segment extremal materializes an [E, F] edge tensor — fine at
-        test scale, ~14 GB (compiler-killing) at Reddit scale F=602. Fires
-        once per trace so PROC_OVERLAP+SAGE users learn the fix."""
         if self.ell is not None and "local" in self.ell:
-            import warnings
-            warnings.warn(
-                "aggregate_neighbor_min/max under PROC_OVERLAP falls back to "
-                "the [E, F] segment form (extremal winners don't merge "
-                "across split slab sets with first-edge tie semantics); at "
-                "large V·F this is memory-prohibitive — disable PROC_OVERLAP "
-                "for extremal-aggregation models.", stacklevel=3)
+            v = self.num_vertices
+            return ell_mod.aggregate_max_pair(
+                self.ell["local"], table[:v], self.ell["remote"], table[v:])
+        return self.aggregate_dst_max(jnp.take(table, self.e_src, axis=0))
 
     def aggregate_neighbor_min(self, table: jax.Array) -> jax.Array:
         """Fused per-lane min over local in-edges (DistAggregateDstMin,
@@ -639,7 +653,10 @@ class DistGraphTensors:
         aggregate_neighbor_max."""
         if self.ell is not None and "comb" in self.ell:
             return ell_mod.aggregate_min(self.ell["comb"], table)
-        self._warn_extremal_fallback()
+        if self.ell is not None and "local" in self.ell:
+            v = self.num_vertices
+            return ell_mod.aggregate_min_pair(
+                self.ell["local"], table[:v], self.ell["remote"], table[v:])
         return self.aggregate_dst_min(jnp.take(table, self.e_src, axis=0))
 
     def sddmm_dot(self, a: jax.Array, b: jax.Array) -> jax.Array:
@@ -837,6 +854,8 @@ def make_tensors(arrs: dict, dg: DistGraph, axis_name: str = "p",
                 b_idx=d["b_idx"], b_w=d["b_w"], b_tail_idx=d["b_tail_idx"],
                 b_tail_w=d["b_tail_w"], b_tail_rows=d["b_tail_rows"],
                 b_perm=d["b_perm"], b_tail_perm=d["b_tail_perm"],
+                f_gpos=d.get("f_gpos"), f_tail_gpos=d.get("f_tail_gpos"),
+                b_gpos=d.get("b_gpos"), b_tail_gpos=d.get("b_tail_gpos"),
                 num_dst=nd, num_src=ns, agg_dtype=agg_dtype)
         ell_graphs = {k: mk(v, *dims[k]) for k, v in arrs["ell"].items()}
     return DistGraphTensors(

@@ -29,11 +29,11 @@ def sbm():
                                  feature_noise=0.3)
 
 
-def _dist_run(sbm, fn, with_grad=False):
+def _dist_run(sbm, fn, with_grad=False, overlap=False):
     """Run ``fn(gt, x_local) -> [v_pad, F]`` on the mesh; gather values (and
     the gradient of sum(out * coef) wrt x) back to global order."""
     mesh = make_mesh(N_DEV)
-    dg = build_dist_graph(sbm.graph, N_DEV)
+    dg = build_dist_graph(sbm.graph, N_DEV, overlap=overlap)
     arrs = jax.tree.map(jnp.asarray, device_view(dg))
     x = jnp.asarray(dg.shard_features(sbm.features))
     rng = np.random.default_rng(3)
@@ -151,15 +151,17 @@ class TestDistOpZoo:
         y0, _ = _single_oracle(sbm, chain)
         np.testing.assert_allclose(y, y0, rtol=1e-4, atol=1e-4)
 
-    def test_fused_neighbor_max_matches_single(self, sbm):
-        """The FUSED slab extremal (aggregate_neighbor_max: dist comb-ELL
-        path) must match the single-chip segment oracle — values and
-        first-extremal grads — including relu-style tie inputs (SAGE's
-        actual pooling input)."""
+    @pytest.mark.parametrize("overlap", [False, True])
+    def test_fused_neighbor_max_matches_single(self, sbm, overlap):
+        """The FUSED slab extremal (aggregate_neighbor_max) must match the
+        single-chip segment oracle — values and first-extremal grads —
+        including relu-style tie inputs (SAGE's actual pooling input).
+        overlap=True exercises the cross-slab-set winner merge
+        (ell.aggregate_max_pair over the PROC_OVERLAP local/remote split)."""
         def chain(gt, x):
             return gt.aggregate_neighbor_max(gt.get_dep_nbr(x))
 
-        y, g, _ = _dist_run(sbm, chain, with_grad=True)
+        y, g, _ = _dist_run(sbm, chain, with_grad=True, overlap=overlap)
         y0, g0 = _single_oracle(sbm, chain, with_grad=True)
         np.testing.assert_allclose(y, y0, rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(g, g0, rtol=1e-4, atol=1e-5)
@@ -167,17 +169,40 @@ class TestDistOpZoo:
                          features=np.maximum(sbm.features, 0),
                          labels=sbm.labels, masks=sbm.masks,
                          num_classes=sbm.num_classes)
-        y, g, _ = _dist_run(relu, chain, with_grad=True)
+        y, g, _ = _dist_run(relu, chain, with_grad=True, overlap=overlap)
         y0, g0 = _single_oracle(relu, chain, with_grad=True)
         np.testing.assert_allclose(y, y0, rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(g, g0, rtol=1e-4, atol=1e-5)
 
-    def test_fused_neighbor_min_matches_single(self, sbm):
+    @pytest.mark.parametrize("overlap", [False, True])
+    def test_fused_neighbor_min_matches_single(self, sbm, overlap):
         def chain(gt, x):
             return gt.aggregate_neighbor_min(gt.get_dep_nbr(x))
 
-        y, g, _ = _dist_run(sbm, chain, with_grad=True)
+        y, g, _ = _dist_run(sbm, chain, with_grad=True, overlap=overlap)
         y0, g0 = _single_oracle(sbm, chain, with_grad=True)
+        np.testing.assert_allclose(y, y0, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(g, g0, rtol=1e-4, atol=1e-5)
+
+    def test_overlap_max_all_tie_routes_to_global_first_edge(self, sbm):
+        """All-tie stress ACROSS the local/remote boundary: constant
+        features make every edge extremal, so the merged winner must be
+        the FIRST edge per (dst, lane) in the ORIGINAL interleaved edge
+        order — local and remote edges interleave within a dst row, and a
+        per-set-only tie-break would route some rows' gradient to a later
+        (remote) edge when an earlier local one exists (or vice versa).
+        Equality with the single-chip segment oracle pins the exact
+        reference record[] semantics through the split."""
+        const = sbm.features * 0 + 1.0
+        sbm2 = type(sbm)(graph=sbm.graph, features=const,
+                         labels=sbm.labels, masks=sbm.masks,
+                         num_classes=sbm.num_classes)
+
+        def chain(gt, x):
+            return gt.aggregate_neighbor_max(gt.get_dep_nbr(x))
+
+        y, g, _ = _dist_run(sbm2, chain, with_grad=True, overlap=True)
+        y0, g0 = _single_oracle(sbm2, chain, with_grad=True)
         np.testing.assert_allclose(y, y0, rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(g, g0, rtol=1e-4, atol=1e-5)
 
@@ -207,20 +232,26 @@ class TestSageModel:
         assert hist[-1]["loss"] < hist[0]["loss"]
         assert hist[-1]["test"] > 0.5, hist[-1]
 
-    def test_sage_overlap_fallback_warns_and_trains(self, sbm):
-        """PROC_OVERLAP splits the slabs (no comb ELL) → extremal pooling
-        falls back to the [E,F] segment form, which is memory-prohibitive
-        at scale: the downgrade must be LOUD, and still correct."""
+    def test_sage_overlap_matches_no_overlap(self, sbm):
+        """SAGE + PROC_OVERLAP runs the fused cross-set extremal merge (no
+        [E, F] fallback — the r2 composition hole) and must reproduce the
+        no-overlap run exactly epoch by epoch: same math, different slab
+        decomposition and comm schedule."""
         from neutronstarlite_tpu.config import InputInfo
-        cfg = InputInfo(vertices=sbm.num_vertices, epochs=3,
-                        layer_string=f"12-8-{sbm.num_classes}",
-                        learn_rate=0.01, weight_decay=1e-4, drop_rate=0.0,
-                        seed=7)
-        cfg.overlap = True
-        with pytest.warns(UserWarning, match="PROC_OVERLAP"):
-            hist = DistTrainer(sbm, cfg, model=sage,
+
+        def run(overlap):
+            cfg = InputInfo(vertices=sbm.num_vertices, epochs=6,
+                            layer_string=f"12-8-{sbm.num_classes}",
+                            learn_rate=0.01, weight_decay=1e-4,
+                            drop_rate=0.0, seed=7)
+            cfg.overlap = overlap
+            return DistTrainer(sbm, cfg, model=sage,
                                num_partitions=N_DEV).run()
-        assert np.isfinite(hist[-1]["loss"])
+
+        h_ov, h_plain = run(True), run(False)
+        for a, b in zip(h_ov, h_plain):
+            assert abs(a["loss"] - b["loss"]) < 1e-4, (a, b)
+            assert abs(a["test"] - b["test"]) < 1e-6, (a, b)
 
     def test_sage_dist_tracks_single(self, sbm):
         """The min/max model family must run under DistTrainer and track the
