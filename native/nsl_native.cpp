@@ -129,6 +129,54 @@ int64_t nsl_dedup_relabel(const int32_t* flat, int64_t n, int32_t v,
 }
 
 // ---------------------------------------------------------------------------
+// Single-pass ELL slab packer (the hot loop of the dual-ELL build — the
+// reference's per-chunk CSC/CSR materialization phase it parallelizes
+// across threads, core/graph.hpp:1329-1826). Packs an UNSORTED edge list
+// into base + row-split tail slabs in one sweep with per-row cursors:
+// within a row, slots follow original edge order (== the numpy fallback's
+// stable argsort + rank). Outputs are caller-allocated; idx/wgt and
+// tail_idx/tail_w must be pre-zeroed, tail_rows pre-filled with num_rows
+// (the padding sentinel); pos[j] = flat slab position of input edge j
+// (base slab first, then tail). Called per (device, direction) from a
+// Python thread pool — ctypes releases the GIL, so 2P packs run on all
+// cores.
+// ---------------------------------------------------------------------------
+void nsl_pack_slab(const int32_t* key, const int32_t* other, const float* w,
+                   int64_t e, int32_t num_rows, int32_t k, int64_t v_pad,
+                   int32_t* idx, float* wgt, int32_t* tail_idx,
+                   float* tail_w, int32_t* tail_rows, int64_t* pos) {
+  std::vector<int64_t> deg(num_rows, 0);
+  for (int64_t j = 0; j < e; j++) deg[key[j]]++;
+  // vstart[r] = exclusive cumsum of per-row tail slices ceil(max(deg-k,0)/k)
+  std::vector<int64_t> vstart(num_rows + 1, 0);
+  for (int32_t r = 0; r < num_rows; r++) {
+    const int64_t over = deg[r] > k ? deg[r] - k : 0;
+    vstart[r + 1] = vstart[r] + (over + k - 1) / k;
+  }
+  for (int32_t r = 0; r < num_rows; r++)
+    for (int64_t t = vstart[r]; t < vstart[r + 1]; t++) tail_rows[t] = r;
+  const int64_t base_size = v_pad * (int64_t)k;
+  std::vector<int64_t> cursor(num_rows, 0);
+  for (int64_t j = 0; j < e; j++) {
+    const int32_t r = key[j];
+    const int64_t rank = cursor[r]++;
+    int64_t p;
+    if (rank < k) {
+      p = (int64_t)r * k + rank;
+      idx[p] = other[j];
+      wgt[p] = w[j];
+    } else {
+      const int64_t tr = rank - k;
+      const int64_t tp = (vstart[r] + tr / k) * k + tr % k;
+      tail_idx[tp] = other[j];
+      tail_w[tp] = w[j];
+      p = base_size + tp;
+    }
+    pos[j] = p;
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Fennel streaming vertex partitioner (beyond-reference: the reference only
 // has the contiguous locality-aware range partition, core/graph.hpp:1185-
 // 1213). One pass over vertices in the given order; each vertex joins the

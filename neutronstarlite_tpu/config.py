@@ -87,6 +87,20 @@ class InputInfo:
                                     # partitioner + relabel — cuts mirror
                                     # sets on clustered graphs; beyond-
                                     # reference)
+    eval_mode: bool = False         # EVAL_MODE: per-epoch accuracies from
+                                    # an eval-mode forward (no dropout,
+                                    # running BN stats) instead of the
+                                    # reference's Test()-on-training-outputs
+                                    # quirk (GCN_CPU.hpp:142-171); costs a
+                                    # second forward per epoch
+    gather_budget_mb: int = 0       # GATHER_BUDGET_MB: slab gather block
+                                    # budget (0 = 128 MB default; env
+                                    # NSL_GATHER_BUDGET_MB overrides)
+    gated_chunk_mb: int = 0         # GATED_CHUNK_MB: score-tensor bytes
+                                    # above which the gated op switches to
+                                    # the chunked pipeline (0 = 1024 MB
+                                    # default; env NSL_GATED_CHUNK_MB
+                                    # overrides)
 
     @property
     def layer_sizes(self) -> List[int]:
@@ -159,6 +173,11 @@ class InputInfo:
             "DEBUGINFO": lambda: setattr(self, "debuginfo", flag(val)),
             "PARTITION": lambda: setattr(self, "partition_mode", val),
             "OPTIMIZER": lambda: setattr(self, "optimizer", val),
+            "EVAL_MODE": lambda: setattr(self, "eval_mode", flag(val)),
+            "GATHER_BUDGET_MB": lambda: setattr(self, "gather_budget_mb",
+                                                int(val)),
+            "GATED_CHUNK_MB": lambda: setattr(self, "gated_chunk_mb",
+                                              int(val)),
         }
         fn = dispatch.get(key)
         if fn is None:

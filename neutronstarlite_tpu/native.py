@@ -47,6 +47,10 @@ def _load():
                                    ctypes.c_int32, ctypes.c_double,
                                    ctypes.c_double, ctypes.c_int32,
                                    _I32P, _I32P]
+        lib.nsl_pack_slab.argtypes = [_I32P, _I32P, _F32P, ctypes.c_int64,
+                                      ctypes.c_int32, ctypes.c_int32,
+                                      ctypes.c_int64, _I32P, _F32P, _I32P,
+                                      _F32P, _I32P, _I64P]
         _LIB = lib
     except (OSError, AttributeError):  # missing .so or stale build
         _LIB = None
@@ -112,6 +116,25 @@ class DedupWorkspace:
         n = lib.nsl_dedup_relabel(flat, flat.size, self.num_vertices, table,
                                   local, self.scratch)
         return table[:n].copy(), local
+
+
+def pack_slab(key: np.ndarray, other: np.ndarray, w: np.ndarray,
+              num_rows: int, k: int, v_pad: int, idx: np.ndarray,
+              wgt: np.ndarray, tail_idx: np.ndarray, tail_w: np.ndarray,
+              tail_rows: np.ndarray, pos: np.ndarray) -> bool:
+    """Single-pass ELL slab pack into caller-allocated arrays (idx/wgt and
+    tails pre-zeroed, tail_rows pre-filled with num_rows); ``pos[j]`` gets
+    input edge j's flat slab position. Returns False without the .so.
+    The ctypes call releases the GIL — thread-pool friendly."""
+    lib = _load()
+    if lib is None:
+        return False
+    lib.nsl_pack_slab(np.ascontiguousarray(key, np.int32),
+                      np.ascontiguousarray(other, np.int32),
+                      np.ascontiguousarray(w, np.float32),
+                      key.size, num_rows, k, v_pad, idx, wgt,
+                      tail_idx, tail_w, tail_rows, pos)
+    return True
 
 
 def fennel(in_offsets: np.ndarray, in_nbr: np.ndarray,

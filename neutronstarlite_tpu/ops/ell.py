@@ -199,62 +199,85 @@ def build_ell_rect_np(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
     w = np.ascontiguousarray(w, np.float32)
     e = src.size
 
-    fwd_perm = np.argsort(dst, kind="stable")
-    f_off = np.zeros(num_dst_rows + 1, np.int64)
-    np.cumsum(np.bincount(dst, minlength=num_dst_rows), out=f_off[1:])
-    bwd_perm = np.argsort(src, kind="stable")
-    b_off = np.zeros(num_src_rows + 1, np.int64)
-    np.cumsum(np.bincount(src, minlength=num_src_rows), out=b_off[1:])
-
+    f_deg = np.bincount(dst, minlength=num_dst_rows)
+    b_deg = np.bincount(src, minlength=num_src_rows)
     if kf is None:
-        kf = choose_k(np.diff(f_off), ell_cap)
+        kf = choose_k(f_deg, ell_cap)
     if kb is None:
-        kb = choose_k(np.diff(b_off), ell_cap)
+        kb = choose_k(b_deg, ell_cap)
 
-    f_idx, f_w, f_tidx, f_tw, f_trows, f_pos = pack_slab(
-        f_off, src[fwd_perm], w[fwd_perm], num_dst_rows, kf)
-    b_idx, b_w, b_tidx, b_tw, b_trows, b_pos = pack_slab(
-        b_off, dst[bwd_perm], w[bwd_perm], num_src_rows, kb)
+    # both packs return positions in ORIGINAL edge order, so the backward
+    # slot permutation is one scatter: b_perm_flat[b_pos] = f_pos
+    f_idx, f_w, f_tidx, f_tw, f_trows, f_pos = _pack_slab_any(
+        dst, src, w, f_deg, num_dst_rows, kf)
+    b_idx, b_w, b_tidx, b_tw, b_trows, b_pos = _pack_slab_any(
+        src, dst, w, b_deg, num_src_rows, kb)
 
-    orig_to_fpos = np.empty(max(e, 1), np.int64)
-    orig_to_fpos[fwd_perm] = f_pos
     dummy = f_idx.size + f_tidx.size  # trailing dummy position
-    b_perm_flat = np.full(b_idx.size, dummy, np.int64)
-    b_tail_perm_flat = np.full(b_tidx.size, dummy, np.int64)
-    bp = orig_to_fpos[bwd_perm]       # fwd pos of each bwd-ordered edge
-    base_size_b = b_idx.size
-    base_sel = b_pos < base_size_b
-    b_perm_flat[b_pos[base_sel]] = bp[base_sel]
-    if b_tidx.size:
-        b_tail_perm_flat[b_pos[~base_sel] - base_size_b] = bp[~base_sel]
+    b_perm_flat = np.full(b_idx.size + b_tidx.size, dummy, np.int64)
+    b_perm_flat[b_pos] = f_pos
 
     out = {
         "f_idx": f_idx, "f_w": f_w, "f_tail_idx": f_tidx, "f_tail_w": f_tw,
         "f_tail_rows": f_trows,
         "b_idx": b_idx, "b_w": b_w, "b_tail_idx": b_tidx, "b_tail_w": b_tw,
         "b_tail_rows": b_trows,
-        "b_perm": b_perm_flat.reshape(b_idx.shape).astype(np.int32),
-        "b_tail_perm": b_tail_perm_flat.reshape(
+        "b_perm": b_perm_flat[:b_idx.size].reshape(
+            b_idx.shape).astype(np.int32),
+        "b_tail_perm": b_perm_flat[b_idx.size:].reshape(
             b_tidx.shape if b_tidx.size else (0, b_idx.shape[1])
         ).astype(np.int32),
     }
     if gpos is not None:
         gpos = np.ascontiguousarray(gpos, np.int64)
         f_g = np.full(f_idx.size + f_tidx.size, _WIN_NONE, np.int64)
-        if e:
-            f_g[f_pos] = gpos[fwd_perm]
+        f_g[f_pos] = gpos
         out["f_gpos"] = f_g[:f_idx.size].reshape(f_idx.shape).astype(np.int32)
         out["f_tail_gpos"] = f_g[f_idx.size:].reshape(
             f_tidx.shape if f_tidx.size else (0, f_idx.shape[1])
         ).astype(np.int32)
         b_g = np.full(b_idx.size + b_tidx.size, _WIN_NONE, np.int64)
-        if e:
-            b_g[b_pos] = gpos[bwd_perm]
+        b_g[b_pos] = gpos
         out["b_gpos"] = b_g[:b_idx.size].reshape(b_idx.shape).astype(np.int32)
         out["b_tail_gpos"] = b_g[b_idx.size:].reshape(
             b_tidx.shape if b_tidx.size else (0, b_idx.shape[1])
         ).astype(np.int32)
     return out
+
+
+def _pack_slab_any(key: np.ndarray, other: np.ndarray, w: np.ndarray,
+                   deg: np.ndarray, num_rows: int, k: int):
+    """Pack an UNSORTED edge list into base + tail slabs. Dispatches to the
+    native single-pass packer (nsl_pack_slab — one sweep with per-row
+    cursors, GIL-released so build_slab_set thread-pools it across
+    devices) with the numpy stable-sort + pack_slab path as fallback; both
+    produce identical slabs (within a row, slots follow original edge
+    order). Returns (idx, wgt, tail_idx, tail_w, tail_rows, pos) with
+    ``pos[j]`` = flat slab position of input edge j (ORIGINAL order)."""
+    from neutronstarlite_tpu import native
+    e = key.size
+    v_pad = -(-max(num_rows, 1) // 8) * 8
+    over = np.maximum(deg.astype(np.int64) - k, 0)
+    rv = int((-(-over // k)).sum())
+    rv_pad = -(-rv // 8) * 8 if rv else 0
+    if native.available():
+        idx = np.zeros((v_pad, k), np.int32)
+        wgt = np.zeros((v_pad, k), np.float32)
+        tail_idx = np.zeros((rv_pad, k), np.int32)
+        tail_w = np.zeros((rv_pad, k), np.float32)
+        tail_rows = np.full(rv_pad, num_rows, np.int32)
+        pos = np.empty(max(e, 1), np.int64)
+        if native.pack_slab(key, other, w, num_rows, k, v_pad, idx, wgt,
+                            tail_idx, tail_w, tail_rows, pos):
+            return idx, wgt, tail_idx, tail_w, tail_rows, pos[:e]
+    perm = np.argsort(key, kind="stable")
+    off = np.zeros(num_rows + 1, np.int64)
+    np.cumsum(deg, out=off[1:])
+    idx, wgt, ti, tw, trows, pos_sorted = pack_slab(
+        off, other[perm], w[perm], num_rows, k)
+    pos = np.empty(e, np.int64)
+    pos[perm] = pos_sorted
+    return idx, wgt, ti, tw, trows, pos
 
 
 def ell_from_np(d: dict, num_dst: int, num_src: int,
@@ -300,6 +323,21 @@ import os
 # 128 MB measured best on v5e (vs 32: −15% gather time; 512: flat) —
 # r2 slab A/B, BASELINE.md
 _BLOCK_GATHER_BUDGET = int(os.environ.get("NSL_GATHER_BUDGET_MB", "128"))    * 1024 * 1024
+
+
+def configure(gather_budget_mb: int | None = None,
+              gated_chunk_mb: int | None = None) -> None:
+    """Engine tunables from the cfg system (GATHER_BUDGET_MB /
+    GATED_CHUNK_MB keys — the reference routes ALL engine flags through
+    InputInfo, core/GraphSegment.cpp:222-292). The NSL_* env vars keep
+    precedence as measurement overrides; 0/None leaves the default.
+    Called by the trainers before any tracing, so the values are baked
+    into the compiled programs like any other static config."""
+    global _BLOCK_GATHER_BUDGET, _GATED_CHUNK_BYTES
+    if gather_budget_mb and "NSL_GATHER_BUDGET_MB" not in os.environ:
+        _BLOCK_GATHER_BUDGET = int(gather_budget_mb) * 1024 * 1024
+    if gated_chunk_mb and "NSL_GATED_CHUNK_MB" not in os.environ:
+        _GATED_CHUNK_BYTES = int(gated_chunk_mb) * 2**20
 
 
 def slab_matvec(idx: jax.Array, w: jax.Array, x: jax.Array) -> jax.Array:

@@ -452,6 +452,37 @@ class DistMinibatchTrainer(MinibatchTrainer):
                 self._make_dist_device_step(training=True))
             self._eval_step_dev_dist = jax.jit(
                 self._make_dist_device_step(training=False))
+        if jax.process_count() > 1:
+            # locally-committed arrays are not valid inputs to a jit over a
+            # multi-process mesh: re-stage the replicated state as GLOBAL
+            # arrays (the reference's per-rank replicated graph/params,
+            # FullyRepGraph + Parameter broadcast)
+            from jax.sharding import PartitionSpec as P
+            self.params = self._stage(self.params, P())
+            self.opt_state = self._stage(self.opt_state, P())
+            self.features = self._stage(self.features, P())
+            if self.device_mode:
+                self.labels_dev = self._stage(self.labels_dev, P())
+                ds = self.dev_sampler
+                (ds.offsets, ds.nbr, ds.out_degree, ds.in_degree) = \
+                    self._stage((ds.offsets, ds.nbr, ds.out_degree,
+                                 ds.in_degree), P())
+
+    def _stage(self, tree, spec):
+        """Host/local arrays → global mesh arrays (each process contributes
+        its addressable shards); plain device_put single-process."""
+        import jax
+        import numpy as np
+        from jax.sharding import NamedSharding
+
+        def put(a):
+            a = np.asarray(a)
+            sh = NamedSharding(self.mesh, spec)
+            if jax.process_count() > 1:
+                return jax.make_array_from_callback(a.shape, sh,
+                                                    lambda idx: a[idx])
+            return jax.device_put(a, sh)
+        return jax.tree.map(put, tree)
 
     def _make_dist_step(self, training: bool):
         from jax.sharding import PartitionSpec as P
@@ -592,8 +623,14 @@ class DistMinibatchTrainer(MinibatchTrainer):
             if chunk.size < gs:
                 chunk = np.concatenate(
                     [chunk, np.full(gs - chunk.size, -1, np.int32)])
-            seeds = jnp.asarray(chunk.reshape(self.p, bs))
+            seeds = chunk.reshape(self.p, bs)
             self.run_key, k = jax.random.split(self.run_key)
+            if jax.process_count() > 1:
+                from jax.sharding import PartitionSpec as P
+                seeds = self._stage(seeds, P("p"))
+                k = self._stage(k, P())
+            else:
+                seeds = jnp.asarray(seeds)
             self.params, self.opt_state, loss, c, n = step(
                 self.params, self.opt_state, self.features, self.labels_dev,
                 samp, seeds, k)
@@ -635,10 +672,19 @@ class DistMinibatchTrainer(MinibatchTrainer):
     def _run_group(self, step, group):
         """Returns a [loss, correct, count] device row (kept async; callers
         materialize all rows with one transfer per epoch)."""
+        from jax.sharding import PartitionSpec as P
         self.run_key, k = jax.random.split(self.run_key)
-        blocks = jax.tree.map(lambda *a: jnp.stack(a),
-                              *[g[0] for g in group])
-        labels = jnp.stack([g[1] for g in group])
+        if jax.process_count() > 1:
+            blocks = jax.tree.map(
+                lambda *a: self._stage(np.stack([np.asarray(x) for x in a]),
+                                       P("p")), *[g[0] for g in group])
+            labels = self._stage(np.stack([np.asarray(g[1]) for g in group]),
+                                 P("p"))
+            k = self._stage(k, P())
+        else:
+            blocks = jax.tree.map(lambda *a: jnp.stack(a),
+                                  *[g[0] for g in group])
+            labels = jnp.stack([g[1] for g in group])
         self.params, self.opt_state, loss, c, n = step(
             self.params, self.opt_state, self.features, blocks, labels, k)
         return jnp.stack([loss, c.astype(jnp.float32),

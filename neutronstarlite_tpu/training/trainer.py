@@ -63,6 +63,9 @@ class FullGraphTrainer:
         self.config = config
         self.model = model
         self.model_kwargs = model_kwargs
+        from neutronstarlite_tpu.ops import ell as ell_mod
+        ell_mod.configure(gather_budget_mb=config.gather_budget_mb,
+                          gated_chunk_mb=config.gated_chunk_mb)
         self.gt = GraphTensors.from_graph(datum.graph, backend=backend,
                                           dtype=config.dtype)
 
@@ -95,6 +98,14 @@ class FullGraphTrainer:
         (loss, (logits, new_bn)), grads = jax.value_and_grad(
             loss_and_aux, has_aux=True)(params)
         new_params, new_opt = self.opt_update(grads, opt_state, params)
+        if self.config.eval_mode:
+            # EVAL_MODE:1 — accuracies from a proper inference forward on
+            # the UPDATED state (no dropout, running BN stats) instead of
+            # the reference's Test()-on-training-outputs quirk
+            # (GCN_CPU.hpp:142-171); the train-mode loss stays as reported
+            st2 = state_cls(params=new_params, bn=new_bn)
+            logits, _ = self.model.forward(st2, gt, x, None, training=False,
+                                           **self.model_kwargs)
         accs = {}
         for name, which in (("train", 0), ("val", 1), ("test", 2)):
             c, n = masked_accuracy(logits, labels, masks, which)

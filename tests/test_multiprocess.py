@@ -1,11 +1,14 @@
-"""REAL multi-process distributed execution (VERDICT r1 item 4).
+"""REAL multi-process distributed execution (VERDICT r1 item 4, widened to
+the full flag/model/trainer matrix in r3 per VERDICT r2 item 2).
 
 The reference's distributed test strategy is N MPI ranks on localhost
-(run_nts.sh, /root/reference/README.md:89-93). Here: 2 actual OS processes
-join a `jax.distributed` world (1 CPU device each) and run DistTrainer over
-the global 2-device mesh; the result must match the single-process 2-device
-run of the identical program — proving coordinator wiring, per-process
-device visibility and cross-process collectives, not just the SPMD math.
+(run_nts.sh, /root/reference/README.md:89-93). Here: actual OS processes
+join a `jax.distributed` world (1-2 CPU devices each) and run the ordinary
+trainers over the global mesh; the result must match the single-process run
+of the identical program — proving coordinator wiring, per-process device
+visibility and cross-process collectives (all_to_all, ring ppermutes,
+DepCache all_gather, TP 'f'-axis all_gather, per-batch psum), not just the
+SPMD math.
 """
 
 import json
@@ -13,6 +16,8 @@ import os
 import socket
 import subprocess
 import sys
+
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tools", "multiproc_worker.py")
@@ -26,10 +31,11 @@ def _free_port():
     return port
 
 
-def _clean_env():
+def _clean_env(**extra):
     env = dict(os.environ)
     # the conftest/pytest process's XLA_FLAGS would leak 8 virtual devices
     env.pop("XLA_FLAGS", None)
+    env.update(extra)
     return env
 
 
@@ -40,13 +46,13 @@ def _parse(out: str):
     raise AssertionError(f"no RESULT line in output:\n{out}")
 
 
-def test_two_processes_match_single_process():
+def _run_dist(scenario: str, num_procs: int, ndev: int, env) -> list:
     port = _free_port()
-    env = _clean_env()
     procs = [subprocess.Popen(
-        [sys.executable, WORKER, "dist", "2", str(pid), str(port)],
+        [sys.executable, WORKER, "dist", scenario, str(num_procs),
+         str(ndev), str(pid), str(port)],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
-        cwd=REPO) for pid in (0, 1)]
+        cwd=REPO) for pid in range(num_procs)]
     outs = []
     for p in procs:
         try:
@@ -58,14 +64,18 @@ def test_two_processes_match_single_process():
         outs.append((p.returncode, out, err))
     for rc, out, err in outs:
         assert rc == 0, f"worker failed rc={rc}\nstdout:{out}\nstderr:{err}"
-    hist_dist = _parse(outs[0][1])
+    return _parse(outs[0][1])
 
+
+def _run_local(scenario: str, world: int, env) -> list:
     local = subprocess.run(
-        [sys.executable, WORKER, "local", "2"], capture_output=True,
-        text=True, env=env, cwd=REPO, timeout=420)
+        [sys.executable, WORKER, "local", scenario, str(world)],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=420)
     assert local.returncode == 0, local.stderr
-    hist_local = _parse(local.stdout)
+    return _parse(local.stdout)
 
+
+def _assert_match(hist_dist, hist_local):
     assert len(hist_dist) == len(hist_local)
     for a, b in zip(hist_dist, hist_local):
         # identical SPMD program, different process topology → fp noise only
@@ -73,37 +83,58 @@ def test_two_processes_match_single_process():
         assert abs(a["test"] - b["test"]) < 1e-6, (a, b)
 
 
+def test_two_processes_match_single_process():
+    env = _clean_env()
+    _assert_match(_run_dist("gcn", 2, 1, env), _run_local("gcn", 2, env))
+
+
 def test_two_processes_ring_exchange_matches():
     """EXCHANGE:ring across REAL processes: the P-1 chained ppermutes ride
     the cross-process transport (the reference's explicit ring order,
     comm/network.cpp:612-633) and must reproduce the single-process
     uniform-all_to_all run — same math, different schedule AND topology."""
-    port = _free_port()
-    env = _clean_env()
-    env["NSL_MP_EXCHANGE"] = "ring"
-    procs = [subprocess.Popen(
-        [sys.executable, WORKER, "dist", "2", str(pid), str(port)],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
-        cwd=REPO) for pid in (0, 1)]
-    outs = []
-    for p in procs:
-        try:
-            out, err = p.communicate(timeout=420)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append((p.returncode, out, err))
-    for rc, out, err in outs:
-        assert rc == 0, f"worker failed rc={rc}\nstdout:{out}\nstderr:{err}"
-    hist_ring = _parse(outs[0][1])
+    env = _clean_env(NSL_MP_EXCHANGE="ring")
+    _assert_match(_run_dist("gcn", 2, 1, env),
+                  _run_local("gcn", 2, _clean_env()))
 
-    local = subprocess.run(
-        [sys.executable, WORKER, "local", "2"], capture_output=True,
-        text=True, env=_clean_env(), cwd=REPO, timeout=420)
-    assert local.returncode == 0, local.stderr
-    hist_local = _parse(local.stdout)
-    assert len(hist_ring) == len(hist_local)
-    for a, b in zip(hist_ring, hist_local):
-        assert abs(a["loss"] - b["loss"]) < 1e-4, (a, b)
-        assert abs(a["test"] - b["test"]) < 1e-6, (a, b)
+
+def test_two_processes_four_devices():
+    """2 procs × 2 devices each: the mesh axis spans processes AND has
+    intra-process pairs — both collective path kinds in one program (the
+    reference's multi-socket-within-rank analogue, SURVEY.md P3/P9)."""
+    env = _clean_env()
+    _assert_match(_run_dist("gcn", 2, 2, env), _run_local("gcn", 4, env))
+
+
+def test_flag_matrix_across_processes():
+    """GAT + PROC_OVERLAP (per-set softmax stats merged exactly) +
+    EXCHANGE:ring + DepCache (hot-block all_gather, CACHE_REFRESH:2 stale
+    reads) — every engine flag at once across a real process boundary."""
+    env = _clean_env()
+    _assert_match(_run_dist("combo", 2, 1, env),
+                  _run_local("combo", 2, env))
+
+
+def test_sage_overlap_across_processes():
+    """SAGE + PROC_OVERLAP: the cross-slab-set extremal winner merge with
+    its boundary exchange crossing processes."""
+    env = _clean_env()
+    _assert_match(_run_dist("sage_ov", 2, 1, env),
+                  _run_local("sage_ov", 2, env))
+
+
+def test_tp_across_processes():
+    """TP_DIM:2 under jax.distributed (VERDICT r2 item 5): 2 procs × 2
+    devices, mesh p=2 × f=2 — the column-parallel dense all_gathers over
+    'f' and the vertex exchange over 'p' both cross a process boundary."""
+    env = _clean_env()
+    _assert_match(_run_dist("tp", 2, 2, env), _run_local("tp", 4, env))
+
+
+def test_minibatch_across_processes():
+    """DistMinibatchTrainer across 2 real processes: replicated
+    graph/features, per-batch gradient psum (the reference's sampled-path
+    Update() allreduce, GCN_CPU_SAMPLE.hpp:206-230)."""
+    env = _clean_env()
+    _assert_match(_run_dist("minibatch", 2, 1, env),
+                  _run_local("minibatch", 2, env))
