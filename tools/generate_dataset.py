@@ -53,15 +53,76 @@ def write_nts(out, src, dst, feats, labels, masks, fmt=".6f"):
           f".labeltable, .mask (V={v}, F={feats.shape[1]})")
 
 
+def build_digits21k(seed: int = 7) -> dict:
+    """Build the 22K augmented/noised digits dataset (see the --real
+    digits21k comment in main for the design + measured baselines)."""
+    from sklearn.datasets import load_digits
+    from sklearn.neighbors import NearestNeighbors
+    d = load_digits()
+    x0 = d.data.astype(np.float32)
+    y0 = d.target.astype(np.int32)
+    v0 = x0.shape[0]
+    rng = np.random.default_rng(seed)
+    u = rng.random(v0)
+    split = np.where(u < 0.55, 0, np.where(u < 0.70, 1, 2)).astype(np.int32)
+
+    def shift(img, dy, dx):
+        im = img.reshape(8, 8)
+        out = np.zeros_like(im)
+        ys = slice(max(dy, 0), 8 + min(dy, 0))
+        yd = slice(max(-dy, 0), 8 + min(-dy, 0))
+        xs = slice(max(dx, 0), 8 + min(dx, 0))
+        xd = slice(max(-dx, 0), 8 + min(-dx, 0))
+        out[yd, xd] = im[ys, xs]
+        return out.reshape(-1)
+
+    train_idx = np.nonzero(split == 0)[0]
+    aug_feats, aug_labels = [], []
+    shifts = [(-1, 0), (1, 0), (0, -1), (0, 1),
+              (-1, -1), (-1, 1), (1, -1), (1, 1)]
+    for (dy, dx) in shifts:
+        for sn in (0.0, 1.5):
+            f = np.stack([shift(x0[i], dy, dx) for i in train_idx])
+            if sn:
+                f = f + rng.normal(0, sn, f.shape)
+            aug_feats.append(np.clip(f, 0, 16).astype(np.float32))
+            aug_labels.append(y0[train_idx])
+    for sn in (1.0, 2.0, 3.0, 1.5):
+        f = x0[train_idx] + rng.normal(0, sn, (train_idx.size, 64))
+        aug_feats.append(np.clip(f, 0, 16).astype(np.float32))
+        aug_labels.append(y0[train_idx])
+
+    feats = np.concatenate([x0] + aug_feats)
+    labels = np.concatenate([y0] + aug_labels)
+    masks = np.concatenate(
+        [split] + [np.zeros(a.shape[0], np.int32) for a in aug_feats])
+    # corrupt EVERY vertex's features (σ=4 on the 0..16 pixel scale): the
+    # graph-free baselines drop (LR 0.878 → 0.770) while graph smoothing
+    # over the kNN structure recovers most of it
+    feats = np.clip(feats + rng.normal(0, 4.0, feats.shape),
+                    0, 16).astype(np.float32)
+    v = feats.shape[0]
+    k = 8
+    nn = NearestNeighbors(n_neighbors=k + 1).fit(feats)
+    _, idx = nn.kneighbors(feats)
+    src = np.repeat(np.arange(v, dtype=np.int32), k)
+    dst = idx[:, 1:].reshape(-1).astype(np.int32)
+    return {"src": np.concatenate([src, dst]),
+            "dst": np.concatenate([dst, src]),
+            "feats": feats, "labels": labels, "masks": masks}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges")
     ap.add_argument("--synthetic", choices=["sbm", "reddit_full"])
     ap.add_argument("--from-dgl")
     ap.add_argument("--from-pyg")
-    ap.add_argument("--real", choices=["digits"],
+    ap.add_argument("--real", choices=["digits", "digits21k"],
                     help="real public dataset bundled offline "
-                         "(sklearn digits → kNN graph)")
+                         "(sklearn digits → kNN graph; digits21k = the "
+                         "22K-vertex noised/augmented variant with a "
+                         "non-trivial accuracy bar)")
     ap.add_argument("--vertices", type=int, default=0)
     ap.add_argument("--classes", type=int, default=7)
     ap.add_argument("--feat-dim", type=int, default=64)
@@ -139,6 +200,25 @@ def main():
         masks = np.where(u < 0.6, 0,
                          np.where(u < 0.8, 1, 2)).astype(np.int32)
         write_nts(args.out, src2, dst2, x, y, masks, fmt="g")
+        return
+
+    if args.real == "digits21k":
+        # The HARDER offline-constructible real-feature dataset (VERDICT r2
+        # item 8; the suggested 20newsgroups/covtype need network access —
+        # documented in TODO.md). 22,017 vertices built from the UCI digits
+        # originals: the 1,797 originals are split train/val/test FIRST
+        # (no leakage), then ONLY the train originals are augmented (8
+        # single-pixel shifts × {clean, σ=1.5 noise} + 4 noise-only
+        # variants, all real image transforms); every vertex's features
+        # are then corrupted with σ=4 pixel noise (clipped to the 0..16
+        # range). Graph = symmetrized k=8 kNN on the NOISED features.
+        # Measured baselines at this noise level (fixed seed 7): graph-free
+        # logistic regression 0.770 test, k-NN majority vote 0.919 — so a
+        # GNN clearing 0.90 demonstrates the GRAPH contributes, which the
+        # tiny digits set (~0.99 near-unavoidable) could not show.
+        data = build_digits21k(args.seed or 7)
+        write_nts(args.out, data["src"], data["dst"], data["feats"],
+                  data["labels"], data["masks"], fmt="g")
         return
 
     if args.from_pyg:
