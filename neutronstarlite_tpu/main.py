@@ -39,7 +39,10 @@ def run_from_config(config: InputInfo, log_every: int = 1):
             toolkits.validate_single(datum, backend=config.kernel_backend)
         print(f"#run_time={time.time() - t0:.3f}(s)")
         return None, []
-    if algo == "GCNSAMPLESINGLE":
+    if algo in ("GCNSAMPLESINGLE", "GATSAMPLESINGLE"):
+        # GATSAMPLESINGLE = sampled attention (our extension: the
+        # reference's only sampled model is GCN, GCN_CPU_SAMPLE.hpp)
+        sampled_model = "gat" if algo.startswith("GAT") else "gcn"
         if config.num_partitions > 1:
             # data-parallel sampled training over the mesh (our extension of
             # the reference's single-node sampled mode; the per-batch grad
@@ -47,9 +50,10 @@ def run_from_config(config: InputInfo, log_every: int = 1):
             # all_reduce_to_gradient)
             from neutronstarlite_tpu.training.minibatch import \
                 DistMinibatchTrainer
-            trainer = DistMinibatchTrainer(datum, config)
+            trainer = DistMinibatchTrainer(datum, config,
+                                           model=sampled_model)
         else:
-            trainer = MinibatchTrainer(datum, config)
+            trainer = MinibatchTrainer(datum, config, model=sampled_model)
     else:
         if algo not in ALGORITHMS:
             # a typo must not silently train the default model (the

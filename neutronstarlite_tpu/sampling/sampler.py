@@ -45,6 +45,10 @@ class SampledBlock:
     nbr_idx: List[np.ndarray]     # per hop: [cap_h, fanout_h] int32 into src table
     nbr_w: List[np.ndarray]       # per hop: [cap_h, fanout_h] float32
     batch_real: int               # un-padded seed count
+    # attention models (include_dst=True): position of each dst in its
+    # hop's src table ([cap_h] int32, -1 pad) — the dst's own transformed
+    # features score against each sampled neighbor's (GAT's s_dst term)
+    dst_local: List[np.ndarray] | None = None
 
     @property
     def num_hops(self) -> int:
@@ -67,7 +71,8 @@ class Sampler:
     """
 
     def __init__(self, graph: Graph, nids: np.ndarray, batch_size: int,
-                 fanout: Sequence[int], seed: int = 0, shuffle: bool = True):
+                 fanout: Sequence[int], seed: int = 0, shuffle: bool = True,
+                 include_dst: bool = False):
         self.graph = graph
         self.nids = np.asarray(nids, dtype=np.int32)
         self.batch_size = int(batch_size)
@@ -76,6 +81,12 @@ class Sampler:
         self.fanout = [int(f) for f in fanout]
         self.rng = np.random.default_rng(seed)
         self.shuffle = shuffle
+        # include_dst: append each hop's dst vertices to its src table when
+        # the reservoir didn't reach them, and record dst_local positions —
+        # attention models need the dst's own transformed features. The
+        # extras become next-hop dsts too (the chain src_tables[h] ==
+        # dst_ids[h+1] must stay intact so their features exist).
+        self.include_dst = include_dst
         self._dedup = None
         self._order = self.nids.copy()
         self.restart()
@@ -112,6 +123,7 @@ class Sampler:
 
         hops = len(self.fanout)
         dst_ids, src_tables, nbr_idx_l, nbr_w_l = [], [], [], []
+        dst_local_l = []
         cur = seeds
         for h in range(hops):
             fo = self.fanout[hops - 1 - h]  # deepest fanout listed first
@@ -165,13 +177,35 @@ class Sampler:
             w[valid.reshape(cap, fo)] = w_vals.astype(np.float32)
 
             dst_ids.append(cur.astype(np.int32))
+            if self.include_dst:
+                # table is sorted unique → locate each dst; append missing
+                # dsts (they become next-hop dsts, keeping the feature chain
+                # intact). nbr_idx local ids stay valid (appended at end).
+                d = cur.astype(np.int32)
+                dv = d >= 0
+                pos = np.searchsorted(table, np.clip(d, 0, None))
+                safe = np.minimum(pos, max(table.size - 1, 0))
+                found = dv & (pos < table.size) & (
+                    table[safe] == d if table.size else False)
+                miss = np.unique(d[dv & ~found])
+                loc = np.full(d.size, -1, np.int32)
+                loc[found] = pos[found].astype(np.int32)
+                if miss.size:
+                    sel = dv & ~found
+                    loc[sel] = (table.size
+                                + np.searchsorted(miss, d[sel])).astype(
+                                    np.int32)
+                    table = np.concatenate([table, miss])
+                dst_local_l.append(loc)
             src_tables.append(table)
             nbr_idx_l.append(local)
             nbr_w_l.append(w)
             cur = table  # next hop samples neighbors of these sources
         return SampledBlock(dst_ids=dst_ids, src_tables=src_tables,
                             nbr_idx=nbr_idx_l, nbr_w=nbr_w_l,
-                            batch_real=batch_real)
+                            batch_real=batch_real,
+                            dst_local=(dst_local_l if self.include_dst
+                                       else None))
 
 
 def pad_block(block: SampledBlock, caps: Sequence[int], scaps: Sequence[int]
@@ -179,6 +213,7 @@ def pad_block(block: SampledBlock, caps: Sequence[int], scaps: Sequence[int]
     """Pad a block's per-hop arrays to fixed caps so all batches share one
     compiled executable. ``caps[h]`` ≥ dst rows, ``scaps[h]`` ≥ source table."""
     dst_ids, src_tables, nbr_idx, nbr_w = [], [], [], []
+    dst_local = [] if block.dst_local is not None else None
     for h in range(block.num_hops):
         cap, scap = caps[h], scaps[h]
         d = block.dst_ids[h]
@@ -192,24 +227,35 @@ def pad_block(block: SampledBlock, caps: Sequence[int], scaps: Sequence[int]
         if ni.shape[0] < cap:
             ni = np.pad(ni, ((0, cap - ni.shape[0]), (0, 0)))
             nw = np.pad(nw, ((0, cap - nw.shape[0]), (0, 0)))
+        if dst_local is not None:
+            dl = block.dst_local[h]
+            if dl.size < cap:
+                dl = np.concatenate(
+                    [dl, np.full(cap - dl.size, -1, np.int32)])
+            dst_local.append(dl)
         dst_ids.append(d)
         src_tables.append(t)
         nbr_idx.append(ni)
         nbr_w.append(nw)
     return SampledBlock(dst_ids=dst_ids, src_tables=src_tables,
                         nbr_idx=nbr_idx, nbr_w=nbr_w,
-                        batch_real=block.batch_real)
+                        batch_real=block.batch_real, dst_local=dst_local)
 
 
 def static_caps(batch_size: int, fanout: Sequence[int],
-                num_vertices: int | None = None) -> tuple[list, list]:
+                num_vertices: int | None = None,
+                include_dst: bool = False) -> tuple[list, list]:
     """Worst-case per-hop caps: cap_0 = B; scap_h = cap_h * fanout_h (dedup
     can only shrink); cap_{h+1} = scap_h.
 
     With ``num_vertices`` given, caps clamp at V: dedup can never produce
     more than V unique ids, so deep hops stop growing exponentially —
     B·Πfanout tables on a graph with V ≪ that are pure padding (HBM +
-    gather work on rows that are always -1)."""
+    gather work on rows that are always -1).
+
+    ``include_dst`` (attention models): each hop's table may additionally
+    hold its cap_h dst vertices, so scap_h = cap_h·(fanout_h + 1) — all
+    appended ids are distinct vertices, so the V clamp still holds."""
     hops = len(fanout)
     caps, scaps = [], []
     cap = batch_size
@@ -218,7 +264,7 @@ def static_caps(batch_size: int, fanout: Sequence[int],
         if num_vertices is not None:
             cap = min(cap, num_vertices)
         caps.append(cap)
-        sc = cap * fo
+        sc = cap * (fo + 1) if include_dst else cap * fo
         if num_vertices is not None:
             sc = min(sc, num_vertices)
         scaps.append(sc)

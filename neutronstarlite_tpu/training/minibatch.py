@@ -46,7 +46,7 @@ def sampled_forward(params, features, block_arrays, key, *, training: bool,
                     drop_rate: float, n_layers: int) -> jax.Array:
     """The GCNSAMPLESINGLE per-batch forward (dropout → MiniBatchFuseOp →
     relu(P·n) | P·n), shared by the single-chip and data-parallel steps."""
-    dst0, tables, idxs, ws = block_arrays
+    dst0, tables, idxs, ws = block_arrays[:4]
     x = _gather_table(features, tables[-1])
     if training and drop_rate > 0:
         dkeys = jax.random.split(key, n_layers)
@@ -60,13 +60,67 @@ def sampled_forward(params, features, block_arrays, key, *, training: bool,
     return x  # [batch, C] values for dst0
 
 
+def sampled_forward_gat(params, features, block_arrays, key, *,
+                        training: bool, drop_rate: float, n_layers: int,
+                        slope: float = 0.2) -> jax.Array:
+    """Sampled GAT: per-hop attention over the fixed-shape ELL blocks
+    (our extension — the reference's only sampled model is GCN,
+    toolkits/GCN_CPU_SAMPLE.hpp:188-289; its full-graph GAT edge chain,
+    toolkits/GAT_CPU.hpp:194-226, is applied per hop here). Each hop
+    scores leaky_relu(s_src[nbr] + s_dst[dst]) over the ≤fanout sampled
+    slots, softmaxes within the row (invalid slots masked), and
+    aggregates the transformed neighbor rows — the [cap, fanout] tensors
+    are minibatch-small, so plain AD suffices (no custom VJP needed).
+    Requires blocks sampled with include_dst=True (dst_local arrays)."""
+    dst0, tables, idxs, ws, dls = block_arrays
+    x = _gather_table(features, tables[-1])
+    if training and drop_rate > 0:
+        dkeys = jax.random.split(key, n_layers)
+    for l in range(n_layers):
+        h = n_layers - 1 - l
+        if training and drop_rate > 0:
+            x = layers.dropout(dkeys[l], x, drop_rate, True)
+        hsrc = x @ params[l]["w"]                       # [scap, F']
+        s_src = hsrc @ params[l]["a_l"]                 # [scap]
+        dl = dls[h]
+        safe = jnp.clip(dl, 0, hsrc.shape[0] - 1)
+        hdst = jnp.where((dl >= 0)[:, None],
+                         jnp.take(hsrc, safe, axis=0), 0.0)
+        s_dst = hdst @ params[l]["a_r"]                 # [cap]
+        valid = ws[h] != 0
+        m = jax.nn.leaky_relu(
+            jnp.take(s_src, idxs[h]) + s_dst[:, None], slope)
+        m = jnp.where(valid, m, -1e30)
+        mrow = jnp.maximum(jnp.max(m, axis=1), -1e30 / 2)
+        z = jnp.where(valid, jnp.exp(m - mrow[:, None]), 0.0)
+        a = z / jnp.maximum(jnp.sum(z, axis=1, keepdims=True), 1e-30)
+        y = jnp.einsum("rk,rkf->rf", a, jnp.take(hsrc, idxs[h], axis=0),
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        # the reference GAT relu's EVERY layer incl. the last (models/gat)
+        x = jax.nn.relu(y)
+    return x
+
+
+def run_sampled_forward(model_name, params, features, block_arrays, key, *,
+                        training: bool, drop_rate: float, n_layers: int):
+    if model_name == "gat":
+        return sampled_forward_gat(params, features, block_arrays, key,
+                                   training=training, drop_rate=drop_rate,
+                                   n_layers=n_layers)
+    return sampled_forward(params, features, block_arrays, key,
+                           training=training, drop_rate=drop_rate,
+                           n_layers=n_layers)
+
+
 class MinibatchTrainer:
     """Single-chip sampled GCN training (GCNSAMPLESINGLE)."""
 
     def __init__(self, datum: GNNDatum, config: InputInfo,
-                 fanout: Sequence[int] | None = None, shuffle: bool = True):
+                 fanout: Sequence[int] | None = None, shuffle: bool = True,
+                 model: str = "gcn"):
         self.datum = datum
         self.config = config
+        self.model_name = model
         self.fanout = [int(f) for f in (fanout or config.fanout)]
         if not self.fanout:
             raise ValueError("minibatch training requires FANOUT")
@@ -74,14 +128,28 @@ class MinibatchTrainer:
         if len(self.fanout) != len(sizes) - 1:
             raise ValueError(f"FANOUT length {len(self.fanout)} must equal "
                              f"model layers {len(sizes) - 1}")
+        include_dst = model == "gat"   # attention scores need the dst row
         self.caps, self.scaps = static_caps(config.batch_size, self.fanout,
-                                            datum.graph.num_vertices)
+                                            datum.graph.num_vertices,
+                                            include_dst=include_dst)
 
         key = jax.random.PRNGKey(config.seed)
         self.init_key, self.run_key = jax.random.split(key)
-        keys = jax.random.split(self.init_key, len(sizes) - 1)
-        self.params = [param.init_linear(keys[i], sizes[i], sizes[i + 1])
-                       for i in range(len(sizes) - 1)]
+        n_layers = len(sizes) - 1
+        if model == "gat":
+            keys = jax.random.split(self.init_key, 3 * n_layers)
+            self.params = [{
+                "w": param.glorot_uniform(keys[3 * i], sizes[i],
+                                          sizes[i + 1]),
+                "a_l": param.glorot_uniform(keys[3 * i + 1],
+                                            sizes[i + 1], 1)[:, 0],
+                "a_r": param.glorot_uniform(keys[3 * i + 2],
+                                            sizes[i + 1], 1)[:, 0],
+            } for i in range(n_layers)]
+        else:
+            keys = jax.random.split(self.init_key, n_layers)
+            self.params = [param.init_linear(keys[i], sizes[i], sizes[i + 1])
+                           for i in range(n_layers)]
         self.opt_init, self.opt_update = optim.make_optimizer(config)
         self.opt_state = self.opt_init(self.params)
 
@@ -92,11 +160,14 @@ class MinibatchTrainer:
         bs = config.batch_size
         self.samplers = {
             "train": Sampler(g, nids["train"], bs, self.fanout,
-                             seed=config.seed, shuffle=shuffle),
+                             seed=config.seed, shuffle=shuffle,
+                             include_dst=include_dst),
             "val": Sampler(g, nids["val"], bs, self.fanout,
-                           seed=config.seed + 1, shuffle=False),
+                           seed=config.seed + 1, shuffle=False,
+                           include_dst=include_dst),
             "test": Sampler(g, nids["test"], bs, self.fanout,
-                            seed=config.seed + 2, shuffle=False),
+                            seed=config.seed + 2, shuffle=False,
+                            include_dst=include_dst),
         }
         self._train_step = jax.jit(self._make_step(training=True))
         self._eval_step = jax.jit(self._make_step(training=False))
@@ -109,6 +180,11 @@ class MinibatchTrainer:
         # with-replacement mode; see sampling/device_sampler.py)
         sb = getattr(config, "sampler_backend", "host")
         self.device_mode = sb in ("device", "device_wr")
+        if self.device_mode and model == "gat":
+            raise ValueError(
+                "SAMPLER:device supports the GCN sampled model only — the "
+                "on-device block builder has no include_dst table form yet; "
+                "use SAMPLER:host for GATSAMPLESINGLE")
         if self.device_mode:
             from neutronstarlite_tpu.sampling.device_sampler import (
                 DeviceSampler)
@@ -122,16 +198,17 @@ class MinibatchTrainer:
     def _make_step(self, training: bool):
         drop_rate = self.config.drop_rate
         n_layers = len(self.config.layer_sizes) - 1
+        model_name = self.model_name
 
         def step(params, opt_state, features, block_arrays, labels, key):
             dst0 = block_arrays[0]
             valid = dst0 >= 0
 
             def loss_fn(p):
-                logits = sampled_forward(p, features, block_arrays, key,
-                                         training=training,
-                                         drop_rate=drop_rate,
-                                         n_layers=n_layers)
+                logits = run_sampled_forward(
+                    model_name, p, features, block_arrays, key,
+                    training=training, drop_rate=drop_rate,
+                    n_layers=n_layers)
                 return layers.nll_loss_masked(
                     layers.log_softmax(logits), labels, valid), logits
 
@@ -158,7 +235,10 @@ class MinibatchTrainer:
             np.where(b.dst_ids[0] >= 0,
                      self.labels_np[np.clip(b.dst_ids[0], 0, None)], 0)
             .astype(np.int32))
-        return (dst0, tables, idxs, ws), labels
+        arrays = (dst0, tables, idxs, ws)
+        if b.dst_local is not None:
+            arrays = arrays + (tuple(jnp.asarray(d) for d in b.dst_local),)
+        return arrays, labels
 
     def _make_device_step(self, training: bool):
         drop_rate = self.config.drop_rate
@@ -365,6 +445,42 @@ class MinibatchTrainer:
         return (float(tot[0]) / len(rows),
                 float(tot[1]) / max(float(tot[2]), 1))
 
+    def predict(self, nids=None):
+        """Sampled inference (the surface the other two trainers' predict()
+        already had — VERDICT r2 item 7): eval-mode forward over
+        neighbor-sampled blocks for ``nids`` (default: every vertex).
+        Returns [V, C] logits with rows outside ``nids`` zero. Sampled
+        inference is stochastic by construction (like the reference's
+        eval/test samplers, GCN_CPU_SAMPLE.hpp:251-289); a fixed seed makes
+        it reproducible."""
+        g = self.datum.graph
+        if nids is None:
+            nids = np.arange(g.num_vertices, dtype=np.int32)
+        nids = np.asarray(nids, dtype=np.int32)
+        sampler = Sampler(g, nids, self.config.batch_size, self.fanout,
+                          seed=self.config.seed + 3, shuffle=False,
+                          include_dst=(self.model_name == "gat"))
+        if not hasattr(self, "_infer_step"):
+            drop_rate = self.config.drop_rate
+            n_layers = len(self.config.layer_sizes) - 1
+            model_name = self.model_name
+
+            def infer(params, features, block_arrays):
+                return run_sampled_forward(
+                    model_name, params, features, block_arrays, None,
+                    training=False, drop_rate=drop_rate, n_layers=n_layers)
+            self._infer_step = jax.jit(infer)
+        n_classes = self.config.layer_sizes[-1]
+        out = np.zeros((g.num_vertices, n_classes), np.float32)
+        for block in sampler.sample():
+            arrays, _ = self._block_to_device(block)
+            logits = np.asarray(self._infer_step(self.params, self.features,
+                                                 arrays))
+            d = np.asarray(arrays[0])
+            sel = d >= 0
+            out[d[sel]] = logits[sel]
+        return out
+
     def debug_info(self):
         """Phase breakdown (the reference's DEBUGINFO(), GCN.hpp:308-353)."""
         self.timer.print_report()
@@ -503,10 +619,10 @@ class DistMinibatchTrainer(MinibatchTrainer):
             n_layers = len(self.config.layer_sizes) - 1
 
             def lf(prm):
-                logits = sampled_forward(prm, features, block_arrays, key,
-                                         training=training,
-                                         drop_rate=drop_rate,
-                                         n_layers=n_layers)
+                logits = run_sampled_forward(
+                    self.model_name, prm, features, block_arrays, key,
+                    training=training, drop_rate=drop_rate,
+                    n_layers=n_layers)
                 return layers.nll_loss_masked(
                     layers.log_softmax(logits), labels, valid), logits
 

@@ -138,3 +138,13 @@ def test_minibatch_across_processes():
     env = _clean_env()
     _assert_match(_run_dist("minibatch", 2, 1, env),
                   _run_local("minibatch", 2, env))
+
+
+def test_minibatch_device_sampler_across_processes():
+    """SAMPLER:device × DistMinibatchTrainer × 2 real processes: each
+    process's device samples its own seed block INSIDE the sharded step
+    (on-device Floyd sampling) and the per-batch grad psum crosses the
+    process boundary."""
+    env = _clean_env()
+    _assert_match(_run_dist("minibatch_dev", 2, 1, env),
+                  _run_local("minibatch_dev", 2, env))

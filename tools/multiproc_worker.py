@@ -75,12 +75,16 @@ def run_scenario(name: str, world: int):
         cfg.layer_string = "16-8-4"   # hidden/output must divide TP_DIM
         return DistTrainer(sbm, cfg, model=gcn, num_partitions=world // 2,
                            tp=2).run()
-    if name == "minibatch":
+    if name in ("minibatch", "minibatch_dev"):
         from neutronstarlite_tpu.training.minibatch import (
             DistMinibatchTrainer)
         cfg.fanout_string = "4-4"
         cfg.batch_size = 32
         cfg.epochs = min(epochs, 3)
+        if name == "minibatch_dev":
+            # on-device Floyd sampler fused into the sharded step
+            # (SAMPLER:device × NUM_PARTITIONS × real processes)
+            cfg.sampler_backend = "device"
         return DistMinibatchTrainer(sbm, cfg, num_partitions=world).run()
     raise ValueError(f"unknown scenario {name!r}")
 
