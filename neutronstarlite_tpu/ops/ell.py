@@ -1537,9 +1537,17 @@ def _gated_chunked_bwd(ell: EllGraph, x, g_src, g_dst, slope, g, rmax, ssum,
                           ell.num_dst), s2[ell.num_dst:]])
     dg_dst = (s1 - inner * s2)[:g_dst.shape[0]]
 
-    # per-dst stats table for the src-major passes (1/ssum pre-folded)
-    stats = jnp.concatenate([g_dst_p, g_pad / ssum, rmax, inner / ssum],
-                            axis=-1)
+    # per-dst stats table for the src-major passes (1/ssum pre-folded).
+    # Shipped at the aggregate dtype: under agg_dtype=bfloat16 this halves
+    # the dominant backward gather (the 4F stats lanes dwarf the F-lane
+    # feature gathers — 16F bytes/slot f32 vs 2F for bf16 x). The in-block
+    # math promotes back to f32 against the f32 row args; rmax is an
+    # upper bound of the in-block scores, so exp(lk − rm_bf16) stays ≤
+    # exp(|rm|·2⁻⁸) ≈ 1 + 0.4% — a per-(dst,lane) gradient scale wobble,
+    # not an overflow risk.
+    stats = ell.cast_in(
+        jnp.concatenate([g_dst_p, g_pad / ssum, rmax, inner / ssum],
+                        axis=-1))
 
     vs_pad, kb = ell.b_idx.shape
     g_src_p = jnp.pad(g_src, ((0, vs_pad - g_src.shape[0]), (0, 0)))
@@ -1559,6 +1567,9 @@ def _gated_chunked_bwd(ell: EllGraph, x, g_src, g_dst, slope, g, rmax, ssum,
         return (jnp.sum(e * dl * (xs[:, None, :] * gr2 - inn2), axis=1),
                 jnp.sum(e * gr2, axis=1))             # dg_src rows, dx rows
 
+    # block sizing stays at f32 itemsize even when stats are bf16: the
+    # in-block f32 temps (pre/e/dl) scale with rows too, and 2× rows
+    # measured SLOWER (0.787 vs 0.685 s/epoch at Reddit scale, r3)
     bv4 = _slab_gated_blocks(vs_pad, kb, 4 * f)
     dg_src, dx = _map_row_blocks(
         blk_src, (ell.b_idx, ell.b_w, g_src_p, x_p), vs_pad, bv4)

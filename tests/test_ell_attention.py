@@ -471,6 +471,33 @@ class TestGatedLinear:
         scale = float(jnp.max(jnp.abs(o32))) + 1e-9
         assert err / scale < 0.05, (err, scale)
 
+    def test_bf16_chunked_grads_close_to_f32(self, monkeypatch, g,
+                                             lin_inputs):
+        """The chunked backward ships its 4F stats table at the aggregate
+        dtype (the r3 stats-table diet): bf16 gradients must stay within
+        bf16-quantization distance of the f32 chunked gradients."""
+        monkeypatch.setattr(ell, "_GATED_CHUNK_BYTES", 0)
+        x, gl, gd = lin_inputs
+        co = jnp.asarray(np.random.default_rng(39).standard_normal(
+            (g.num_vertices, 24)).astype(np.float32))
+
+        def grads(eg):
+            def f(xx, ggl, ggd):
+                return jnp.sum(
+                    ell.gated_aggregate_linear(eg, xx, ggl, ggd, 0.2) * co)
+            return jax.grad(f, argnums=(0, 1, 2))(x, gl, gd)
+
+        g32 = grads(ell.build_ell_graph(g, ell_cap=256,
+                                        agg_dtype="float32"))
+        g16 = grads(ell.build_ell_graph(g, ell_cap=256,
+                                        agg_dtype="bfloat16"))
+        for a, b, name in zip(g16, g32, ("dx", "dgl", "dg_dst")):
+            # relative L2: single-element max-norm is dominated by bf16
+            # cancellation noise in the s1 − inner·s2 closed form
+            err = float(jnp.linalg.norm(a - b))
+            scale = float(jnp.linalg.norm(b)) + 1e-9
+            assert err / scale < 0.03, (name, err, scale)
+
 
 class TestSplitStats:
     """attention_stats / gated_stats + merge_softmax_parts over an edge

@@ -53,6 +53,10 @@ def main():
               ("commnet_eager", commnet, {"eager": True}, 60, 0.01),
               ("ggcn", ggcn, {}, 300, 0.001),
               ("sage", sage, {}, 60, 0.01))
+    only = os.environ.get("NSL_STUDY_MODELS")  # comma-separated name filter
+    if only:
+        wanted = {s.strip() for s in only.split(",")}
+        models = tuple(m for m in models if m[0] in wanted)
     deltas = {}
     for name, model, kwargs, epochs, lr in models:
         accs = {}
