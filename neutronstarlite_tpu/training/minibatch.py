@@ -101,12 +101,49 @@ def sampled_forward_gat(params, features, block_arrays, key, *,
     return x
 
 
+def sampled_forward_sage(params, features, block_arrays, key, *,
+                         training: bool, drop_rate: float, n_layers: int
+                         ) -> jax.Array:
+    """Sampled GraphSAGE max-pool: per hop, pool = max_k relu(x_nbr·W_pool)
+    over the ≤fanout sampled slots, then relu([x_dst ∥ pool]·W) — the
+    per-hop form of models/sage.py (our extension; the reference's only
+    sampled model is GCN, toolkits/GCN_CPU_SAMPLE.hpp:188-289). Gradient
+    routes to the FIRST extremal slot per lane (argmax + take_along_axis),
+    matching the full-graph ops' record[] semantics
+    (core/ntsSingleCPUGraphOp.hpp:206-340). Requires include_dst blocks
+    (the concat needs the dst's own row)."""
+    dst0, tables, idxs, ws, dls = block_arrays
+    x = _gather_table(features, tables[-1])
+    if training and drop_rate > 0:
+        dkeys = jax.random.split(key, n_layers)
+    for l in range(n_layers):
+        h = n_layers - 1 - l
+        if training and drop_rate > 0:
+            x = layers.dropout(dkeys[l], x, drop_rate, True)
+        t = jax.nn.relu(x @ params[l]["w_pool"])        # [scap, F]
+        valid = (ws[h] != 0)[:, :, None]
+        gth = jnp.where(valid, jnp.take(t, idxs[h], axis=0), -1e30)
+        am = jnp.argmax(gth, axis=1)                    # first max per lane
+        pool = jnp.take_along_axis(gth, am[:, None, :], axis=1)[:, 0]
+        pool = jnp.where(jnp.any(valid, axis=1), pool, 0.0)
+        dl = dls[h]
+        safe = jnp.clip(dl, 0, x.shape[0] - 1)
+        xd = jnp.where((dl >= 0)[:, None], jnp.take(x, safe, axis=0), 0.0)
+        y = jnp.concatenate([xd, pool], axis=-1) @ params[l]["w"]
+        x = jax.nn.relu(y) if l < n_layers - 1 else y
+    return x
+
+
 def run_sampled_forward(model_name, params, features, block_arrays, key, *,
                         training: bool, drop_rate: float, n_layers: int):
     if model_name == "gat":
         return sampled_forward_gat(params, features, block_arrays, key,
                                    training=training, drop_rate=drop_rate,
                                    n_layers=n_layers)
+    if model_name == "sage":
+        return sampled_forward_sage(params, features, block_arrays, key,
+                                    training=training, drop_rate=drop_rate,
+                                    n_layers=n_layers)
     return sampled_forward(params, features, block_arrays, key,
                            training=training, drop_rate=drop_rate,
                            n_layers=n_layers)
@@ -128,7 +165,8 @@ class MinibatchTrainer:
         if len(self.fanout) != len(sizes) - 1:
             raise ValueError(f"FANOUT length {len(self.fanout)} must equal "
                              f"model layers {len(sizes) - 1}")
-        include_dst = model == "gat"   # attention scores need the dst row
+        # attention scores / the SAGE concat need the dst row in-table
+        include_dst = model in ("gat", "sage")
         self.caps, self.scaps = static_caps(config.batch_size, self.fanout,
                                             datum.graph.num_vertices,
                                             include_dst=include_dst)
@@ -145,6 +183,14 @@ class MinibatchTrainer:
                                             sizes[i + 1], 1)[:, 0],
                 "a_r": param.glorot_uniform(keys[3 * i + 2],
                                             sizes[i + 1], 1)[:, 0],
+            } for i in range(n_layers)]
+        elif model == "sage":
+            keys = jax.random.split(self.init_key, 2 * n_layers)
+            self.params = [{
+                "w_pool": param.init_linear(keys[2 * i], sizes[i],
+                                            sizes[i])["w"],
+                "w": param.init_linear(keys[2 * i + 1], 2 * sizes[i],
+                                       sizes[i + 1])["w"],
             } for i in range(n_layers)]
         else:
             keys = jax.random.split(self.init_key, n_layers)
@@ -180,11 +226,11 @@ class MinibatchTrainer:
         # with-replacement mode; see sampling/device_sampler.py)
         sb = getattr(config, "sampler_backend", "host")
         self.device_mode = sb in ("device", "device_wr")
-        if self.device_mode and model == "gat":
+        if self.device_mode and model in ("gat", "sage"):
             raise ValueError(
                 "SAMPLER:device supports the GCN sampled model only — the "
                 "on-device block builder has no include_dst table form yet; "
-                "use SAMPLER:host for GATSAMPLESINGLE")
+                f"use SAMPLER:host for {model.upper()}SAMPLESINGLE")
         if self.device_mode:
             from neutronstarlite_tpu.sampling.device_sampler import (
                 DeviceSampler)
@@ -459,7 +505,7 @@ class MinibatchTrainer:
         nids = np.asarray(nids, dtype=np.int32)
         sampler = Sampler(g, nids, self.config.batch_size, self.fanout,
                           seed=self.config.seed + 3, shuffle=False,
-                          include_dst=(self.model_name == "gat"))
+                          include_dst=(self.model_name in ("gat", "sage")))
         if not hasattr(self, "_infer_step"):
             drop_rate = self.config.drop_rate
             n_layers = len(self.config.layer_sizes) - 1

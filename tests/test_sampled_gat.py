@@ -110,3 +110,70 @@ def test_device_sampler_rejects_gat(sbm):
     cfg.sampler_backend = "device"
     with pytest.raises(ValueError, match="SAMPLER:device"):
         MinibatchTrainer(sbm, cfg, model="gat")
+
+
+def test_sampled_sage_converges(sbm):
+    tr = MinibatchTrainer(sbm, _cfg(sbm), model="sage")
+    hist = tr.run()
+    assert hist[-1]["loss"] < hist[0]["loss"]
+    assert hist[-1]["test"] > 0.6, hist[-1]
+
+
+def test_sampled_sage_dist_tracks_single(sbm):
+    h2 = DistMinibatchTrainer(sbm, _cfg(sbm, epochs=4), model="sage",
+                              num_partitions=2, shuffle=False).run()
+    assert h2[-1]["loss"] < h2[0]["loss"], h2
+
+
+def test_sage_sample_cli_dispatch(sbm, tmp_path):
+    """ALGORITHM:SAGESAMPLESINGLE through the cfg/CLI surface."""
+    from neutronstarlite_tpu.main import run_from_config
+    cfg = _cfg(sbm, epochs=2)
+    cfg.algorithm = "SAGESAMPLESINGLE"
+    import sys
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from generate_dataset import write_nts
+    out = str(tmp_path / "sbm")
+    g = sbm.graph
+    write_nts(out, g.fwd_src, g.fwd_dst, sbm.features, sbm.labels, sbm.masks)
+    cfg.edge_file = out + ".edge.self"
+    cfg.feature_file = out + ".featuretable"
+    cfg.label_file = out + ".labeltable"
+    cfg.mask_file = out + ".mask"
+    tr, hist = run_from_config(cfg, log_every=0)
+    assert type(tr).__name__ == "MinibatchTrainer"
+    assert tr.model_name == "sage"
+    assert np.isfinite(hist[-1]["loss"])
+
+
+def test_device_sampler_rejects_sage(sbm):
+    cfg = _cfg(sbm)
+    cfg.sampler_backend = "device"
+    with pytest.raises(ValueError, match="SAGESAMPLESINGLE"):
+        MinibatchTrainer(sbm, cfg, model="sage")
+
+
+def test_sampled_sage_first_tie_grad_routing(sbm):
+    """All-tied pool inputs: the gradient must route to the FIRST valid
+    slot per lane (the full-graph record[] semantics), not split across
+    ties — pinned by constant features making every relu(x·W_pool) row
+    identical."""
+    import jax
+    import jax.numpy as jnp
+    from neutronstarlite_tpu.training.minibatch import sampled_forward_sage
+    tr = MinibatchTrainer(sbm, _cfg(sbm), model="sage")
+    block = tr.samplers["train"].sample_one()
+    arrays, _ = tr._block_to_device(block)
+    feats = jnp.ones_like(tr.features)
+
+    def f(p):
+        return jnp.sum(sampled_forward_sage(
+            p, feats, arrays, None, training=False, drop_rate=0.0,
+            n_layers=len(tr.params)))
+
+    grads = jax.grad(f)(tr.params)
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    # ties everywhere → pool still equals the common value, loss finite;
+    # argmax picks slot 0 of each valid row, so w_pool grad is nonzero
+    assert any(float(np.abs(np.asarray(g)).max()) > 0 for g in flat)
