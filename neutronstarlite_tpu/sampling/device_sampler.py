@@ -107,16 +107,19 @@ def sample_block(key: jax.Array, offsets: jax.Array, nbr: jax.Array,
                  out_degree: jax.Array, in_degree: jax.Array,
                  seeds: jax.Array, fanout: Sequence[int], num_vertices: int,
                  caps: Sequence[int], scaps: Sequence[int],
-                 replace: bool = False):
+                 replace: bool = False, include_dst: bool = False):
     """Full multi-hop block (device analogue of Sampler.sample_one).
 
     Returns (dst0, tables, idxs, ws) with the same layout the minibatch
-    trainers consume.
-    """
+    trainers consume; with ``include_dst`` (attention/pool models) a fifth
+    element — per-hop dst_local tables — is appended, and each hop's dst
+    ids are folded into the dedup so the dst's own row is guaranteed
+    present in its hop table (the host sampler's include_dst contract;
+    static_caps sizes scap for the appends)."""
     hops = len(fanout)
     dst0 = seeds
     cur = seeds
-    tables, idxs, ws = [], [], []
+    tables, idxs, ws, dls = [], [], [], []
     keys = jax.random.split(key, hops)
     for h in range(hops):
         fo = fanout[hops - 1 - h]
@@ -127,8 +130,17 @@ def sample_block(key: jax.Array, offsets: jax.Array, nbr: jax.Array,
         ids, valid = sample_hop(keys[h], offsets, nbr, cur_p, fo,
                                 num_vertices, replace=replace)
         flat = ids.reshape(-1)
-        table, local = dedup_relabel(flat, num_vertices, scap)
-        nbr_idx = local.reshape(cap, fo)
+        if include_dst:
+            dst_ids = jnp.where(cur_p >= 0, cur_p,
+                                num_vertices).astype(jnp.int32)
+            table, local_all = dedup_relabel(
+                jnp.concatenate([flat, dst_ids]), num_vertices, scap)
+            nbr_idx = local_all[:flat.shape[0]].reshape(cap, fo)
+            dls.append(jnp.where(cur_p >= 0, local_all[flat.shape[0]:],
+                                 -1).astype(jnp.int32))
+        else:
+            table, local = dedup_relabel(flat, num_vertices, scap)
+            nbr_idx = local.reshape(cap, fo)
         # global-degree norm weights (MiniBatchFuseOp), 0 for padding
         od = jnp.take(out_degree,
                       jnp.clip(flat, 0, num_vertices - 1)).reshape(cap, fo)
@@ -142,6 +154,8 @@ def sample_block(key: jax.Array, offsets: jax.Array, nbr: jax.Array,
         idxs.append(nbr_idx)
         ws.append(w)
         cur = table
+    if include_dst:
+        return dst0, tuple(tables), tuple(idxs), tuple(ws), tuple(dls)
     return dst0, tuple(tables), tuple(idxs), tuple(ws)
 
 
@@ -150,7 +164,7 @@ class DeviceSampler:
 
     def __init__(self, graph, fanout: Sequence[int], batch_size: int,
                  caps: Sequence[int], scaps: Sequence[int],
-                 replace: bool = False):
+                 replace: bool = False, include_dst: bool = False):
         # int32 offsets halve HBM traffic but overflow at 2^31 edges
         # (ADVICE.md r1); keep int64 for graphs that big.
         off_dtype = "int32" if graph.num_edges < 2 ** 31 else "int64"
@@ -164,10 +178,12 @@ class DeviceSampler:
         self.caps = list(caps)
         self.scaps = list(scaps)
         self.replace = replace
+        self.include_dst = include_dst
         self._fn = jax.jit(partial(
             sample_block, fanout=tuple(self.fanout),
             num_vertices=self.num_vertices, caps=tuple(self.caps),
-            scaps=tuple(self.scaps), replace=replace))
+            scaps=tuple(self.scaps), replace=replace,
+            include_dst=include_dst))
 
     def __call__(self, key: jax.Array, seeds: jax.Array):
         """seeds: [batch_size] int32 (pad with -1)."""

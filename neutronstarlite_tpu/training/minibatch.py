@@ -226,17 +226,13 @@ class MinibatchTrainer:
         # with-replacement mode; see sampling/device_sampler.py)
         sb = getattr(config, "sampler_backend", "host")
         self.device_mode = sb in ("device", "device_wr")
-        if self.device_mode and model in ("gat", "sage"):
-            raise ValueError(
-                "SAMPLER:device supports the GCN sampled model only — the "
-                "on-device block builder has no include_dst table form yet; "
-                f"use SAMPLER:host for {model.upper()}SAMPLESINGLE")
         if self.device_mode:
             from neutronstarlite_tpu.sampling.device_sampler import (
                 DeviceSampler)
             self.dev_sampler = DeviceSampler(g, self.fanout, bs, self.caps,
                                              self.scaps,
-                                             replace=(sb == "device_wr"))
+                                             replace=(sb == "device_wr"),
+                                             include_dst=include_dst)
             self.labels_dev = jnp.asarray(datum.labels.astype(np.int32))
             self.nids = nids
 
@@ -290,6 +286,7 @@ class MinibatchTrainer:
         drop_rate = self.config.drop_rate
         n_layers = len(self.config.layer_sizes) - 1
         ds = self.dev_sampler
+        model_name = self.model_name
 
         def step(params, opt_state, features, labels_all, samp, seeds, key):
             ks, kd = jax.random.split(key)
@@ -300,22 +297,23 @@ class MinibatchTrainer:
             # compiler must ingest (CLAUDE.md; the dist variant already
             # passed them explicitly)
             offsets, nbr, out_deg, in_deg = samp
-            dst0, tables, idxs, ws = sample_block(
+            block = sample_block(
                 ks, offsets, nbr, out_deg, in_deg, seeds,
                 fanout=tuple(ds.fanout), num_vertices=ds.num_vertices,
                 caps=tuple(ds.caps), scaps=tuple(ds.scaps),
-                replace=ds.replace)
+                replace=ds.replace, include_dst=ds.include_dst)
+            dst0 = block[0]
             labels = jnp.where(
                 dst0 >= 0,
                 jnp.take(labels_all, jnp.clip(dst0, 0, None)), 0)
             valid = dst0 >= 0
 
             def loss_fn(p):
-                logits = sampled_forward(p, features,
-                                         (dst0, tables, idxs, ws), kd,
-                                         training=training,
-                                         drop_rate=drop_rate,
-                                         n_layers=n_layers)
+                logits = run_sampled_forward(model_name, p, features,
+                                             block, kd,
+                                             training=training,
+                                             drop_rate=drop_rate,
+                                             n_layers=n_layers)
                 return layers.nll_loss_masked(
                     layers.log_softmax(logits), labels, valid), logits
 
@@ -711,6 +709,8 @@ class DistMinibatchTrainer(MinibatchTrainer):
         n_layers = len(self.config.layer_sizes) - 1
         pspec, rspec = P("p"), P()
 
+        model_name = self.model_name
+
         def per_device(params, opt_state, features, labels_all, samp, seeds,
                        key):
             from neutronstarlite_tpu.sampling.device_sampler import (
@@ -719,21 +719,22 @@ class DistMinibatchTrainer(MinibatchTrainer):
             key = jax.random.fold_in(key, jax.lax.axis_index("p"))
             ks, kd = jax.random.split(key)
             offsets, nbr, out_deg, in_deg = samp
-            dst0, tables, idxs, ws = sample_block(
+            block = sample_block(
                 ks, offsets, nbr, out_deg, in_deg, seeds,
                 fanout=tuple(ds.fanout), num_vertices=ds.num_vertices,
                 caps=tuple(ds.caps), scaps=tuple(ds.scaps),
-                replace=ds.replace)
+                replace=ds.replace, include_dst=ds.include_dst)
+            dst0 = block[0]
             labels = jnp.where(dst0 >= 0,
                                jnp.take(labels_all, jnp.clip(dst0, 0)), 0)
             valid = dst0 >= 0
 
             def lf(prm):
-                logits = sampled_forward(prm, features,
-                                         (dst0, tables, idxs, ws), kd,
-                                         training=training,
-                                         drop_rate=drop_rate,
-                                         n_layers=n_layers)
+                logits = run_sampled_forward(model_name, prm, features,
+                                             block, kd,
+                                             training=training,
+                                             drop_rate=drop_rate,
+                                             n_layers=n_layers)
                 return layers.nll_loss_masked(
                     layers.log_softmax(logits), labels, valid), logits
 

@@ -105,11 +105,53 @@ def test_gat_sample_cli_dispatch(sbm, tmp_path):
     assert np.isfinite(hist[-1]["loss"])
 
 
-def test_device_sampler_rejects_gat(sbm):
+def test_device_include_dst_block_invariants(sbm):
+    """On-device include_dst blocks satisfy the host sampler's contract:
+    dst_local points at the dst's own id in the hop table, the hop chain
+    holds (next hop's dst set == this hop's table), idx stays in range."""
+    import jax
+    import jax.numpy as jnp
+    from neutronstarlite_tpu.sampling.device_sampler import DeviceSampler
+    from neutronstarlite_tpu.sampling.sampler import static_caps
+    caps, scaps = static_caps(32, [4, 4], sbm.graph.num_vertices,
+                              include_dst=True)
+    ds = DeviceSampler(sbm.graph, [4, 4], 32, caps, scaps, include_dst=True)
+    seeds = jnp.asarray(np.arange(7, 39, dtype=np.int32))
+    dst0, tables, idxs, ws, dls = ds(jax.random.PRNGKey(3), seeds)
+    cur = np.asarray(seeds)
+    for h in range(2):
+        t, dl = np.asarray(tables[h]), np.asarray(dls[h])
+        cur_p = np.full(caps[h], -1, np.int32)
+        cur_p[:cur.size] = cur
+        live = cur_p >= 0
+        assert (dl[live] >= 0).all()
+        np.testing.assert_array_equal(t[dl[live]], cur_p[live])
+        assert (dl[~live] == -1).all()
+        assert np.asarray(idxs[h]).max() < scaps[h]
+        # sampled neighbors with nonzero weight resolve to real table ids
+        w = np.asarray(ws[h])
+        ii = np.asarray(idxs[h])[w != 0]
+        assert (t[ii] >= 0).all()
+        cur = t
+    np.testing.assert_array_equal(np.asarray(dst0), np.asarray(seeds))
+
+
+def test_device_sampled_gat_trains(sbm):
     cfg = _cfg(sbm)
     cfg.sampler_backend = "device"
-    with pytest.raises(ValueError, match="SAMPLER:device"):
-        MinibatchTrainer(sbm, cfg, model="gat")
+    tr = MinibatchTrainer(sbm, cfg, model="gat")
+    hist = tr.run()
+    assert hist[-1]["loss"] < hist[0]["loss"], hist
+    assert hist[-1]["test"] > 0.5, hist[-1]
+
+
+def test_device_sampled_sage_trains(sbm):
+    cfg = _cfg(sbm)
+    cfg.sampler_backend = "device"
+    tr = MinibatchTrainer(sbm, cfg, model="sage")
+    hist = tr.run()
+    assert hist[-1]["loss"] < hist[0]["loss"], hist
+    assert hist[-1]["test"] > 0.5, hist[-1]
 
 
 def test_sampled_sage_converges(sbm):
@@ -146,11 +188,13 @@ def test_sage_sample_cli_dispatch(sbm, tmp_path):
     assert np.isfinite(hist[-1]["loss"])
 
 
-def test_device_sampler_rejects_sage(sbm):
-    cfg = _cfg(sbm)
+def test_device_sampled_sage_dist(sbm):
+    """SAMPLER:device × include_dst × DistMinibatchTrainer (2 devices)."""
+    cfg = _cfg(sbm, epochs=4)
     cfg.sampler_backend = "device"
-    with pytest.raises(ValueError, match="SAGESAMPLESINGLE"):
-        MinibatchTrainer(sbm, cfg, model="sage")
+    h = DistMinibatchTrainer(sbm, cfg, model="sage",
+                             num_partitions=2, shuffle=False).run()
+    assert h[-1]["loss"] < h[0]["loss"], h
 
 
 def test_sampled_sage_first_tie_grad_routing(sbm):
