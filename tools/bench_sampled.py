@@ -4,6 +4,7 @@ Measures end-to-end batches/s and sampled-edges/s with the host sampler
 (C++/OpenMP) feeding the device through the prefetch pipeline.
 
 Usage: NSL_BENCH_V=... python tools/bench_sampled.py
+Env:   NSL_BENCH_SAMPLED_MODEL=gcn|gat|sage  NSL_BENCH_SAMPLER=host|device
 """
 
 import json
@@ -34,32 +35,42 @@ def main():
     masks = np.zeros(v, np.int32)
     datum = GNNDatum(graph=g, features=feats, labels=labels, masks=masks,
                      num_classes=41)
+    model = os.environ.get("NSL_BENCH_SAMPLED_MODEL", "gcn")
+    sampler = os.environ.get("NSL_BENCH_SAMPLER", "host")
     cfg = InputInfo(vertices=v, epochs=1, layer_string="602-128-41",
                     fanout_string="5-10", batch_size=batch,
                     learn_rate=0.01, weight_decay=1e-4, drop_rate=0.5,
                     seed=0)
-    tr = MinibatchTrainer(datum, cfg)
+    cfg.sampler_backend = sampler
+    tr = MinibatchTrainer(datum, cfg, model=model)
     print(f"[sampled] setup {time.time()-t0:.1f}s "
           f"caps={tr.caps} scaps={tr.scaps}", file=sys.stderr, flush=True)
 
-    # warm up (compile) on a few batches by limiting the seed list
+    include_dst = model in ("gat", "sage")
     import neutronstarlite_tpu.sampling.sampler as S
-    warm = S.Sampler(g, np.arange(batch * 2, dtype=np.int32), batch,
-                     tr.fanout, seed=1)
-    tr.samplers["warm"] = warm
+    n_seeds = min(v, batch * 100)
+    if tr.device_mode:
+        # device path reads seed lists from tr.nids
+        tr.nids["warm"] = np.arange(batch * 2, dtype=np.int32)
+        tr.nids["timed"] = np.arange(n_seeds, dtype=np.int32)
+    else:
+        tr.samplers["warm"] = S.Sampler(
+            g, np.arange(batch * 2, dtype=np.int32), batch, tr.fanout,
+            seed=1, include_dst=include_dst)
+        tr.samplers["timed"] = S.Sampler(
+            g, np.arange(n_seeds, dtype=np.int32), batch, tr.fanout,
+            seed=2, include_dst=include_dst)
+    # warm up (compile) on a few batches by limiting the seed list
     t0 = time.time()
     tr.run_epoch("warm")
     print(f"[sampled] warmup (compile + 2 batches) {time.time()-t0:.1f}s",
           file=sys.stderr, flush=True)
 
     # timed: one pass over 100 batches of train seeds
-    tr.samplers["timed"] = S.Sampler(
-        g, np.arange(min(v, batch * 100), dtype=np.int32), batch, tr.fanout,
-        seed=2)
     t0 = time.time()
     loss, acc = tr.run_epoch("timed")
     wall = time.time() - t0
-    n_batches = tr.samplers["timed"].num_batches
+    n_batches = -(-n_seeds // batch)
     edges_per_batch = sum(c * f for c, f in
                           zip(tr.caps, [tr.fanout[-1 - h]
                                         for h in range(len(tr.caps))]))
