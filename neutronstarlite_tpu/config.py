@@ -101,6 +101,18 @@ class InputInfo:
                                     # the chunked pipeline (0 = 1024 MB
                                     # default; env NSL_GATED_CHUNK_MB
                                     # overrides)
+    hoist_l0: bool = False          # HOIST_L0: precompute layer 0's
+                                    # neighbor aggregate A·X once (X is
+                                    # constant and the aggregate is linear,
+                                    # so (A·X)W == A·(XW) exactly) — removes
+                                    # the widest gather AND, in dist runs,
+                                    # the layer-0 exchange from every epoch.
+                                    # Exact for GCN/GIN/COMMNET (param-free
+                                    # layer-0 aggregate); attention/gated/
+                                    # pooling models reject it. Layer 0 is
+                                    # pinned to the standard (aggregate-
+                                    # first) op order; EAGER keeps its
+                                    # cheaper order for layers >= 1.
 
     @property
     def layer_sizes(self) -> List[int]:
@@ -178,6 +190,7 @@ class InputInfo:
                                                 int(val)),
             "GATED_CHUNK_MB": lambda: setattr(self, "gated_chunk_mb",
                                               int(val)),
+            "HOIST_L0": lambda: setattr(self, "hoist_l0", flag(val)),
         }
         fn = dispatch.get(key)
         if fn is None:

@@ -38,7 +38,7 @@ def init(key: jax.Array, layer_sizes: Sequence[int], dtype=jnp.float32
 
 def forward(state: CommNetState, gt, x: jax.Array, key: jax.Array | None,
             training: bool, drop_rate: float = 0.0, eager: bool = False,
-            tp_axis: str | None = None):
+            tp_axis: str | None = None, l0_ax: jax.Array | None = None):
     """``eager=True`` transforms before aggregating: agg(x)·W0 == agg(x·W0)
     because the fused aggregate is linear over vertex rows — the
     GCN_CPU_EAGER op reorder (ref: toolkits/GCN_CPU_EAGER.hpp) applied to
@@ -48,7 +48,12 @@ def forward(state: CommNetState, gt, x: jax.Array, key: jax.Array | None,
     del key, drop_rate
     n_layers = len(state.params)
     for i, p in enumerate(state.params):
-        if eager:
+        if i == 0 and l0_ax is not None:
+            # HOIST_L0: agg(x)·W0 with agg(x) precomputed (x constant,
+            # aggregate linear) — equals both op orders exactly
+            h = (layers.dense(l0_ax, p["w_agg"], tp_axis)
+                 + layers.dense(x, p["w_self"], tp_axis))
+        elif eager:
             h = (gt.aggregate_neighbors(layers.dense(x, p["w_agg"], tp_axis))
                  + layers.dense(x, p["w_self"], tp_axis))
         else:

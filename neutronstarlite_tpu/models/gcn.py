@@ -41,7 +41,7 @@ def init(key: jax.Array, layer_sizes: Sequence[int], dtype=jnp.float32
 def forward(state: GCNState, gt, x: jax.Array, key: jax.Array | None,
             training: bool, drop_rate: float = 0.0, eager: bool = False,
             remat: bool = False, row_mask: jax.Array | None = None,
-            tp_axis: str | None = None):
+            tp_axis: str | None = None, l0_ax: jax.Array | None = None):
     """Returns (logits [V, C], new_bn list). ``gt`` is anything exposing
     ``aggregate_neighbors`` (GraphTensors or DistGraphTensors).
 
@@ -61,8 +61,15 @@ def forward(state: GCNState, gt, x: jax.Array, key: jax.Array | None,
     for i in range(n_layers):
         w = state.params[i]["w"]
         if i < n_layers - 1:
-            def hidden(x, w, bn_st, dkey):
-                if eager:
+            def hidden(x, w, bn_st, dkey, agg=None):
+                if agg is not None:
+                    # HOIST_L0: layer 0's aggregate A·x is epoch-invariant
+                    # (x constant, aggregate linear) and arrives precomputed;
+                    # layer 0 runs the standard aggregate-first order.
+                    y, nb = layers.batch_norm_apply(bn_st, agg, training,
+                                                    row_mask=row_mask)
+                    h = jax.nn.relu(layers.dense(y, w, tp_axis))
+                elif eager:
                     # eager order (GCN_CPU_EAGER): transform then aggregate;
                     # batchnorm stays on the F_in side as in the reference.
                     y, nb = layers.batch_norm_apply(bn_st, x, training,
@@ -79,10 +86,13 @@ def forward(state: GCNState, gt, x: jax.Array, key: jax.Array | None,
                 return h, nb
             fn = jax.checkpoint(hidden, static_argnums=()) if remat else hidden
             dk = drop_keys[i] if (training and key is not None) else None
-            x, nb = fn(x, w, state.bn[i], dk)
+            x, nb = fn(x, w, state.bn[i], dk,
+                       l0_ax if i == 0 else None)
             new_bn.append(nb)
         else:
-            if eager:
+            if i == 0 and l0_ax is not None:
+                x = layers.dense(l0_ax, w, tp_axis)
+            elif eager:
                 x = gt.aggregate_neighbors(layers.dense(x, w, tp_axis))
             else:
                 x = layers.dense(gt.aggregate_neighbors(x), w, tp_axis)

@@ -45,7 +45,7 @@ def init(key: jax.Array, layer_sizes: Sequence[int], dtype=jnp.float32
 def forward(state: GINState, gt, x: jax.Array, key: jax.Array | None,
             training: bool, drop_rate: float = 0.0, eps: float = 0.0,
             eager: bool = False, row_mask: jax.Array | None = None,
-            tp_axis: str | None = None):
+            tp_axis: str | None = None, l0_ax: jax.Array | None = None):
     """``eager=True`` transforms before aggregating: the pre-activation
     (agg(x) + (1+ε)x)·W1 == agg(x·W1) + (1+ε)(x·W1) because the fused
     aggregate is linear over vertex rows — the GCN_CPU_EAGER op reorder
@@ -58,7 +58,14 @@ def forward(state: GINState, gt, x: jax.Array, key: jax.Array | None,
     new_bn = []
     for i in range(n_layers):
         p = state.params[i]
-        if eager:
+        if i == 0 and l0_ax is not None:
+            # HOIST_L0: layer 0's sum-aggregate over the constant features
+            # arrives precomputed; (agg + (1+eps)x)·W1 == agg(x·W1)+(1+eps)x·W1
+            # so this equals BOTH op orders exactly (pre-activation linearity)
+            h = l0_ax + (1.0 + eps) * x
+            h = layers.dense(jax.nn.relu(layers.dense(h, p["w1"], tp_axis)),
+                             p["w2"], tp_axis)
+        elif eager:
             t = layers.dense(x, p["w1"], tp_axis)
             h = gt.aggregate_neighbors(t) + (1.0 + eps) * t
             h = layers.dense(jax.nn.relu(h), p["w2"], tp_axis)

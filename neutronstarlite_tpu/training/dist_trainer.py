@@ -162,6 +162,19 @@ class DistTrainer:
         self.cache_refresh = max(1, int(config.cache_refresh))
         self.use_stale_cache = self.cache_refresh > 1 and self.dg.h_pad > 0
         self.hot_cache = None
+        # HOIST_L0: layer 0 aggregates the CONSTANT features, so A·X — and
+        # with it the layer-0 boundary EXCHANGE (the widest one, F_in
+        # lanes) — is computed once up front instead of every epoch. Only
+        # exact for param-free layer-0 aggregates (GCN/GIN/COMMNET).
+        if config.hoist_l0:
+            import inspect
+            if "l0_ax" not in inspect.signature(model.forward).parameters:
+                raise ValueError(
+                    f"HOIST_L0 is not applicable to model "
+                    f"{getattr(model, '__name__', model)}: its layer-0 "
+                    "aggregate depends on parameters (attention/gates/"
+                    "pooling) and cannot be precomputed")
+        self._l0_fn = None
         self._step = self._build_step(mode="plain")
         self._fused = None  # built lazily when config.fuse_epochs > 1
         if self.use_stale_cache:
@@ -216,14 +229,14 @@ class DistTrainer:
         f = self._shard_step("plain")
 
         def fused(arrs, x, labels, masks, row_valid, params, bn, opt_state,
-                  key):
+                  key, l0=()):
             keys = jax.random.split(key, n)
 
             def body(carry, k):
                 params, bn, opt_state = carry
                 params, bn, opt_state, loss, accs, _ = f(
                     arrs, x, labels, masks, row_valid, params, bn,
-                    opt_state, k, ())
+                    opt_state, k, (), l0)
                 return (params, bn, opt_state), (loss, accs)
 
             (params, bn, opt_state), (losses, accs) = jax.lax.scan(
@@ -248,9 +261,10 @@ class DistTrainer:
                                 self.state.params)
 
         def step(arrs, x, labels, masks, row_valid, params, bn, opt_state,
-                 key, cache):
+                 key, cache, l0):
             # squeeze the per-device leading dim of sharded blocks
             sq = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
+            hoist = {} if isinstance(l0, tuple) else {"l0_ax": sq(l0)}
             arrs, x = sq(arrs), sq(x)
             labels, masks, row_valid = sq(labels), sq(masks), sq(row_valid)
             bn = sq(bn)
@@ -276,7 +290,8 @@ class DistTrainer:
                     gt.hot_cache_in = list(cache)
                 logits, new_bn = model.forward(st, gt, x, key, training=True,
                                                drop_rate=drop_rate,
-                                               **model_kwargs, **extra)
+                                               **model_kwargs, **extra,
+                                               **hoist)
                 new_cache = (tuple(gt.hot_cache_out)
                              if mode == "fresh" else cache)
                 gt.hot_cache_out = None
@@ -309,7 +324,7 @@ class DistTrainer:
                 # stale-cache plumbing is off here (a fresh all_gather)
                 st2 = state_cls(params=new_params, bn=new_bn)
                 logits, _ = model.forward(st2, gt, x, None, training=False,
-                                          **model_kwargs, **extra)
+                                          **model_kwargs, **extra, **hoist)
                 if self.f > 1:
                     logits = jax.lax.all_gather(logits, "f", axis=1,
                                                 tiled=True)
@@ -335,20 +350,22 @@ class DistTrainer:
         xspec = self._x_spec()
 
         def jit_step(arrs, x, labels, masks, row_valid, params, bn,
-                     opt_state, key, cache):
+                     opt_state, key, cache, l0=()):
             # prefix specs: a bare P() covers the whole cache subtree
-            # (unknown structure before trace in "fresh" mode)
+            # (unknown structure before trace in "fresh" mode); l0 shares
+            # x's sharding rule (same [P, V_p, F_in] layout) or is ()
             f = _shard_map(
                 step, mesh,
                 in_specs=(sharded_tree(arrs), xspec, pspec, pspec, pspec,
                           tp_tree(params), bn_tree(bn),
-                          tp_tree(opt_state), rspec, rspec),
+                          tp_tree(opt_state), rspec, rspec,
+                          jax.tree.map(lambda _: xspec, l0)),
                 out_specs=(tp_tree(params), bn_tree(bn),
                            tp_tree(opt_state), rspec,
                            {"train": rspec, "val": rspec, "test": rspec},
                            rspec))
             return f(arrs, x, labels, masks, row_valid, params, bn, opt_state,
-                     key, cache)
+                     key, cache, l0)
 
         return jit_step
 
@@ -373,6 +390,26 @@ class DistTrainer:
             return jax.device_put(a, sh)
         return jax.tree.map(put, tree)
 
+    def _l0_precompute(self, arrs, x):
+        """HOIST_L0: ONE sharded aggregate of the constant features —
+        the layer-0 exchange + widest gather run here once instead of in
+        every epoch. Output shares x's layout/sharding ([P, V_p, F_in])."""
+        if self._l0_fn is None:
+            mesh, dg = self.mesh, self.dg
+            xspec = self._x_spec()
+            agg_dtype = self.config.dtype
+
+            def l0(arrs, x):
+                sq = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
+                gt = make_tensors(sq(arrs), dg, agg_dtype=agg_dtype)
+                return gt.aggregate_neighbors(sq(x))[None]
+
+            self._l0_fn = jax.jit(_shard_map(
+                l0, mesh,
+                in_specs=(jax.tree.map(lambda _: P("p"), self.arrs), xspec),
+                out_specs=xspec))
+        return self._l0_fn(arrs, x)
+
     def run(self, epochs: int | None = None, log_every: int = 0,
             profile_dir: str = ""):
         if profile_dir:
@@ -388,10 +425,12 @@ class DistTrainer:
         labels = self._stage(self.labels, P("p"))
         masks = self._stage(self.masks, P("p"))
         row_valid = self._stage(self.row_valid, P("p"))
+        l0 = self._l0_precompute(arrs, x) if self.config.hoist_l0 else ()
         fuse = max(1, int(getattr(self.config, "fuse_epochs", 1)))
         if fuse > 1 and not self.use_stale_cache:
             return self._run_fused(epochs, fuse, log_every, arrs, x, labels,
-                                   masks, row_valid, params, bn, opt_state)
+                                   masks, row_valid, params, bn, opt_state,
+                                   l0)
         t0 = time.time()
         ep_global = 0
         for ep in range(epochs):
@@ -401,17 +440,17 @@ class DistTrainer:
             if not self.use_stale_cache:
                 params, bn, opt_state, loss, accs, _ = self._step(
                     arrs, x, labels, masks, row_valid, params, bn, opt_state,
-                    k, ())
+                    k, (), l0)
             elif (self.hot_cache is None
                   or ep_global % self.cache_refresh == 0):
                 params, bn, opt_state, loss, accs, self.hot_cache = \
                     self._step_fresh(arrs, x, labels, masks, row_valid,
-                                     params, bn, opt_state, k, ())
+                                     params, bn, opt_state, k, (), l0)
             else:
                 params, bn, opt_state, loss, accs, self.hot_cache = \
                     self._step_cached(arrs, x, labels, masks, row_valid,
                                       params, bn, opt_state, k,
-                                      self.hot_cache)
+                                      self.hot_cache, l0)
             ep_global += 1
             rows.append(_pack_stats(loss, accs))
             if log_every and (ep % log_every == 0 or ep == epochs - 1):
@@ -433,7 +472,7 @@ class DistTrainer:
         return history
 
     def _run_fused(self, epochs, fuse, log_every, arrs, x, labels, masks,
-                   row_valid, params, bn, opt_state):
+                   row_valid, params, bn, opt_state, l0=()):
         if self._fused is None or self._fused[0] != fuse:
             self._fused = (fuse, self._build_fused(fuse))
         fused = self._fused[1]
@@ -445,7 +484,8 @@ class DistTrainer:
             if jax.process_count() > 1:
                 k = self._stage(k, P())
             params, bn, opt_state, losses, accs = fused(
-                arrs, x, labels, masks, row_valid, params, bn, opt_state, k)
+                arrs, x, labels, masks, row_valid, params, bn, opt_state, k,
+                l0)
             window = jnp.stack([losses, accs["train"], accs["val"],
                                 accs["test"]], axis=1)  # [fuse, 4]
             rows.append(window)
@@ -470,7 +510,7 @@ class DistTrainer:
                 k = self._stage(k, P())
             params, bn, opt_state, loss, accs, _ = self._step(
                 arrs, x, labels, masks, row_valid, params, bn, opt_state,
-                k, ())
+                k, (), l0)
             rows.append(_pack_stats(loss, accs))
         history = _unpack_history(rows)
         self.exec_time = time.time() - t0
@@ -494,8 +534,9 @@ class DistTrainer:
         state_cls = type(self.state)
         pspec = P("p")
 
-        def fwd(arrs, x, row_valid, params, bn):
+        def fwd(arrs, x, row_valid, params, bn, l0):
             sq = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
+            hoist = {} if isinstance(l0, tuple) else {"l0_ax": sq(l0)}
             arrs, x, row_valid, bn = sq(arrs), sq(x), sq(row_valid), sq(bn)
             gt = make_tensors(arrs, dg, agg_dtype=self.config.dtype)
             import inspect
@@ -504,7 +545,7 @@ class DistTrainer:
                 extra["row_mask"] = row_valid
             st = state_cls(params=params, bn=bn)
             logits, _ = model.forward(st, gt, x, None, training=False,
-                                      **model_kwargs, **extra)
+                                      **model_kwargs, **extra, **hoist)
             if self.f > 1:
                 logits = jax.lax.all_gather(logits, "f", axis=1, tiled=True)
             return logits[None]
@@ -517,12 +558,14 @@ class DistTrainer:
         row_valid = self._stage(self.row_valid, P("p"))
         params = self._stage(self.state.params, self._param_leaf_spec)
         bn = self.bn
+        l0 = self._l0_precompute(arrs, x) if self.config.hoist_l0 else ()
+        xspec = self._x_spec()
         f = jax.jit(_shard_map(
             fwd, mesh,
-            in_specs=(sharded(arrs), self._x_spec(), pspec, tp_tree(params),
-                      bn_tree(bn)),
+            in_specs=(sharded(arrs), xspec, pspec, tp_tree(params),
+                      bn_tree(bn), jax.tree.map(lambda _: xspec, l0)),
             out_specs=pspec))
-        y = f(arrs, x, row_valid, params, bn)
+        y = f(arrs, x, row_valid, params, bn, l0)
         if jax.process_count() > 1:
             # 'p'-sharded output is not process-addressable: gather it
             from jax.experimental import multihost_utils

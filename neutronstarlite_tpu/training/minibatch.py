@@ -161,6 +161,11 @@ class MinibatchTrainer:
         self.fanout = [int(f) for f in (fanout or config.fanout)]
         if not self.fanout:
             raise ValueError("minibatch training requires FANOUT")
+        if getattr(config, "hoist_l0", False):
+            raise ValueError(
+                "HOIST_L0 applies to full-graph training only: sampled "
+                "blocks change every batch, so no layer-0 aggregate is "
+                "epoch-invariant")
         sizes = config.layer_sizes
         if len(self.fanout) != len(sizes) - 1:
             raise ValueError(f"FANOUT length {len(self.fanout)} must equal "

@@ -78,19 +78,36 @@ class FullGraphTrainer:
         self.x = jnp.asarray(datum.features)
         self.labels = jnp.asarray(datum.labels)
         self.masks = jnp.asarray(datum.masks)
+        self.l0_ax = None
+        if config.hoist_l0:
+            # HOIST_L0: layer 0 aggregates the CONSTANT feature table, so
+            # A·X is epoch-invariant ((A·X)W == A·(XW) by linearity) —
+            # compute it ONCE here and the widest gather leaves the epoch.
+            # Only exact for models whose layer-0 aggregate is param-free.
+            import inspect
+            if "l0_ax" not in inspect.signature(model.forward).parameters:
+                raise ValueError(
+                    f"HOIST_L0 is not applicable to model "
+                    f"{getattr(model, '__name__', model)}: its layer-0 "
+                    "aggregate depends on parameters (attention/gates/"
+                    "pooling) and cannot be precomputed")
+            # gt/x passed as ARGUMENTS (closures become HLO constants)
+            self.l0_ax = jax.jit(
+                lambda gt, x: gt.aggregate_neighbors(x))(self.gt, self.x)
         self._step = jax.jit(partial(self._train_step, drop_rate=config.drop_rate))
         self._fused = None   # built lazily when config.fuse_epochs > 1
 
     # one full epoch on device
     def _train_step(self, gt, params, bn, opt_state, key, x, labels, masks,
-                    drop_rate):
+                    drop_rate, l0_ax=None):
         state_cls = type(self.state)
+        hoist = {"l0_ax": l0_ax} if l0_ax is not None else {}
 
         def loss_and_aux(p):
             st = state_cls(params=p, bn=bn)
             logits, new_bn = self.model.forward(
                 st, gt, x, key, training=True, drop_rate=drop_rate,
-                **self.model_kwargs)
+                **self.model_kwargs, **hoist)
             loss = layers.nll_loss_masked(
                 layers.log_softmax(logits), labels, masks == 0)
             return loss, (logits, new_bn)
@@ -105,7 +122,7 @@ class FullGraphTrainer:
             # (GCN_CPU.hpp:142-171); the train-mode loss stays as reported
             st2 = state_cls(params=new_params, bn=new_bn)
             logits, _ = self.model.forward(st2, gt, x, None, training=False,
-                                           **self.model_kwargs)
+                                           **self.model_kwargs, **hoist)
         accs = {}
         for name, which in (("train", 0), ("val", 1), ("test", 2)):
             c, n = masked_accuracy(logits, labels, masks, which)
@@ -118,13 +135,15 @@ class FullGraphTrainer:
         graphs (e.g. Cora epochs are sub-ms of compute)."""
         step = partial(self._train_step, drop_rate=self.config.drop_rate)
 
-        def fused(gt, params, bn, opt_state, key, x, labels, masks):
+        def fused(gt, params, bn, opt_state, key, x, labels, masks,
+                  l0_ax=None):
             keys = jax.random.split(key, n)
 
             def body(carry, k):
                 params, bn, opt_state = carry
                 params, bn, opt_state, loss, accs = step(
-                    gt, params, bn, opt_state, k, x, labels, masks)
+                    gt, params, bn, opt_state, k, x, labels, masks,
+                    l0_ax=l0_ax)
                 return (params, bn, opt_state), (loss, accs)
 
             (params, bn, opt_state), (losses, accs) = jax.lax.scan(
@@ -159,7 +178,7 @@ class FullGraphTrainer:
             self.run_key, k = jax.random.split(self.run_key)
             params, bn, opt_state, loss, accs = self._step(
                 self.gt, params, bn, opt_state, k, self.x, self.labels,
-                self.masks)
+                self.masks, l0_ax=self.l0_ax)
             rows.append(_pack_stats(loss, accs))
             if log_every and (ep % log_every == 0 or ep == epochs - 1):
                 r = np.asarray(rows[-1])  # one transfer for all 4 scalars
@@ -191,7 +210,7 @@ class FullGraphTrainer:
             self.run_key, k = jax.random.split(self.run_key)
             params, bn, opt_state, losses, accs = fused(
                 self.gt, params, bn, opt_state, k, self.x, self.labels,
-                self.masks)
+                self.masks, l0_ax=self.l0_ax)
             window = jnp.stack([losses, accs["train"], accs["val"],
                                 accs["test"]], axis=1)  # [fuse, 4]
             rows.append(window)
@@ -215,7 +234,7 @@ class FullGraphTrainer:
             self.run_key, k = jax.random.split(self.run_key)
             params, bn, opt_state, loss, accs = self._step(
                 self.gt, params, bn, opt_state, k, self.x, self.labels,
-                self.masks)
+                self.masks, l0_ax=self.l0_ax)
             rows.append(_pack_stats(loss, accs))
             if (self.config.checkpoint_path and self.config.checkpoint_every
                     and (ep + 1) % self.config.checkpoint_every == 0):
@@ -252,8 +271,10 @@ class FullGraphTrainer:
 
     def predict(self):
         """Eval-mode forward (no dropout, running BN stats)."""
+        hoist = {"l0_ax": self.l0_ax} if self.l0_ax is not None else {}
         logits, _ = self.model.forward(self.state, self.gt, self.x, None,
-                                       training=False, **self.model_kwargs)
+                                       training=False, **self.model_kwargs,
+                                       **hoist)
         return logits
 
     def debuginfo(self) -> dict:
