@@ -6,7 +6,8 @@ algorithm variants collapse onto TPU trainers:
 
 * full-graph single chip: GCNCPU / GCN / GCNEAGER(SINGLE) / GATCPU /
   GATCPUDIST / GATGPUDIST / GINCPU / GINGPU / COMMNETGPU
-* sampled minibatch: GCNSAMPLESINGLE (+ GAT/SAGESAMPLESINGLE extensions)
+* sampled minibatch: GCNSAMPLESINGLE (+ GAT/SAGE/GIN/COMMNET/
+  GGCNSAMPLESINGLE extensions — every model family trains sampled)
 * distributed full-graph over a mesh (NUM_PARTITIONS>1): any of the above
   full-graph algorithms via the DepComm engine (parallel/).
 """
@@ -39,12 +40,15 @@ def run_from_config(config: InputInfo, log_every: int = 1):
             toolkits.validate_single(datum, backend=config.kernel_backend)
         print(f"#run_time={time.time() - t0:.3f}(s)")
         return None, []
-    if algo in ("GCNSAMPLESINGLE", "GATSAMPLESINGLE", "SAGESAMPLESINGLE"):
-        # GAT/SAGESAMPLESINGLE = sampled attention / max-pool (our
-        # extensions: the reference's only sampled model is GCN,
-        # GCN_CPU_SAMPLE.hpp)
-        sampled_model = ("gat" if algo.startswith("GAT")
-                         else "sage" if algo.startswith("SAGE") else "gcn")
+    _sampled = {"GCNSAMPLESINGLE": "gcn", "GATSAMPLESINGLE": "gat",
+                "SAGESAMPLESINGLE": "sage", "GINSAMPLESINGLE": "gin",
+                "COMMNETSAMPLESINGLE": "commnet",
+                "GGCNSAMPLESINGLE": "ggcn"}
+    if algo in _sampled:
+        # every non-GCN entry is our extension: the reference's only
+        # sampled model is GCN (GCN_CPU_SAMPLE.hpp); the sampled op zoo
+        # (attention / max-pool / gates / self-terms) covers the rest
+        sampled_model = _sampled[algo]
         if config.num_partitions > 1:
             # data-parallel sampled training over the mesh (our extension of
             # the reference's single-node sampled mode; the per-batch grad

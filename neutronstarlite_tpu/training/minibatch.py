@@ -134,8 +134,111 @@ def sampled_forward_sage(params, features, block_arrays, key, *,
     return x
 
 
+def _dst_rows(x: jax.Array, dl: jax.Array) -> jax.Array:
+    """x[dst_local] with -1 (padding) rows zeroed — the dst's own features
+    for models whose layer combines the aggregate with the vertex itself."""
+    safe = jnp.clip(dl, 0, x.shape[0] - 1)
+    return jnp.where((dl >= 0)[:, None], jnp.take(x, safe, axis=0), 0.0)
+
+
+def sampled_forward_gin(params, features, block_arrays, key, *,
+                        training: bool, drop_rate: float, n_layers: int,
+                        eps: float = 0.0) -> jax.Array:
+    """Sampled GIN: per hop, relu((agg + (1+ε)x_dst)·W1)·W2 — the per-hop
+    form of models/gin.py (our extension; the reference's only sampled
+    model is GCN, toolkits/GCN_CPU_SAMPLE.hpp:188-289; its full-graph GIN
+    vertexForward is toolkits/GIN_CPU.hpp:175-190). Following the
+    reference's sampled-model style there is no batchnorm here (the
+    full-graph GIN's BN sees the whole vertex set; per-minibatch stats
+    would be a different model). Requires include_dst blocks."""
+    dst0, tables, idxs, ws, dls = block_arrays
+    x = _gather_table(features, tables[-1])
+    if training and drop_rate > 0:
+        dkeys = jax.random.split(key, n_layers)
+    for l in range(n_layers):
+        h = n_layers - 1 - l
+        if training and drop_rate > 0:
+            x = layers.dropout(dkeys[l], x, drop_rate, True)
+        agg = _ell_agg(idxs[h], ws[h], x)
+        hpre = agg + (1.0 + eps) * _dst_rows(x, dls[h])
+        y = jax.nn.relu(hpre @ params[l]["w1"]) @ params[l]["w2"]
+        x = jax.nn.relu(y) if l < n_layers - 1 else y
+    return x
+
+
+def sampled_forward_commnet(params, features, block_arrays, key, *,
+                            training: bool, drop_rate: float, n_layers: int
+                            ) -> jax.Array:
+    """Sampled CommNet: per hop, relu(agg·W_agg + x_dst·W_self) — the
+    per-hop form of models/commnet.py (our extension; full-graph
+    vertexForward: toolkits/COMMNET_GPU.hpp:181-199, relu on every layer
+    like the full-graph model). Requires include_dst blocks."""
+    dst0, tables, idxs, ws, dls = block_arrays
+    x = _gather_table(features, tables[-1])
+    if training and drop_rate > 0:
+        dkeys = jax.random.split(key, n_layers)
+    for l in range(n_layers):
+        h = n_layers - 1 - l
+        if training and drop_rate > 0:
+            x = layers.dropout(dkeys[l], x, drop_rate, True)
+        agg = _ell_agg(idxs[h], ws[h], x)
+        x = jax.nn.relu(agg @ params[l]["w_agg"]
+                        + _dst_rows(x, dls[h]) @ params[l]["w_self"])
+    return x
+
+
+def sampled_forward_ggcn(params, features, block_arrays, key, *,
+                         training: bool, drop_rate: float, n_layers: int,
+                         slope: float = 0.2) -> jax.Array:
+    """Sampled GGCN: per hop, per-FEATURE edge gates over the ≤fanout
+    sampled slots — m = leaky_relu(x_t[nbr]·Gl + x_t[dst]·Gr), per-lane
+    softmax within the row (invalid slots masked), gated sum, relu.
+    The per-hop form of models/ggcn.py (ref: toolkits/GGCN_CPU.hpp:184-220
+    for the full-graph edge chain; sampled GGCN is our extension). The
+    [cap, fanout, F'] tensors are minibatch-small, so plain AD suffices.
+    Requires include_dst blocks."""
+    dst0, tables, idxs, ws, dls = block_arrays
+    x = _gather_table(features, tables[-1])
+    if training and drop_rate > 0:
+        dkeys = jax.random.split(key, n_layers)
+    for l in range(n_layers):
+        h = n_layers - 1 - l
+        if training and drop_rate > 0:
+            x = layers.dropout(dkeys[l], x, drop_rate, True)
+        p = params[l]
+        f_out = p["gate"].shape[0] // 2
+        g_l, g_r = p["gate"][:f_out], p["gate"][f_out:]
+        x_t = x @ p["w"]                                  # [scap, F']
+        gs = x_t @ g_l                                    # [scap, F']
+        gd = _dst_rows(x_t, dls[h]) @ g_r                 # [cap, F']
+        valid = (ws[h] != 0)[:, :, None]                  # [cap, fo, 1]
+        m = jax.nn.leaky_relu(
+            jnp.take(gs, idxs[h], axis=0) + gd[:, None, :], slope)
+        m = jnp.where(valid, m, -1e30)
+        mrow = jnp.maximum(jnp.max(m, axis=1), -1e30 / 2)  # [cap, F']
+        z = jnp.where(valid, jnp.exp(m - mrow[:, None, :]), 0.0)
+        a = z / jnp.maximum(jnp.sum(z, axis=1, keepdims=True), 1e-30)
+        y = jnp.einsum("rkf,rkf->rf", a, jnp.take(x_t, idxs[h], axis=0),
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        x = jax.nn.relu(y)
+    return x
+
+
 def run_sampled_forward(model_name, params, features, block_arrays, key, *,
                         training: bool, drop_rate: float, n_layers: int):
+    if model_name == "gin":
+        return sampled_forward_gin(params, features, block_arrays, key,
+                                   training=training, drop_rate=drop_rate,
+                                   n_layers=n_layers)
+    if model_name == "commnet":
+        return sampled_forward_commnet(params, features, block_arrays, key,
+                                       training=training,
+                                       drop_rate=drop_rate,
+                                       n_layers=n_layers)
+    if model_name == "ggcn":
+        return sampled_forward_ggcn(params, features, block_arrays, key,
+                                    training=training, drop_rate=drop_rate,
+                                    n_layers=n_layers)
     if model_name == "gat":
         return sampled_forward_gat(params, features, block_arrays, key,
                                    training=training, drop_rate=drop_rate,
@@ -170,8 +273,10 @@ class MinibatchTrainer:
         if len(self.fanout) != len(sizes) - 1:
             raise ValueError(f"FANOUT length {len(self.fanout)} must equal "
                              f"model layers {len(sizes) - 1}")
-        # attention scores / the SAGE concat need the dst row in-table
-        include_dst = model in ("gat", "sage")
+        # attention/gate scores, the SAGE concat, and the GIN/CommNet
+        # self-terms need the dst row in-table
+        include_dst = model in ("gat", "sage", "gin", "commnet", "ggcn")
+        self.include_dst = include_dst
         self.caps, self.scaps = static_caps(config.batch_size, self.fanout,
                                             datum.graph.num_vertices,
                                             include_dst=include_dst)
@@ -196,6 +301,31 @@ class MinibatchTrainer:
                                             sizes[i])["w"],
                 "w": param.init_linear(keys[2 * i + 1], 2 * sizes[i],
                                        sizes[i + 1])["w"],
+            } for i in range(n_layers)]
+        elif model == "gin":
+            keys = jax.random.split(self.init_key, 2 * n_layers)
+            self.params = [{
+                "w1": param.glorot_uniform(keys[2 * i], sizes[i],
+                                           sizes[i + 1]),
+                "w2": param.glorot_uniform(keys[2 * i + 1], sizes[i + 1],
+                                           sizes[i + 1]),
+            } for i in range(n_layers)]
+        elif model == "commnet":
+            keys = jax.random.split(self.init_key, 2 * n_layers)
+            self.params = [{
+                "w_agg": param.glorot_uniform(keys[2 * i], sizes[i],
+                                              sizes[i + 1]),
+                "w_self": param.glorot_uniform(keys[2 * i + 1], sizes[i],
+                                               sizes[i + 1]),
+            } for i in range(n_layers)]
+        elif model == "ggcn":
+            keys = jax.random.split(self.init_key, 2 * n_layers)
+            self.params = [{
+                "w": param.glorot_uniform(keys[2 * i], sizes[i],
+                                          sizes[i + 1]),
+                "gate": param.glorot_uniform(keys[2 * i + 1],
+                                             2 * sizes[i + 1],
+                                             sizes[i + 1]),
             } for i in range(n_layers)]
         else:
             keys = jax.random.split(self.init_key, n_layers)
@@ -508,7 +638,7 @@ class MinibatchTrainer:
         nids = np.asarray(nids, dtype=np.int32)
         sampler = Sampler(g, nids, self.config.batch_size, self.fanout,
                           seed=self.config.seed + 3, shuffle=False,
-                          include_dst=(self.model_name in ("gat", "sage")))
+                          include_dst=self.include_dst)
         if not hasattr(self, "_infer_step"):
             drop_rate = self.config.drop_rate
             n_layers = len(self.config.layer_sizes) - 1

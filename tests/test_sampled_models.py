@@ -1,0 +1,117 @@
+"""Sampled-path model matrix: GIN / CommNet / GGCN minibatch training (our
+extensions — the reference's only sampled model is GCN,
+toolkits/GCN_CPU_SAMPLE.hpp:188-289; the full-graph semantics these follow
+per hop are GIN_CPU.hpp:175-190, COMMNET_GPU.hpp:181-199 and
+GGCN_CPU.hpp:184-220). With these, every model family in the framework
+trains both full-graph and sampled."""
+
+import os
+
+import numpy as np
+import pytest
+
+from neutronstarlite_tpu.config import InputInfo
+from neutronstarlite_tpu.graph.dataset import synthetic_sbm_dataset
+from neutronstarlite_tpu.training.minibatch import (DistMinibatchTrainer,
+                                                    MinibatchTrainer)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def sbm():
+    return synthetic_sbm_dataset(num_vertices=301, feat_dim=16,
+                                 num_classes=3, avg_degree=8, homophily=0.9,
+                                 seed=5, feature_noise=0.3)
+
+
+def _cfg(sbm, **kw):
+    cfg = InputInfo(vertices=sbm.num_vertices, epochs=10,
+                    layer_string=f"16-16-{sbm.num_classes}",
+                    fanout_string="4-4", learn_rate=0.01, weight_decay=1e-4,
+                    drop_rate=0.0, seed=7, batch_size=64)
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+@pytest.mark.parametrize("model", ["gin", "commnet", "ggcn"])
+def test_sampled_model_converges(sbm, model):
+    tr = MinibatchTrainer(sbm, _cfg(sbm), model=model)
+    hist = tr.run()
+    assert hist[-1]["loss"] < hist[0]["loss"], hist
+    assert hist[-1]["test"] > 0.6, hist[-1]
+
+
+@pytest.mark.parametrize("model", ["gin", "commnet", "ggcn"])
+def test_device_sampled_model_trains(sbm, model):
+    """SAMPLER:device (include_dst mode) covers the new models too."""
+    cfg = _cfg(sbm)
+    cfg.sampler_backend = "device"
+    tr = MinibatchTrainer(sbm, cfg, model=model)
+    hist = tr.run()
+    assert hist[-1]["loss"] < hist[0]["loss"], hist
+    assert hist[-1]["test"] > 0.5, hist[-1]
+
+
+def test_sampled_gin_dist_tracks_single(sbm):
+    h = DistMinibatchTrainer(sbm, _cfg(sbm, epochs=4), model="gin",
+                             num_partitions=2, shuffle=False).run()
+    assert h[-1]["loss"] < h[0]["loss"], h
+
+
+def test_sampled_predict_surface(sbm):
+    """predict() (the minibatch inference forward) works for the new
+    models and its test accuracy tracks run()'s final test accuracy."""
+    tr = MinibatchTrainer(sbm, _cfg(sbm), model="commnet")
+    hist = tr.run()
+    logits = tr.predict()
+    assert logits.shape == (sbm.num_vertices, sbm.num_classes)
+    pred = logits.argmax(-1)
+    sel = sbm.masks == 2
+    acc = float((pred[sel] == sbm.labels[sel]).mean())
+    assert abs(acc - hist[-1]["test"]) < 0.1, (acc, hist[-1])
+
+
+@pytest.mark.parametrize("algo,model", [("GINSAMPLESINGLE", "gin"),
+                                        ("COMMNETSAMPLESINGLE", "commnet"),
+                                        ("GGCNSAMPLESINGLE", "ggcn")])
+def test_sample_cli_dispatch(sbm, tmp_path, algo, model):
+    """ALGORITHM:<MODEL>SAMPLESINGLE through the cfg/CLI surface."""
+    from neutronstarlite_tpu.main import run_from_config
+    cfg = _cfg(sbm, epochs=2)
+    cfg.algorithm = algo
+    import sys
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from generate_dataset import write_nts
+    out = str(tmp_path / "sbm")
+    g = sbm.graph
+    write_nts(out, g.fwd_src, g.fwd_dst, sbm.features, sbm.labels, sbm.masks)
+    cfg.edge_file = out + ".edge.self"
+    cfg.feature_file = out + ".featuretable"
+    cfg.label_file = out + ".labeltable"
+    cfg.mask_file = out + ".mask"
+    tr, hist = run_from_config(cfg, log_every=0)
+    assert type(tr).__name__ == "MinibatchTrainer"
+    assert tr.model_name == model
+    assert np.isfinite(hist[-1]["loss"])
+
+
+def test_sampled_ggcn_gate_masking(sbm):
+    """Padding slots must not leak into the per-lane softmax: with a row
+    whose every slot is invalid, the gated output is 0 (not NaN)."""
+    import jax
+    import jax.numpy as jnp
+    from neutronstarlite_tpu.training.minibatch import sampled_forward_ggcn
+    tr = MinibatchTrainer(sbm, _cfg(sbm), model="ggcn")
+    block = tr.samplers["train"].sample_one()
+    arrays, _ = tr._block_to_device(block)
+    dst0, tables, idxs, ws, dls = arrays
+    # zero every weight of row 0 in the last hop → fully-masked row
+    ws0 = list(ws)
+    ws0[-1] = ws0[-1].at[0].set(0.0)
+    out = sampled_forward_ggcn(tr.params, tr.features,
+                               (dst0, tables, idxs, tuple(ws0), dls), None,
+                               training=False, drop_rate=0.0,
+                               n_layers=len(tr.params))
+    assert np.isfinite(np.asarray(out)).all()
