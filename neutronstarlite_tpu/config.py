@@ -101,6 +101,16 @@ class InputInfo:
                                     # the chunked pipeline (0 = 1024 MB
                                     # default; env NSL_GATED_CHUNK_MB
                                     # overrides)
+    resume: bool = False            # RESUME: restore CHECKPOINT_PATH
+                                    # before training and continue from the
+                                    # saved epoch (fresh start if absent) —
+                                    # the crash-recovery surface; with
+                                    # EPOCHS <= saved epoch it trains 0
+                                    # epochs (pure-inference launch)
+    predict_out: str = ""           # PREDICT_OUT: after the run, write
+                                    # predict() logits (eval-mode forward,
+                                    # user vertex order) to this .npy —
+                                    # the serving/inference surface
     hoist_l0: bool = False          # HOIST_L0: precompute layer 0's
                                     # neighbor aggregate A·X once (X is
                                     # constant and the aggregate is linear,
@@ -191,6 +201,8 @@ class InputInfo:
             "GATED_CHUNK_MB": lambda: setattr(self, "gated_chunk_mb",
                                               int(val)),
             "HOIST_L0": lambda: setattr(self, "hoist_l0", flag(val)),
+            "RESUME": lambda: setattr(self, "resume", flag(val)),
+            "PREDICT_OUT": lambda: setattr(self, "predict_out", val),
         }
         fn = dispatch.get(key)
         if fn is None:

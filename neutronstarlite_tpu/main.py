@@ -88,15 +88,41 @@ def run_from_config(config: InputInfo, log_every: int = 1):
         else:
             trainer = FullGraphTrainer(datum, config, model=model,
                                        backend=backend, **kwargs)
+    # RESUME:1 — crash-recovery surface: restore CHECKPOINT_PATH and
+    # continue from the saved epoch; a missing checkpoint is a fresh start
+    # (the first launch of an auto-restarting job). The reference has no
+    # training persistence at all (SURVEY.md §5).
+    epochs = config.epochs
+    if config.resume:
+        import os
+        if not config.checkpoint_path:
+            raise ValueError("RESUME:1 requires CHECKPOINT_PATH")
+        ck = config.checkpoint_path
+        if os.path.isdir(ck) or os.path.exists(ck + ".npz"):
+            start = trainer.resume(ck)
+            epochs = max(0, config.epochs - start)
+            print(f"#resumed epoch={start} remaining={epochs}")
+        else:
+            print(f"RESUME:1 with no checkpoint at {ck} — fresh start")
     # on-device tracing (the reference's hand-rolled phase timers +
     # DEBUGINFO, SURVEY.md §5, replaced by a real profiler)
-    history = trainer.run(log_every=log_every,
+    history = trainer.run(epochs=epochs, log_every=log_every,
                           profile_dir=config.profile_dir)
     exec_time = time.time() - t0
     if config.debuginfo and hasattr(trainer, "debuginfo"):
         # the reference's end-of-run DEBUGINFO() table (GCN.hpp:308-353)
         import json
         print("#DEBUGINFO " + json.dumps(trainer.debuginfo()))
+    if config.predict_out:
+        # PREDICT_OUT — serving surface: eval-mode logits for every vertex
+        # in the USER's vertex order, written as .npy (with RESUME:1 +
+        # EPOCHS:0 this is a pure-inference launch from a checkpoint)
+        import numpy as _np
+        logits = _np.asarray(trainer.predict())
+        import jax as _jax
+        if _jax.process_index() == 0:
+            _np.save(config.predict_out, logits)
+        print(f"#predict_out={config.predict_out} shape={logits.shape}")
     print(f"#run_time={exec_time:.3f}(s)")  # main.cpp:189-192 format
     return trainer, history
 

@@ -641,7 +641,7 @@ class DistTrainer:
                 return
         ckpt.save_checkpoint(path, ckpt.make_state(
             params=params, bn=bn, opt_state=opt_state, run_key=self.run_key,
-            epoch=epoch))
+            epoch=getattr(self, "_epoch0", 0) + epoch))
 
     def resume(self, path: str) -> int:
         from neutronstarlite_tpu.utils import checkpoint as ckpt
@@ -654,4 +654,5 @@ class DistTrainer:
         self.bn = st["bn"]
         self.opt_state = st["opt_state"]
         self.run_key = st["run_key"]
-        return int(st["epoch"])
+        self._epoch0 = int(st["epoch"])
+        return self._epoch0

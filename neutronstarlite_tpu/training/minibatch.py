@@ -683,7 +683,8 @@ class MinibatchTrainer:
         from neutronstarlite_tpu.utils import checkpoint as ckpt
         ckpt.save_checkpoint(path, ckpt.make_state(
             params=self.params, bn=[], opt_state=self.opt_state,
-            run_key=self.run_key, epoch=epoch))
+            run_key=self.run_key,
+            epoch=getattr(self, "_epoch0", 0) + epoch))
 
     def resume(self, path: str) -> int:
         from neutronstarlite_tpu.utils import checkpoint as ckpt
@@ -694,7 +695,8 @@ class MinibatchTrainer:
         self.params = st["params"]
         self.opt_state = st["opt_state"]
         self.run_key = st["run_key"]
-        return int(st["epoch"])
+        self._epoch0 = int(st["epoch"])
+        return self._epoch0
 
     def run(self, epochs: int | None = None, log_every: int = 0,
             profile_dir: str = ""):

@@ -252,9 +252,12 @@ class FullGraphTrainer:
     # ---- checkpoint/resume ----
     def _save(self, path, params, bn, opt_state, epoch):
         from neutronstarlite_tpu.utils import checkpoint as ckpt
+        # epochs are GLOBAL across resumes: run(epochs=k) after resume()
+        # continues the saved counter, so a second crash/resume cycle
+        # neither regresses nor overtrains
         ckpt.save_checkpoint(path, ckpt.make_state(
             params=params, bn=bn, opt_state=opt_state, run_key=self.run_key,
-            epoch=epoch))
+            epoch=getattr(self, "_epoch0", 0) + epoch))
 
     def resume(self, path: str) -> int:
         """Restore trainer state; returns the epoch to continue from."""
@@ -267,7 +270,8 @@ class FullGraphTrainer:
         self.state = type(self.state)(params=st["params"], bn=st["bn"])
         self.opt_state = st["opt_state"]
         self.run_key = st["run_key"]
-        return int(st["epoch"])
+        self._epoch0 = int(st["epoch"])
+        return self._epoch0
 
     def predict(self):
         """Eval-mode forward (no dropout, running BN stats)."""

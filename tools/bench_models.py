@@ -40,20 +40,26 @@ def main():
                      num_classes=41)
 
     runs = (("gcn", gcn, {}), ("gcn_eager", gcn, {"eager": True}),
+            ("gcn_eager_hoist", gcn, {"eager": True, "_hoist": True}),
             ("gin", gin, {}), ("gin_eager", gin, {"eager": True}),
+            ("gin_eager_hoist", gin, {"eager": True, "_hoist": True}),
             ("commnet", commnet, {}),
             ("commnet_eager", commnet, {"eager": True}),
+            ("commnet_eager_hoist", commnet,
+             {"eager": True, "_hoist": True}),
             ("gat", gat, {}), ("ggcn", ggcn, {}), ("sage", sage, {}))
     only = os.environ.get("NSL_BENCH_MODELS")  # comma-separated name filter
     if only:
         wanted = {s.strip() for s in only.split(",")}
         runs = tuple(r for r in runs if r[0] in wanted)
     for name, model, kwargs in runs:
+        kwargs = dict(kwargs)
+        hoist = kwargs.pop("_hoist", False)
         cfg = InputInfo(vertices=v, epochs=epochs,
                         layer_string="602-128-41", learn_rate=0.01,
                         weight_decay=1e-4,
                         drop_rate=0.5 if name.startswith("gcn") else 0.0,
-                        seed=0, dtype=dtype)
+                        seed=0, dtype=dtype, hoist_l0=hoist)
         try:
             t0 = time.time()
             tr = FullGraphTrainer(datum, cfg, model=model, backend="pallas",
