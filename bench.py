@@ -52,9 +52,11 @@ def main():
     # tests/test_real_dataset.py); NSL_BENCH_DTYPE=float32 for the fallback
     dtype = os.environ.get("NSL_BENCH_DTYPE", "bfloat16")
     # scan-fuse all epochs of a window into ONE device dispatch
-    # (FUSE_EPOCHS): the per-epoch float(loss) sync pays an axon-tunnel
-    # round trip otherwise. NSL_BENCH_FUSE=1 for per-epoch dispatch.
-    fuse = int(os.environ.get("NSL_BENCH_FUSE", "1"))
+    # (FUSE_EPOCHS): with HOIST_L0 the epoch is ~0.1 s, so even pipelined
+    # per-epoch dispatch leaves measurable gaps (r3: fused 0.0965 vs
+    # async-dispatch 0.0989 s/epoch). NSL_BENCH_FUSE=1 for per-epoch
+    # dispatch.
+    fuse = int(os.environ.get("NSL_BENCH_FUSE", str(epochs)))
 
     import jax
     import jax.numpy as jnp
@@ -154,6 +156,7 @@ def main():
             "windows_s": [round(w, 3) for w in windows],
             "build_s": round(build_s, 2),
             "warmup_s": round(warmup_s, 1), "eager": eager, "hoist": hoist,
+            "fuse_epochs": fuse,
             "backend": jax.default_backend(), "dtype": dtype,
         },
     }))

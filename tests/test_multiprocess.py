@@ -106,6 +106,15 @@ def test_two_processes_four_devices():
     _assert_match(_run_dist("gcn", 2, 2, env), _run_local("gcn", 4, env))
 
 
+def test_hoist_l0_across_processes():
+    """HOIST_L0 under jax.distributed: the one-time sharded layer-0
+    precompute (exchange included) runs over the cross-process mesh; the
+    2-process run must equal the single-process 2-device run."""
+    env = _clean_env()
+    _assert_match(_run_dist("hoist", 2, 1, env),
+                  _run_local("hoist", 2, env))
+
+
 def test_flag_matrix_across_processes():
     """GAT + PROC_OVERLAP (per-set softmax stats merged exactly) +
     EXCHANGE:ring + DepCache (hot-block all_gather, CACHE_REFRESH:2 stale

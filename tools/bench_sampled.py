@@ -4,7 +4,8 @@ Measures end-to-end batches/s and sampled-edges/s with the host sampler
 (C++/OpenMP) feeding the device through the prefetch pipeline.
 
 Usage: NSL_BENCH_V=... python tools/bench_sampled.py
-Env:   NSL_BENCH_SAMPLED_MODEL=gcn|gat|sage  NSL_BENCH_SAMPLER=host|device
+Env:   NSL_BENCH_SAMPLED_MODEL=gcn|gat|sage|gin|commnet|ggcn
+       NSL_BENCH_SAMPLER=host|device
 """
 
 import json

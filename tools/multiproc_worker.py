@@ -27,6 +27,9 @@ topologies):
              all_gathers over 'f' ride the cross-process transport
   minibatch  DistMinibatchTrainer (host sampler): per-batch gradient psum
              across processes, replicated graph/features
+  hoist      GCN + HOIST_L0: the one-time layer-0 aggregate precompute
+             (its boundary exchange included) runs over the cross-process
+             mesh; epochs then carry no layer-0 exchange
 
 Both modes print ``RESULT {json}`` (epoch history) from process 0; the tests
 assert dist == local. NSL_MP_EPOCHS overrides the epoch count.
@@ -57,6 +60,10 @@ def run_scenario(name: str, world: int):
 
     if name == "gcn":
         from neutronstarlite_tpu.models import gcn
+        return DistTrainer(sbm, cfg, model=gcn, num_partitions=world).run()
+    if name == "hoist":
+        from neutronstarlite_tpu.models import gcn
+        cfg.hoist_l0 = True
         return DistTrainer(sbm, cfg, model=gcn, num_partitions=world).run()
     if name == "combo":
         from neutronstarlite_tpu.models import gat
