@@ -94,15 +94,18 @@ def run_from_config(config: InputInfo, log_every: int = 1):
     # training persistence at all (SURVEY.md §5).
     epochs = config.epochs
     if config.resume:
-        import os
         if not config.checkpoint_path:
             raise ValueError("RESUME:1 requires CHECKPOINT_PATH")
         ck = config.checkpoint_path
-        if os.path.isdir(ck) or os.path.exists(ck + ".npz"):
+        try:
+            # checkpoint.py owns the on-disk format knowledge — only a
+            # MISSING checkpoint is a fresh start (the first launch of an
+            # auto-restarting job); any other restore failure must be loud,
+            # not a silent retrain that overwrites the checkpoint
             start = trainer.resume(ck)
             epochs = max(0, config.epochs - start)
             print(f"#resumed epoch={start} remaining={epochs}")
-        else:
+        except FileNotFoundError:
             print(f"RESUME:1 with no checkpoint at {ck} — fresh start")
     # on-device tracing (the reference's hand-rolled phase timers +
     # DEBUGINFO, SURVEY.md §5, replaced by a real profiler)

@@ -167,13 +167,9 @@ class DistTrainer:
         # lanes) — is computed once up front instead of every epoch. Only
         # exact for param-free layer-0 aggregates (GCN/GIN/COMMNET).
         if config.hoist_l0:
-            import inspect
-            if "l0_ax" not in inspect.signature(model.forward).parameters:
-                raise ValueError(
-                    f"HOIST_L0 is not applicable to model "
-                    f"{getattr(model, '__name__', model)}: its layer-0 "
-                    "aggregate depends on parameters (attention/gates/"
-                    "pooling) and cannot be precomputed")
+            from neutronstarlite_tpu.training.trainer import (
+                check_hoist_support)
+            check_hoist_support(model)
         self._l0_fn = None
         self._step = self._build_step(mode="plain")
         self._fused = None  # built lazily when config.fuse_epochs > 1
@@ -458,7 +454,10 @@ class DistTrainer:
                 print(f"epoch {ep:4d} loss {r[0]:.4f} train {r[1]:.4f} "
                       f"val {r[2]:.4f} test {r[3]:.4f}")
             ckpt_path = self.config.checkpoint_path
-            if ckpt_path and self.config.checkpoint_every and                     (ep + 1) % self.config.checkpoint_every == 0:
+            # checkpoint cadence counts GLOBAL epochs (stable across RESUME)
+            if ckpt_path and self.config.checkpoint_every and \
+                    (getattr(self, "_epoch0", 0) + ep + 1) \
+                    % self.config.checkpoint_every == 0:
                 self._save(ckpt_path, params, bn, opt_state, ep + 1)
         # ONE transfer materializes history + synchronizes (see trainer.py)
         history = _unpack_history(rows)
@@ -498,9 +497,10 @@ class DistTrainer:
                               f"test {w[j, 3]:.4f}")
             done += fuse
             # periodic checkpoints still fire under epoch fusion
+            g0 = getattr(self, "_epoch0", 0)  # checkpoint cadence counts GLOBAL epochs (stable across RESUME)
             if (self.config.checkpoint_path and self.config.checkpoint_every
-                    and (done // self.config.checkpoint_every)
-                    > ((done - fuse) // self.config.checkpoint_every)):
+                    and ((g0 + done) // self.config.checkpoint_every)
+                    > ((g0 + done - fuse) // self.config.checkpoint_every)):
                 self._save(self.config.checkpoint_path, params, bn,
                            opt_state, done)
         # remainder epochs run unfused (must not over-train past ``epochs``)

@@ -23,6 +23,20 @@ from neutronstarlite_tpu.nn import layers, optim
 from neutronstarlite_tpu.ops.graph_ops import GraphTensors
 
 
+def check_hoist_support(model) -> None:
+    """HOIST_L0 applicability gate, shared by both full-graph trainers.
+    A model opts in by accepting ``l0_ax`` — the contract that its layer-0
+    aggregate is param-free (constant across epochs). Attention/gated/
+    pooling models don't implement it, so the flag fails loudly there."""
+    import inspect
+    if "l0_ax" not in inspect.signature(model.forward).parameters:
+        raise ValueError(
+            f"HOIST_L0 is not applicable to model "
+            f"{getattr(model, '__name__', model)}: its layer-0 aggregate "
+            "depends on parameters (attention/gates/pooling) and cannot "
+            "be precomputed")
+
+
 def masked_accuracy(logits, labels, masks, which: int):
     """Accuracy over mask==which (Test(), ref: GCN_CPU.hpp:142-171).
     Returns (correct, count) so dist callers can psum before dividing."""
@@ -83,14 +97,7 @@ class FullGraphTrainer:
             # HOIST_L0: layer 0 aggregates the CONSTANT feature table, so
             # A·X is epoch-invariant ((A·X)W == A·(XW) by linearity) —
             # compute it ONCE here and the widest gather leaves the epoch.
-            # Only exact for models whose layer-0 aggregate is param-free.
-            import inspect
-            if "l0_ax" not in inspect.signature(model.forward).parameters:
-                raise ValueError(
-                    f"HOIST_L0 is not applicable to model "
-                    f"{getattr(model, '__name__', model)}: its layer-0 "
-                    "aggregate depends on parameters (attention/gates/"
-                    "pooling) and cannot be precomputed")
+            check_hoist_support(model)
             # gt/x passed as ARGUMENTS (closures become HLO constants)
             self.l0_ax = jax.jit(
                 lambda gt, x: gt.aggregate_neighbors(x))(self.gt, self.x)
@@ -184,7 +191,10 @@ class FullGraphTrainer:
                 r = np.asarray(rows[-1])  # one transfer for all 4 scalars
                 print(f"epoch {ep:4d} loss {r[0]:.4f} train {r[1]:.4f} "
                       f"val {r[2]:.4f} test {r[3]:.4f}")
-            if ckpt_path and ckpt_every and (ep + 1) % ckpt_every == 0:
+            # checkpoint cadence counts GLOBAL epochs (stable across RESUME)
+            if (ckpt_path and ckpt_every
+                    and (getattr(self, "_epoch0", 0) + ep + 1)
+                    % ckpt_every == 0):
                 self._save(ckpt_path, params, bn, opt_state, ep + 1)
         # ONE transfer materializes the whole history (and, by data
         # dependency on every epoch's outputs, synchronizes the run —
@@ -224,9 +234,10 @@ class FullGraphTrainer:
             done += fuse
             # periodic checkpoints still fire under epoch fusion (at the
             # window granularity): a crash must not lose the whole run
+            g0 = getattr(self, "_epoch0", 0)  # checkpoint cadence counts GLOBAL epochs (stable across RESUME)
             if (self.config.checkpoint_path and self.config.checkpoint_every
-                    and (done // self.config.checkpoint_every)
-                    > ((done - fuse) // self.config.checkpoint_every)):
+                    and ((g0 + done) // self.config.checkpoint_every)
+                    > ((g0 + done - fuse) // self.config.checkpoint_every)):
                 self._save(self.config.checkpoint_path, params, bn,
                            opt_state, done)
         # remainder epochs run unfused (must not over-train past ``epochs``)
@@ -237,7 +248,8 @@ class FullGraphTrainer:
                 self.masks, l0_ax=self.l0_ax)
             rows.append(_pack_stats(loss, accs))
             if (self.config.checkpoint_path and self.config.checkpoint_every
-                    and (ep + 1) % self.config.checkpoint_every == 0):
+                    and (getattr(self, "_epoch0", 0) + ep + 1)
+                    % self.config.checkpoint_every == 0):
                 self._save(self.config.checkpoint_path, params, bn,
                            opt_state, ep + 1)
         history = _unpack_history(rows)

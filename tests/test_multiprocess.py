@@ -149,6 +149,16 @@ def test_minibatch_across_processes():
                   _run_local("minibatch", 2, env))
 
 
+def test_minibatch_resume_predict_across_processes(tmp_path):
+    """RESUME + predict() under jax.distributed: restored leaves are
+    re-staged as global arrays and inference blocks are staged per batch
+    (both fail with 'locally-committed array' errors otherwise)."""
+    import math
+    env = _clean_env(NSL_MP_CKPT=str(tmp_path / "mpck"))
+    hist = _run_dist("minibatch_resume", 2, 1, env)
+    assert math.isfinite(hist[-1]["loss"])
+
+
 def test_minibatch_device_sampler_across_processes():
     """SAMPLER:device × DistMinibatchTrainer × 2 real processes: each
     process's device samples its own seed block INSIDE the sharded step

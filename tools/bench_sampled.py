@@ -47,7 +47,7 @@ def main():
     print(f"[sampled] setup {time.time()-t0:.1f}s "
           f"caps={tr.caps} scaps={tr.scaps}", file=sys.stderr, flush=True)
 
-    include_dst = model in ("gat", "sage")
+    include_dst = tr.include_dst  # the trainer's own mode, not a copy
     import neutronstarlite_tpu.sampling.sampler as S
     n_seeds = min(v, batch * 100)
     if tr.device_mode:

@@ -93,6 +93,25 @@ def run_scenario(name: str, world: int):
             # (SAMPLER:device × NUM_PARTITIONS × real processes)
             cfg.sampler_backend = "device"
         return DistMinibatchTrainer(sbm, cfg, num_partitions=world).run()
+    if name == "minibatch_resume":
+        # checkpoint -> resume -> predict across real processes: resume()
+        # must RE-STAGE the restored leaves as global arrays, and predict()
+        # must stage its per-batch blocks (NSL_MP_CKPT = save location)
+        from neutronstarlite_tpu.training.minibatch import (
+            DistMinibatchTrainer)
+        cfg.fanout_string = "4-4"
+        cfg.batch_size = 32
+        cfg.epochs = 2
+        cfg.checkpoint_path = os.environ["NSL_MP_CKPT"]
+        DistMinibatchTrainer(sbm, cfg, num_partitions=world,
+                             shuffle=False).run()
+        tr = DistMinibatchTrainer(sbm, cfg, num_partitions=world,
+                                  shuffle=False)
+        assert tr.resume(cfg.checkpoint_path) == 2
+        hist = tr.run(epochs=1)
+        logits = tr.predict(nids=list(range(64)))
+        assert logits.shape[0] == 257 and float(abs(logits).sum()) > 0
+        return hist
     raise ValueError(f"unknown scenario {name!r}")
 
 
