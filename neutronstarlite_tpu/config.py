@@ -101,6 +101,11 @@ class InputInfo:
                                     # the chunked pipeline (0 = 1024 MB
                                     # default; env NSL_GATED_CHUNK_MB
                                     # overrides)
+    num_heads: int = 1              # NUM_HEADS: multi-head attention for
+                                    # GAT (hidden layers split F_out into H
+                                    # heads over ONE shared dep exchange,
+                                    # concat; last layer single-head). Ours
+                                    # — the reference GAT is single-head.
     resume: bool = False            # RESUME: restore CHECKPOINT_PATH
                                     # before training and continue from the
                                     # saved epoch (fresh start if absent) —
@@ -201,6 +206,7 @@ class InputInfo:
             "GATED_CHUNK_MB": lambda: setattr(self, "gated_chunk_mb",
                                               int(val)),
             "HOIST_L0": lambda: setattr(self, "hoist_l0", flag(val)),
+            "NUM_HEADS": lambda: setattr(self, "num_heads", int(val)),
             "RESUME": lambda: setattr(self, "resume", flag(val)),
             "PREDICT_OUT": lambda: setattr(self, "predict_out", val),
         }

@@ -31,20 +31,25 @@ from neutronstarlite_tpu.nn import layers, param
 
 
 class GATState(NamedTuple):
-    params: list   # per layer: {"w": [F,F'], "attn": [2F',1]}
+    params: list   # per layer: {"w": [F,F'], "attn": [2F'/H, H]}
     bn: list       # unused (GAT reference has no batchnorm); kept for trainer parity
 
 
-def init(key: jax.Array, layer_sizes: Sequence[int], dtype=jnp.float32
-         ) -> GATState:
+def init(key: jax.Array, layer_sizes: Sequence[int], dtype=jnp.float32,
+         heads: int = 1) -> GATState:
     n_layers = len(layer_sizes) - 1
     keys = jax.random.split(key, 2 * n_layers)
     params = []
     for i in range(n_layers):
         f_in, f_out = layer_sizes[i], layer_sizes[i + 1]
+        h = heads if i < n_layers - 1 else 1   # last layer stays single-head
+        if f_out % h:
+            raise ValueError(f"NUM_HEADS:{heads} must divide hidden layer "
+                             f"size {f_out}")
         params.append({
             "w": param.glorot_uniform(keys[2 * i], f_in, f_out, dtype),
-            "attn": param.glorot_uniform(keys[2 * i + 1], 2 * f_out, 1, dtype),
+            "attn": param.glorot_uniform(keys[2 * i + 1], 2 * (f_out // h),
+                                         h, dtype),
         })
     return GATState(params=params, bn=[])
 
@@ -54,6 +59,27 @@ def forward(state: GATState, gt, x: jax.Array, key: jax.Array | None,
             tp_axis: str | None = None):
     del key, drop_rate  # reference GAT applies no dropout in this path
     for p in state.params:
+        heads = p["attn"].shape[1]
+        if heads > 1:
+            if tp_axis is not None:
+                raise ValueError("NUM_HEADS>1 under TP_DIM is not supported"
+                                 " (head slices and feature shards would "
+                                 "need a joint layout)")
+            # multi-head: ONE exchange table for all heads, the fused
+            # attention chain per head over column slices, concat
+            x_t = x @ p["w"]
+            mirror = gt.get_dep_nbr(x_t)
+            fh = p["w"].shape[1] // heads
+            outs = []
+            for h in range(heads):
+                sl = slice(h * fh, (h + 1) * fh)
+                a_l = p["attn"][:fh, h]
+                a_r = p["attn"][fh:, h]
+                s_dst = x_t[:, sl] @ a_r
+                outs.append(gt.attention_aggregate_linear(
+                    mirror[:, sl], a_l, s_dst, slope=0.2))
+            x = jax.nn.relu(jnp.concatenate(outs, axis=-1))
+            continue
         if tp_axis is None:
             x_t = x @ p["w"]
             # the one communicating op per layer (DistGetDepNbrOp,

@@ -40,7 +40,9 @@ from neutronstarlite_tpu.nn import layers, optim
 from neutronstarlite_tpu.parallel.depcomm import (build_dist_graph,
                                                   device_view, make_tensors)
 from neutronstarlite_tpu.parallel.mesh import make_mesh, make_mesh2d
-from neutronstarlite_tpu.training.trainer import _pack_stats, _unpack_history
+from neutronstarlite_tpu.training.trainer import (_pack_stats,
+                                                   _unpack_history,
+                                                   init_model_state)
 
 
 def _shard_map(f, mesh, in_specs, out_specs):
@@ -94,6 +96,12 @@ class DistTrainer:
             # the INPUT dim may be non-divisible (features then stay
             # replicated over 'f' and layer 0's dense skips its gather —
             # layers.dense width test); hidden/output dims must divide
+            if int(getattr(config, "num_heads", 1) or 1) > 1:
+                # the head slices and the 'f' feature shards would need a
+                # joint layout (and the sharder would silently split the
+                # [2F'/H, H] attn param over heads) — reject up front
+                raise ValueError("NUM_HEADS>1 under TP_DIM is not "
+                                 "supported")
             bad = [s for s in config.layer_sizes[1:] if s % self.f]
             if bad:
                 raise ValueError(
@@ -147,7 +155,7 @@ class DistTrainer:
 
         key = jax.random.PRNGKey(config.seed)
         self.init_key, self.run_key = jax.random.split(key)
-        self.state = model.init(self.init_key, config.layer_sizes)
+        self.state = init_model_state(model, self.init_key, config)
         self.opt_init, self.opt_update = optim.make_optimizer(config)
         self.opt_state = self.opt_init(self.state.params)
         # bn state is per-device (local stats) → stacked leading dim P

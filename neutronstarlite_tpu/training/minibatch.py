@@ -258,6 +258,9 @@ class MinibatchTrainer:
         self.fanout = [int(f) for f in (fanout or config.fanout)]
         if not self.fanout:
             raise ValueError("minibatch training requires FANOUT")
+        if int(getattr(config, "num_heads", 1) or 1) > 1:
+            raise ValueError("NUM_HEADS>1 is a full-graph GAT feature; the "
+                             "sampled path is single-head")
         if getattr(config, "hoist_l0", False):
             raise ValueError(
                 "HOIST_L0 applies to full-graph training only: sampled "

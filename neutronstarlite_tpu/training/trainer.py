@@ -23,6 +23,23 @@ from neutronstarlite_tpu.nn import layers, optim
 from neutronstarlite_tpu.ops.graph_ops import GraphTensors
 
 
+def init_model_state(model, key, config):
+    """model.init with optional capability kwargs: NUM_HEADS flows to
+    models whose init accepts ``heads`` (multi-head GAT); others reject
+    the flag loudly instead of silently training a different model."""
+    import inspect
+    kwargs = {}
+    h = int(getattr(config, "num_heads", 1) or 1)
+    if h > 1:
+        if "heads" not in inspect.signature(model.init).parameters:
+            raise ValueError(
+                f"NUM_HEADS:{h} is not supported by model "
+                f"{getattr(model, '__name__', model)} (only GAT has "
+                "multi-head attention)")
+        kwargs["heads"] = h
+    return model.init(key, config.layer_sizes, **kwargs)
+
+
 def check_hoist_support(model) -> None:
     """HOIST_L0 applicability gate, shared by both full-graph trainers.
     A model opts in by accepting ``l0_ax`` — the contract that its layer-0
@@ -85,7 +102,7 @@ class FullGraphTrainer:
 
         key = jax.random.PRNGKey(config.seed)
         self.init_key, self.run_key = jax.random.split(key)
-        self.state = model.init(self.init_key, config.layer_sizes)
+        self.state = init_model_state(model, self.init_key, config)
         self.opt_init, self.opt_update = optim.make_optimizer(config)
         self.opt_state = self.opt_init(self.state.params)
 
