@@ -622,6 +622,10 @@ class DistTrainer:
             "ell_mode": dg.ell_mode,
             "cache_refresh": self.cache_refresh,
             "agg_dtype": self.config.dtype,
+            # HOIST_L0: layer 0's exchange happens ONCE per run (in the
+            # precompute), not per epoch — per-epoch exchange covers only
+            # layers >= 1
+            "hoist_l0": bool(self.config.hoist_l0),
             "exec_time_s": getattr(self, "exec_time", None),
         }
         if dg.ell_np:

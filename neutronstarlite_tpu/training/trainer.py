@@ -325,6 +325,7 @@ class FullGraphTrainer:
             "num_vertices": gt.num_vertices,
             "num_edges": gt.num_edges,
             "agg_dtype": self.config.dtype,
+            "hoist_l0": bool(self.config.hoist_l0),
             "exec_time_s": getattr(self, "exec_time", None),
         }
         if gt.ell is not None:
