@@ -97,6 +97,36 @@ def test_hoist_with_eval_mode_and_fuse(sbm):
     hist_close(a, b)
 
 
+def test_three_layer_hoist_exact(sbm):
+    """Deeper stacks: only layer 0 hoists; layers 1..n aggregate normally."""
+    cfg0 = make_config(sbm, layer_string="16-12-8-3")
+    cfg1 = make_config(sbm, layer_string="16-12-8-3", hoist_l0=True)
+    h0 = FullGraphTrainer(sbm, cfg0, model=gcn, backend="xla").run()
+    h1 = FullGraphTrainer(sbm, cfg1, model=gcn, backend="xla").run()
+    hist_close(h0, h1)
+
+
+def test_hoist_isolated_vertices():
+    """Zero-degree rows: the precomputed aggregate has zero rows there,
+    exactly like the per-epoch form."""
+    import numpy as np
+    from neutronstarlite_tpu.graph.dataset import GNNDatum
+    from neutronstarlite_tpu.graph.structure import build_graph
+    rng = np.random.default_rng(3)
+    v = 120
+    src = rng.integers(0, 80, 400).astype(np.int32)   # vertices 80+ isolated
+    dst = rng.integers(0, 80, 400).astype(np.int32)
+    d = GNNDatum(graph=build_graph(src, dst, v),
+                 features=rng.random((v, 8), np.float32),
+                 labels=rng.integers(0, 3, v).astype(np.int32),
+                 masks=(np.arange(v) % 3).astype(np.int32), num_classes=3)
+    cfg = make_config(d, layer_string="8-8-3", epochs=5)
+    h0 = FullGraphTrainer(d, cfg, model=gcn, backend="xla").run()
+    cfg1 = make_config(d, layer_string="8-8-3", epochs=5, hoist_l0=True)
+    h1 = FullGraphTrainer(d, cfg1, model=gcn, backend="xla").run()
+    hist_close(h0, h1)
+
+
 class TestDistHoist:
     def test_dist_hoist_matches_unhoisted(self, sbm):
         base = DistTrainer(sbm, make_config(sbm), model=gcn,

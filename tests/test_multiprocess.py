@@ -115,6 +115,13 @@ def test_hoist_l0_across_processes():
                   _run_local("hoist", 2, env))
 
 
+def test_multihead_gat_across_processes():
+    """NUM_HEADS=2 GAT under jax.distributed == the single-process run."""
+    env = _clean_env()
+    _assert_match(_run_dist("gat_heads", 2, 1, env),
+                  _run_local("gat_heads", 2, env))
+
+
 def test_flag_matrix_across_processes():
     """GAT + PROC_OVERLAP (per-set softmax stats merged exactly) +
     EXCHANGE:ring + DepCache (hot-block all_gather, CACHE_REFRESH:2 stale

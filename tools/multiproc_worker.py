@@ -61,6 +61,13 @@ def run_scenario(name: str, world: int):
     if name == "gcn":
         from neutronstarlite_tpu.models import gcn
         return DistTrainer(sbm, cfg, model=gcn, num_partitions=world).run()
+    if name == "gat_heads":
+        # NUM_HEADS multi-head GAT: the shared per-layer dep exchange
+        # carries every head's slice across the process boundary
+        from neutronstarlite_tpu.models import gat
+        cfg.num_heads = 2
+        cfg.layer_string = "16-8-3"
+        return DistTrainer(sbm, cfg, model=gat, num_partitions=world).run()
     if name == "hoist":
         from neutronstarlite_tpu.models import gcn
         cfg.hoist_l0 = True
