@@ -80,6 +80,11 @@ def main():
                 "ring_MB_per_device": round(ring / 1e6, 2),
                 "ring_vs_exact": round(ring / max(a2a_exact, 1), 3),
                 "allgather_MB_per_device": round(ag / 1e6, 2),
+                # HOIST_L0 removes layer 0's exchange from every EPOCH
+                # (paid once in the precompute). At uniform F that is a
+                # (L-1)/L scale; for the real bench widths (eager layers
+                # 128+41) the per-epoch exchange drops to 41/169 = 0.24x
+                "hoist_l0_epoch_scale": round((n_layers - 1) / n_layers, 3),
             }))
 
     # the recommended skewed-graph recipe: SHUFFLE_VERTICES (balances
