@@ -47,7 +47,8 @@ def main():
             ("commnet_eager", commnet, {"eager": True}),
             ("commnet_eager_hoist", commnet,
              {"eager": True, "_hoist": True}),
-            ("gat", gat, {}), ("ggcn", ggcn, {}), ("sage", sage, {}))
+            ("gat", gat, {}), ("gat_h4", gat, {"_heads": 4}),
+            ("ggcn", ggcn, {}), ("sage", sage, {}))
     only = os.environ.get("NSL_BENCH_MODELS")  # comma-separated name filter
     if only:
         wanted = {s.strip() for s in only.split(",")}
@@ -55,11 +56,13 @@ def main():
     for name, model, kwargs in runs:
         kwargs = dict(kwargs)
         hoist = kwargs.pop("_hoist", False)
+        heads = kwargs.pop("_heads", 1)
         cfg = InputInfo(vertices=v, epochs=epochs,
                         layer_string="602-128-41", learn_rate=0.01,
                         weight_decay=1e-4,
                         drop_rate=0.5 if name.startswith("gcn") else 0.0,
                         seed=0, dtype=dtype, hoist_l0=hoist)
+        cfg.num_heads = heads
         try:
             t0 = time.time()
             tr = FullGraphTrainer(datum, cfg, model=model, backend="pallas",
