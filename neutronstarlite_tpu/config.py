@@ -101,6 +101,12 @@ class InputInfo:
                                     # the chunked pipeline (0 = 1024 MB
                                     # default; env NSL_GATED_CHUNK_MB
                                     # overrides)
+    feature_norm: bool = False      # FEATURE_NORM: per-feature
+                                    # standardization of the loaded table
+                                    # ((x-mean)/std at load; ours — the
+                                    # reference trains on raw features).
+                                    # The fix for bn-less models on
+                                    # unnormalized real features.
     num_heads: int = 1              # NUM_HEADS: multi-head attention for
                                     # GAT (hidden layers split F_out into H
                                     # heads over ONE shared dep exchange,
@@ -206,6 +212,8 @@ class InputInfo:
             "GATED_CHUNK_MB": lambda: setattr(self, "gated_chunk_mb",
                                               int(val)),
             "HOIST_L0": lambda: setattr(self, "hoist_l0", flag(val)),
+            "FEATURE_NORM": lambda: setattr(self, "feature_norm",
+                                            flag(val)),
             "NUM_HEADS": lambda: setattr(self, "num_heads", int(val)),
             "RESUME": lambda: setattr(self, "resume", flag(val)),
             "PREDICT_OUT": lambda: setattr(self, "predict_out", val),

@@ -60,6 +60,17 @@ def load_dataset(config: InputInfo, weight: str = "norm_degree") -> GNNDatum:
         labels = io.read_labels(config.label_file, v)
         masks = io.read_masks(config.mask_file, v)
 
+    if getattr(config, "feature_norm", False):
+        # FEATURE_NORM:1 — per-feature standardization at load (ours; the
+        # reference trains on raw tables). Models without batchnorm
+        # (CommNet/GAT/SAGE/GGCN, matching the reference toolkits) are
+        # fragile on unnormalized real features: measured on digits21k,
+        # raw 0-16 features kill CommNet outright (relu death at lr 0.01)
+        # while the standardized table trains normally.
+        mu = feats.mean(axis=0, keepdims=True)
+        sd = feats.std(axis=0, keepdims=True)
+        feats = ((feats - mu) / np.maximum(sd, 1e-6)).astype(np.float32)
+
     return GNNDatum(graph=graph, features=feats, labels=labels, masks=masks,
                     num_classes=num_classes)
 

@@ -155,3 +155,39 @@ class TestReorder:
                          masks=np.zeros(v, np.int32), num_classes=2)
         ds = degree_sort(datum)
         assert (np.diff(ds.graph.out_degree) <= 0).all()
+
+
+def test_feature_norm_key(tmp_path):
+    """FEATURE_NORM:1 standardizes the loaded table per feature (ours; the
+    reference trains on raw features — bn-less models are fragile on
+    unnormalized real data, BASELINE.md digits21k sweep)."""
+    import os
+    import sys
+
+    import numpy as np
+
+    from neutronstarlite_tpu.config import InputInfo
+    from neutronstarlite_tpu.graph.dataset import (load_dataset,
+                                                   synthetic_sbm_dataset)
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    from generate_dataset import write_nts
+    sbm = synthetic_sbm_dataset(num_vertices=97, feat_dim=6, num_classes=3,
+                                avg_degree=5, seed=1)
+    out = str(tmp_path / "nrm")
+    g = sbm.graph
+    feats = (sbm.features * 7.5 + 3.0).astype(np.float32)  # unnormalized
+    write_nts(out, g.fwd_src, g.fwd_dst, feats, sbm.labels, sbm.masks)
+    cfg = InputInfo(vertices=97, layer_string="6-4-3",
+                    edge_file=out + ".edge.self",
+                    feature_file=out + ".featuretable",
+                    label_file=out + ".labeltable",
+                    mask_file=out + ".mask", feature_norm=True)
+    d = load_dataset(cfg)
+    np.testing.assert_allclose(d.features.mean(0), 0.0, atol=1e-4)
+    np.testing.assert_allclose(d.features.std(0), 1.0, atol=1e-3)
+    # and the key parses from a cfg file
+    p = tmp_path / "t.cfg"
+    p.write_text("FEATURE_NORM:1\n")
+    assert InputInfo.from_cfg_file(str(p)).feature_norm is True
