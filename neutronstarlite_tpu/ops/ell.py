@@ -1172,7 +1172,7 @@ def _attn_lin_fwd_impl(ell, x, a_l, s_dst, slope):
         big_m, big_s, u = mb, sb, ub[:ell.num_dst]
     big_s = jnp.maximum(big_s, 1e-30)
     out = (u / big_s[:ell.num_dst, None])[:ell.num_dst].astype(x.dtype)
-    return out, (big_m, big_s)
+    return out, (big_m, big_s, u)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -1189,7 +1189,7 @@ def attention_aggregate_linear(ell: EllGraph, x: jax.Array, a_l: jax.Array,
 
 
 def _attn_lin_fwd(ell, x, a_l, s_dst, slope):
-    out, (big_m, big_s) = _attn_lin_fwd_impl(ell, x, a_l, s_dst, slope)
+    out, (big_m, big_s, _) = _attn_lin_fwd_impl(ell, x, a_l, s_dst, slope)
     return out, (ell, x, a_l, s_dst, big_m, big_s)
 
 
@@ -1272,6 +1272,159 @@ def _attn_lin_bwd(slope, res, g):
 attention_aggregate_linear.defvjp(_attn_lin_fwd, _attn_lin_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Linear-score softmax stats (PROC_OVERLAP split × GAT fast path)
+# ---------------------------------------------------------------------------
+#
+# attention_stats with the linear-score in-block recompute: under the
+# PROC_OVERLAP local/remote slab split each set contributes unnormalized
+# parts (num, den, c) for merge_softmax_parts — but unlike attention_stats
+# the per-slot score s_src = x·a_l is RECOMPUTED from the feature block the
+# aggregate already gathers (a VPU einsum), so the split path keeps the
+# exact optimization that bought 0.775→0.551 s/epoch single-chip
+# (BASELINE.md "GAT linear-score rework") instead of falling back to
+# materialized s_src + per-slot scalar gathers.  Gradients: c is a
+# stop-grad stabilizer, so dz_k = x_k·dnum + dden and
+# dpre_k = z_k·dz_k·leaky' — no softmax inner term (that appears only
+# through the merge, where AD produces it).
+
+
+def _lin_stats_bwd_pass(idx, w, dnc, stats3, x_rows, s_src_rows, f, slope):
+    """Backward bwd-layout pass of the linear STATS op: per block, gather
+    the dnum rows and the 3 per-dst stats (s_dst, c, dden); z and dpre are
+    recomputed in-register (same tile-aware stat transport as
+    _lin_bwd_pass — the stats ride as extra lanes while F+3 fits a tile).
+    Returns (dx_rows [rows, F] f32 = Σ_k z·dnum, dspre_rows [rows] =
+    Σ_k dpre)."""
+    rows, k = idx.shape
+    if rows == 0:
+        return (jnp.zeros((0, f), jnp.float32), jnp.zeros((0,), jnp.float32))
+    fuse_lanes = f + 3 <= 128
+    g_aug = (jnp.concatenate([dnc, stats3.astype(dnc.dtype)], axis=1)
+             if fuse_lanes else dnc)
+    bv = _slab_gated_blocks(rows, k, g_aug.shape[-1],
+                            itemsize=g_aug.dtype.itemsize)
+
+    def block(args):
+        ib, wb, xrb, ssb = args
+        ga = jnp.take(g_aug, ib, axis=0)           # [bv, Kb, F(+3)]
+        dnk = ga[..., :f]
+        if fuse_lanes:
+            st = ga[..., f:].astype(jnp.float32)   # [bv, Kb, 3]
+        else:
+            st = jnp.take(stats3, ib, axis=0)      # separate small-table
+        sdk, ck, ddk = st[..., 0], st[..., 1], st[..., 2]
+        valid = wb != 0
+        da = jnp.einsum("vkf,vf->vk", dnk, xrb,
+                        preferred_element_type=jnp.float32)
+        pre = ssb[:, None] + sdk
+        # mask BEFORE exp: padding slots may reference padded stat rows
+        m = jnp.where(valid, jax.nn.leaky_relu(pre, slope), _NEG)
+        z = jnp.exp(m - ck)
+        # explicit where-mask (not just z==0): rows empty in EVERY part
+        # get NaN dden cotangents from merge's clamped-den division VJP
+        # (den² underflows f32), and 0·NaN = NaN — same convention as
+        # _attn_stats_bwd / _gated_stats_bwd
+        dpre = jnp.where(valid,
+                         z * (da + ddk) * jnp.where(pre > 0, 1.0, slope),
+                         0.0)
+        dx = jnp.einsum("vk,vkf->vf", z, dnk,
+                        preferred_element_type=jnp.float32)
+        return dx, jnp.sum(dpre, axis=1)
+
+    return _map_row_blocks(block, (idx, w, x_rows, s_src_rows), rows, bv)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def attention_stats_linear(ell: EllGraph, x: jax.Array, a_l: jax.Array,
+                           s_dst: jax.Array, slope: float = 0.2):
+    """Returns (num [Vd,F], den [Vd], c [Vd]) — ``attention_stats`` with
+    s_src = x·a_l recomputed in-block (see the section comment above); the
+    PROC_OVERLAP split analogue of ``attention_aggregate_linear``."""
+    _, (big_m, big_s, u) = _attn_lin_fwd_impl(ell, x, a_l, s_dst, slope)
+    return (u.astype(x.dtype), big_s[:ell.num_dst], big_m[:ell.num_dst])
+
+
+def _attn_stats_lin_fwd(ell, x, a_l, s_dst, slope):
+    _, (big_m, big_s, u) = _attn_lin_fwd_impl(ell, x, a_l, s_dst, slope)
+    out = (u.astype(x.dtype), big_s[:ell.num_dst], big_m[:ell.num_dst])
+    return out, (ell, x, a_l, s_dst, big_m)
+
+
+def _attn_stats_lin_bwd(slope, res, g):
+    dnum, dden, _dc = g        # c is a stop-grad stabilizer by construction
+    ell, x, a_l, s_dst, big_m = res
+    vd_pad, _ = ell.f_idx.shape
+    f = x.shape[-1]
+    has_tail = ell.f_tail_idx.shape[0] > 0
+    xc = ell.cast_in(x)
+    a_vec = a_l.astype(xc.dtype)
+    dnum_pad = jnp.pad(dnum, ((0, vd_pad - ell.num_dst), (0, 0)))
+    dnc = ell.cast_in(dnum_pad)
+    dden_pad = jnp.pad(dden, (0, vd_pad - ell.num_dst))
+    s_dst_p = jnp.pad(s_dst.astype(jnp.float32),
+                      (0, vd_pad - s_dst.shape[0]))
+
+    # ---- fwd-layout: da + pre from one gather per slab → ds_dst ----
+    f_valid = ell.f_w != 0
+    da, pre = _lin_da_pre_pass(ell.f_idx, xc, a_vec, s_dst_p, dnc)
+    m = jnp.where(f_valid, jax.nn.leaky_relu(pre, slope), _NEG)
+    z = jnp.exp(m - big_m[:, None])
+    # where-mask, not just z==0: empty-everywhere rows carry NaN dden
+    # cotangents (merge's clamped-den division VJP; den² underflows f32)
+    dpre = jnp.where(f_valid,
+                     z * (da + dden_pad[:, None])
+                     * jnp.where(pre > 0, 1.0, slope), 0.0)
+    ds_dst = jnp.sum(dpre, axis=1)
+    if has_tail:
+        t_valid = ell.f_tail_w != 0
+        s_dst_t = jnp.take(s_dst_p, ell.f_tail_rows)
+        dn_t = jnp.take(dnc, ell.f_tail_rows, axis=0)
+        da_t, pre_t = _lin_da_pre_pass(ell.f_tail_idx, xc, a_vec, s_dst_t,
+                                       dn_t)
+        m_t = jnp.where(t_valid, jax.nn.leaky_relu(pre_t, slope), _NEG)
+        z_t = jnp.exp(m_t - jnp.take(big_m, ell.f_tail_rows)[:, None])
+        dpre_t = jnp.where(
+            t_valid,
+            z_t * (da_t + jnp.take(dden_pad, ell.f_tail_rows)[:, None])
+            * jnp.where(pre_t > 0, 1.0, slope), 0.0)
+        ds_dst = jnp.pad(
+            _tail_combine(ds_dst[:ell.num_dst], jnp.sum(dpre_t, axis=1),
+                          ell.f_tail_rows, ell.num_dst),
+            (0, vd_pad - ell.num_dst))
+    ds_dst = ds_dst[:s_dst.shape[0]]
+
+    # ---- bwd-layout: per-dst stats travel with the dnum-row gather ----
+    stats3 = jnp.stack([s_dst_p, big_m, dden_pad], axis=1)
+    vs_pad = ell.b_idx.shape[0]
+    xc_pad = jnp.pad(xc, ((0, vs_pad - xc.shape[0]), (0, 0)))
+    s_src = jnp.einsum("vf,f->v", xc_pad, a_vec,
+                       preferred_element_type=jnp.float32)
+    dx, dspre = _lin_stats_bwd_pass(ell.b_idx, ell.b_w, dnc, stats3, xc_pad,
+                                    s_src, f, slope)
+    if ell.b_tail_idx.shape[0]:
+        xr_t = jnp.take(xc_pad, jnp.clip(ell.b_tail_rows, 0, vs_pad - 1),
+                        axis=0)
+        ss_t = jnp.take(s_src, jnp.clip(ell.b_tail_rows, 0, vs_pad - 1))
+        dx_t, dspre_t = _lin_stats_bwd_pass(ell.b_tail_idx, ell.b_tail_w,
+                                            dnc, stats3, xr_t, ss_t, f,
+                                            slope)
+        dx = _tail_combine(dx[:ell.num_src], dx_t, ell.b_tail_rows,
+                           ell.num_src)
+        dspre = _tail_combine(dspre[:ell.num_src], dspre_t,
+                              ell.b_tail_rows, ell.num_src)
+    dx = dx[:x.shape[0]]
+    dspre = dspre[:x.shape[0]]
+    # score linearization: dx += dspre·a_l ; da_l = Σ_v dspre·x
+    dx = (dx + dspre[:, None] * a_l[None, :].astype(dx.dtype)
+          ).astype(x.dtype)
+    da_l = jnp.einsum("vf,v->f", x.astype(jnp.float32), dspre,
+                      preferred_element_type=jnp.float32
+                      ).astype(a_l.dtype)
+    return None, dx, da_l, ds_dst
+
+
+attention_stats_linear.defvjp(_attn_stats_lin_fwd, _attn_stats_lin_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -1463,7 +1616,7 @@ def _gated_chunked_fwd(ell: EllGraph, x, g_src, g_dst, slope, gl=None):
         ssum, outz = s_b * sc_b, o_b * sc_b
     ssum = jnp.maximum(ssum, 1e-30)
     out = (outz[:ell.num_dst] / ssum[:ell.num_dst]).astype(x.dtype)
-    return out, (rmax, ssum)
+    return out, (rmax, ssum, outz)
 
 
 def _gated_chunked_bwd(ell: EllGraph, x, g_src, g_dst, slope, g, rmax, ssum,
@@ -1623,7 +1776,8 @@ def _gated_fwd_impl(ell, x, g_src, g_dst, slope):
 
 def _gated_fwd(ell, x, g_src, g_dst, slope):
     if _gated_big(ell, x.shape[-1]):
-        out, (rmax, ssum) = _gated_chunked_fwd(ell, x, g_src, g_dst, slope)
+        out, (rmax, ssum, _) = _gated_chunked_fwd(ell, x, g_src, g_dst,
+                                                  slope)
         # row stats ([Vd_pad, F], small) spare the backward one full
         # stat-recompute pass; everything slot-shaped is rematerialized
         return out, (ell, x, g_src, g_dst, rmax, ssum)
@@ -1791,8 +1945,8 @@ def gated_aggregate_linear(ell: EllGraph, x: jax.Array, gl: jax.Array,
 
 def _gated_lin_fwd(ell, x, gl, g_dst, slope):
     if _gated_big(ell, x.shape[-1]):
-        out, (rmax, ssum) = _gated_chunked_fwd(ell, x, None, g_dst, slope,
-                                               gl=gl)
+        out, (rmax, ssum, _) = _gated_chunked_fwd(ell, x, None, g_dst,
+                                                  slope, gl=gl)
         return out, (ell, x, gl, g_dst, rmax, ssum)
     out, _ = _gated_fwd_impl(ell, x, x @ gl, g_dst, slope)
     return out, (ell, x, gl, g_dst, None, None)
@@ -1818,3 +1972,168 @@ def _gated_lin_bwd(slope, resid, g):
 
 
 gated_aggregate_linear.defvjp(_gated_lin_fwd, _gated_lin_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Linear-gate softmax stats (PROC_OVERLAP split × GGCN fast path)
+# ---------------------------------------------------------------------------
+#
+# gated_stats with the linear-gate in-block recompute: each PROC_OVERLAP
+# slab set contributes per-lane unnormalized parts (num, den, c) for
+# merge_softmax_parts while the slot passes gather ONLY the feature rows
+# (F lanes, not 2F) and form g_src = x·gl on the MXU inside each block —
+# the split path keeps the optimization that bought 1.449→0.923 s/epoch
+# single-chip (BASELINE.md "GGCN linear-gate fused op").  Above
+# _GATED_CHUNK_BYTES the blockwise pipeline runs (nothing slot-shaped
+# materialized), so the caller needs no lane chunking.
+
+
+def _gated_stats_chunked_bwd(ell: EllGraph, x, gl, g_dst, slope, dnum,
+                             dden, rmax):
+    """Chunked backward of the linear-gate STATS op.  c (=rmax) is a
+    constant stabilizer, so per slot dz = x·dnum + dden and
+    dpre = z·dz·leaky' — no inner term.  Pass layout mirrors
+    _gated_chunked_bwd: a dst-major blockwise pass sums dpre into dg_dst;
+    the src-major passes gather a 4F per-dst stats table
+    [g_dst ‖ dnum ‖ dden ‖ rmax] (agg dtype) and recompute z in-block.
+    Returns (dx_direct [V,F] — the Σ z·dnum term only, dg_src [Vs,F],
+    dg_dst [Vd,F]); the caller adds the gl chain-rule terms."""
+    vd_pad, k = ell.f_idx.shape
+    f = x.shape[-1]
+    xc = ell.cast_in(x)
+    glc = gl.astype(xc.dtype)
+    g_dst_p = jnp.pad(g_dst, ((0, vd_pad - g_dst.shape[0]), (0, 0)))
+    dnum_pad = jnp.pad(dnum, ((0, vd_pad - ell.num_dst), (0, 0))
+                       ).astype(jnp.float32)
+    dden_pad = jnp.pad(dden, ((0, vd_pad - ell.num_dst), (0, 0))
+                       ).astype(jnp.float32)
+    has_tail = ell.f_tail_idx.shape[0] > 0
+    trows = jnp.clip(ell.f_tail_rows, 0, vd_pad - 1) if has_tail else None
+
+    def blk_dst(args):
+        ib, wb, gd, rm, dn, dd = args
+        xg = jnp.take(xc, ib, axis=0)                 # [bv, K, F]
+        gs = jnp.einsum("vkf,fo->vko", xg, glc,
+                        preferred_element_type=jnp.float32).astype(xg.dtype)
+        pre = gs + gd[:, None, :]
+        valid = (wb != 0)[:, :, None]
+        z = jnp.where(valid, jnp.exp(jax.nn.leaky_relu(pre, slope)
+                                     - rm[:, None, :]), 0.0)
+        dz = xg * dn[:, None, :] + dd[:, None, :]
+        # where-mask (see _lin_stats_bwd_pass): empty-everywhere rows get
+        # NaN dden from merge's clamped-den VJP, and 0·NaN = NaN
+        dpre = jnp.where(valid, z * dz * jnp.where(pre > 0, 1.0, slope),
+                         0.0)
+        return (jnp.sum(dpre, axis=1),)
+
+    bv2 = _slab_gated_blocks(vd_pad, k, 2 * f)
+    (dg_dst,) = _map_row_blocks(
+        blk_dst, (ell.f_idx, ell.f_w, g_dst_p, rmax, dnum_pad, dden_pad),
+        vd_pad, bv2)
+    if has_tail:
+        gd_t = jnp.take(g_dst_p, trows, axis=0)
+        rm_t = jnp.take(rmax, trows, axis=0)
+        dn_t = jnp.take(dnum_pad, trows, axis=0)
+        dd_t = jnp.take(dden_pad, trows, axis=0)
+        (dg_dst_t,) = _map_row_blocks(
+            blk_dst, (ell.f_tail_idx, ell.f_tail_w, gd_t, rm_t, dn_t, dd_t),
+            ell.f_tail_idx.shape[0], bv2)
+        dg_dst = jnp.concatenate([
+            _tail_combine(dg_dst[:ell.num_dst], dg_dst_t, ell.f_tail_rows,
+                          ell.num_dst), dg_dst[ell.num_dst:]])
+    dg_dst = dg_dst[:g_dst.shape[0]]
+
+    # per-dst stats table for the src-major passes (agg dtype — same
+    # bf16 wobble bound as _gated_chunked_bwd's table)
+    stats = ell.cast_in(
+        jnp.concatenate([g_dst_p, dnum_pad, dden_pad, rmax], axis=-1))
+
+    vs_pad, kb = ell.b_idx.shape
+    g_src = (x @ gl).astype(jnp.float32)
+    g_src_p = jnp.pad(g_src, ((0, vs_pad - g_src.shape[0]), (0, 0)))
+    x_p = jnp.pad(xc.astype(jnp.float32),
+                  ((0, vs_pad - x.shape[0]), (0, 0)))
+
+    def blk_src(args):
+        ib, wb, gs, xs = args
+        t = jnp.take(stats, ib, axis=0)               # [bv, Kb, 4F]
+        gd, dn = t[..., :f], t[..., f:2 * f]
+        dd, rm = t[..., 2 * f:3 * f], t[..., 3 * f:]
+        pre = gs[:, None, :] + gd
+        valid = (wb != 0)[:, :, None]
+        z = jnp.where(valid,
+                      jnp.exp(jax.nn.leaky_relu(pre, slope) - rm), 0.0)
+        dz = xs[:, None, :] * dn + dd
+        # where-mask (see blk_dst above): gathered dd may be NaN for
+        # empty-everywhere stat rows referenced by padding slots
+        dpre = jnp.where(valid, z * dz * jnp.where(pre > 0, 1.0, slope),
+                         0.0)
+        return (jnp.sum(dpre, axis=1),                # dg_src rows
+                jnp.sum(z * dn, axis=1))              # dx rows (direct)
+
+    bv4 = _slab_gated_blocks(vs_pad, kb, 4 * f)
+    dg_src, dx = _map_row_blocks(
+        blk_src, (ell.b_idx, ell.b_w, g_src_p, x_p), vs_pad, bv4)
+    if ell.b_tail_idx.shape[0]:
+        btr = jnp.clip(ell.b_tail_rows, 0, vs_pad - 1)
+        gs_t = jnp.take(g_src_p, btr, axis=0)
+        xs_t = jnp.take(x_p, btr, axis=0)
+        dg_src_t, dx_t = _map_row_blocks(
+            blk_src, (ell.b_tail_idx, ell.b_tail_w, gs_t, xs_t),
+            ell.b_tail_idx.shape[0], bv4)
+        dg_src = _tail_combine(dg_src[:ell.num_src], dg_src_t,
+                               ell.b_tail_rows, ell.num_src)
+        dx = _tail_combine(dx[:ell.num_src], dx_t, ell.b_tail_rows,
+                           ell.num_src)
+    else:
+        dg_src = dg_src[:ell.num_src]
+        dx = dx[:ell.num_src]
+    return dx[:x.shape[0]], dg_src[:x.shape[0]], dg_dst
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def gated_stats_linear(ell: EllGraph, x: jax.Array, gl: jax.Array,
+                       g_dst: jax.Array, slope: float = 0.2):
+    """Returns (num [Vd,F], den [Vd,F], c [Vd,F]) — ``gated_stats`` with
+    g_src = x·gl recomputed in-block (see the section comment above); the
+    PROC_OVERLAP split analogue of ``gated_aggregate_linear``.  ``gl``
+    must be square [F, F] (gate lanes == aggregated lanes)."""
+    if gl.shape[0] != gl.shape[1] or gl.shape[0] != x.shape[-1]:
+        raise ValueError(
+            f"gated_stats_linear needs square gl matching x's lane count; "
+            f"got gl {gl.shape} for x [..., {x.shape[-1]}]")
+    out, _ = _gated_stats_lin_fwd(ell, x, gl, g_dst, slope)
+    return out
+
+
+def _gated_stats_lin_fwd(ell, x, gl, g_dst, slope):
+    if _gated_big(ell, x.shape[-1]):
+        _, (rmax, ssum, outz) = _gated_chunked_fwd(ell, x, None, g_dst,
+                                                   slope, gl=gl)
+        out = (outz[:ell.num_dst].astype(x.dtype), ssum[:ell.num_dst],
+               rmax[:ell.num_dst])
+        return out, (ell, x, gl, g_dst, rmax)
+    num, den, c, _ = _gated_stats_fwd_impl(ell, x, x @ gl, g_dst, slope)
+    return (num, den, c), (ell, x, gl, g_dst, None)
+
+
+def _gated_stats_lin_bwd(slope, resid, g):
+    dnum, dden, _dc = g        # c is a stop-grad stabilizer by construction
+    ell, x, gl, g_dst, rmax = resid
+    if rmax is not None:
+        dx_agg, dg_src, dg_dst = _gated_stats_chunked_bwd(
+            ell, x, gl, g_dst, slope, dnum, dden, rmax)
+    else:
+        _, dx_agg, dg_src, dg_dst = _gated_stats_bwd(
+            slope, (ell, x, x @ gl, g_dst), (dnum, dden, None))
+    # chain rule through g_src = x·gl
+    dgl = jnp.einsum("vf,vo->fo", x.astype(jnp.float32),
+                     dg_src.astype(jnp.float32),
+                     preferred_element_type=jnp.float32).astype(gl.dtype)
+    dx = (dx_agg.astype(jnp.float32)
+          + dg_src.astype(jnp.float32) @ gl.astype(jnp.float32).T
+          ).astype(x.dtype)
+    return None, dx, dgl, dg_dst
+
+
+gated_stats_linear.defvjp(_gated_stats_lin_fwd, _gated_stats_lin_bwd)

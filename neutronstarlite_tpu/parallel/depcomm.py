@@ -746,8 +746,23 @@ class DistGraphTensors:
         if self.ell is not None and "comb" in self.ell:
             return ell_mod.attention_aggregate_linear(
                 self.ell["comb"], table, a_l, s_dst, slope)
-        # split (PROC_OVERLAP) or segment fallback: materialize s_src —
-        # attention_aggregate routes to the merged-stats fused path
+        if self.ell is not None and "local" in self.ell:
+            # PROC_OVERLAP split slabs keep the linear-score fast path:
+            # each set contributes unnormalized parts with the per-slot
+            # score RECOMPUTED in-block (attention_stats_linear) — no
+            # materialized s_src, no per-slot scalar gathers; the local
+            # pass still has no data dependency on the exchange
+            v = self.num_vertices
+            parts = [
+                ell_mod.attention_stats_linear(self.ell["local"],
+                                               table[:v], a_l, s_dst,
+                                               slope),
+                ell_mod.attention_stats_linear(self.ell["remote"],
+                                               table[v:], a_l, s_dst,
+                                               slope),
+            ]
+            return ell_mod.merge_softmax_parts(parts).astype(table.dtype)
+        # segment fallback: materialize s_src
         return self.attention_aggregate(table, table @ a_l, s_dst, slope)
 
     def gated_aggregate(self, table: jax.Array, g_src: jax.Array,
@@ -816,8 +831,22 @@ class DistGraphTensors:
         if self.ell is not None and "comb" in self.ell:
             return ell_mod.gated_aggregate_linear(
                 self.ell["comb"], table, gl, g_dst, slope)
-        # split (PROC_OVERLAP) or segment fallback: materialize g_src —
-        # gated_aggregate routes to the merged-stats fused path
+        if self.ell is not None and "local" in self.ell:
+            # PROC_OVERLAP split slabs keep the linear-gate fast path:
+            # per-lane unnormalized parts with g_src = x·gl recomputed
+            # in-block (gated_stats_linear). Above _GATED_CHUNK_BYTES the
+            # op runs its blockwise pipeline internally, so no caller-side
+            # lane chunking is needed (contrast gated_aggregate's
+            # materialized-g_src split, which chunks lanes)
+            v = self.num_vertices
+            parts = [
+                ell_mod.gated_stats_linear(self.ell["local"], table[:v],
+                                           gl, g_dst, slope),
+                ell_mod.gated_stats_linear(self.ell["remote"], table[v:],
+                                           gl, g_dst, slope),
+            ]
+            return ell_mod.merge_softmax_parts(parts).astype(table.dtype)
+        # segment fallback: materialize g_src
         return self.gated_aggregate(table, table @ gl, g_dst, slope)
 
     @property

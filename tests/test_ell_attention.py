@@ -624,3 +624,144 @@ class TestSplitStats:
             ell.attention_stats(egb, x, s_src, s_dst, 0.2)])
         np.testing.assert_allclose(np.asarray(merged), np.asarray(full),
                                    rtol=2e-4, atol=2e-5)
+
+    # ---- linear-score / linear-gate split stats (PROC_OVERLAP keeps the
+    # in-block recompute fast path; VERDICT r3 weak-item 3) ----
+
+    def test_attention_linear_merge_matches_full(self, eg, split,
+                                                 scal_inputs):
+        x, _, s_dst = scal_inputs
+        r = np.random.default_rng(41)
+        a_l = jnp.asarray(r.standard_normal(x.shape[-1]).astype(np.float32))
+        ega, egb = split
+        full = ell.attention_aggregate_linear(eg, x, a_l, s_dst, 0.2)
+        merged = ell.merge_softmax_parts([
+            ell.attention_stats_linear(ega, x, a_l, s_dst, 0.2),
+            ell.attention_stats_linear(egb, x, a_l, s_dst, 0.2)])
+        np.testing.assert_allclose(np.asarray(merged), np.asarray(full),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_attention_linear_merge_grads_match(self, eg, split,
+                                                scal_inputs):
+        x, _, s_dst = scal_inputs
+        r = np.random.default_rng(42)
+        a_l = jnp.asarray(r.standard_normal(x.shape[-1]).astype(np.float32))
+        ega, egb = split
+
+        def loss_full(x_, al, sd):
+            return jnp.sum(
+                ell.attention_aggregate_linear(eg, x_, al, sd, 0.2) ** 2)
+
+        def loss_merged(x_, al, sd):
+            m = ell.merge_softmax_parts([
+                ell.attention_stats_linear(ega, x_, al, sd, 0.2),
+                ell.attention_stats_linear(egb, x_, al, sd, 0.2)])
+            return jnp.sum(m ** 2)
+
+        gf = jax.grad(loss_full, argnums=(0, 1, 2))(x, a_l, s_dst)
+        gm = jax.grad(loss_merged, argnums=(0, 1, 2))(x, a_l, s_dst)
+        for a, b in zip(gm, gf):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-5)
+
+    def test_attention_linear_wide_lanes(self, g, split, scal_inputs):
+        """F+3 > 128 exercises the separate-small-table stat transport in
+        the stats backward (fuse_lanes=False branch)."""
+        _, _, s_dst = scal_inputs
+        r = np.random.default_rng(43)
+        v = g.num_vertices
+        x = jnp.asarray(r.standard_normal((v, 130)).astype(np.float32))
+        a_l = jnp.asarray(r.standard_normal(130).astype(np.float32))
+        ega, egb = split
+        eg_full = ell.build_ell_graph(g, ell_cap=16)
+        full = ell.attention_aggregate_linear(eg_full, x, a_l, s_dst, 0.2)
+        merged = ell.merge_softmax_parts([
+            ell.attention_stats_linear(ega, x, a_l, s_dst, 0.2),
+            ell.attention_stats_linear(egb, x, a_l, s_dst, 0.2)])
+        np.testing.assert_allclose(np.asarray(merged), np.asarray(full),
+                                   rtol=2e-4, atol=2e-5)
+
+        def loss_merged(x_):
+            m = ell.merge_softmax_parts([
+                ell.attention_stats_linear(ega, x_, a_l, s_dst, 0.2),
+                ell.attention_stats_linear(egb, x_, a_l, s_dst, 0.2)])
+            return jnp.sum(m ** 2)
+
+        def loss_full(x_):
+            return jnp.sum(
+                ell.attention_aggregate_linear(eg_full, x_, a_l, s_dst,
+                                               0.2) ** 2)
+
+        # slightly looser than the narrow-lane test: at F=130 the two
+        # implementations accumulate in different reduction orders
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(loss_merged)(x)),
+            np.asarray(jax.grad(loss_full)(x)), rtol=1e-3, atol=2e-4)
+
+    def test_gated_linear_merge_matches_full(self, g, eg, split, feats):
+        r = np.random.default_rng(44)
+        f = feats.shape[-1]
+        gl = jnp.asarray(r.standard_normal((f, f)).astype(np.float32) * 0.3)
+        gd = jnp.asarray(r.standard_normal((g.num_vertices, f))
+                         .astype(np.float32))
+        ega, egb = split
+        full = ell.gated_aggregate_linear(eg, feats, gl, gd, 0.2)
+        merged = ell.merge_softmax_parts([
+            ell.gated_stats_linear(ega, feats, gl, gd, 0.2),
+            ell.gated_stats_linear(egb, feats, gl, gd, 0.2)])
+        np.testing.assert_allclose(np.asarray(merged), np.asarray(full),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_gated_linear_merge_grads_match(self, g, eg, split, feats):
+        r = np.random.default_rng(45)
+        f = feats.shape[-1]
+        gl = jnp.asarray(r.standard_normal((f, f)).astype(np.float32) * 0.3)
+        gd = jnp.asarray(r.standard_normal((g.num_vertices, f))
+                         .astype(np.float32))
+        ega, egb = split
+
+        def loss_full(x_, gl_, gd_):
+            return jnp.sum(
+                ell.gated_aggregate_linear(eg, x_, gl_, gd_, 0.2) ** 2)
+
+        def loss_merged(x_, gl_, gd_):
+            m = ell.merge_softmax_parts([
+                ell.gated_stats_linear(ega, x_, gl_, gd_, 0.2),
+                ell.gated_stats_linear(egb, x_, gl_, gd_, 0.2)])
+            return jnp.sum(m ** 2)
+
+        gf = jax.grad(loss_full, argnums=(0, 1, 2))(feats, gl, gd)
+        gm = jax.grad(loss_merged, argnums=(0, 1, 2))(feats, gl, gd)
+        for a, b in zip(gm, gf):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-5)
+
+    def test_gated_linear_merge_chunked(self, monkeypatch, g, eg, split,
+                                        feats):
+        """The chunked (big-graph) pipeline of gated_stats_linear must
+        match its own dense form in values AND grads — the path Reddit-
+        scale dist GGCN + PROC_OVERLAP actually runs."""
+        r = np.random.default_rng(46)
+        f = feats.shape[-1]
+        gl = jnp.asarray(r.standard_normal((f, f)).astype(np.float32) * 0.3)
+        gd = jnp.asarray(r.standard_normal((g.num_vertices, f))
+                         .astype(np.float32))
+        ega, egb = split
+
+        def run():
+            def loss(x_, gl_, gd_):
+                m = ell.merge_softmax_parts([
+                    ell.gated_stats_linear(ega, x_, gl_, gd_, 0.2),
+                    ell.gated_stats_linear(egb, x_, gl_, gd_, 0.2)])
+                return jnp.sum(m ** 2)
+            val = ell.merge_softmax_parts([
+                ell.gated_stats_linear(ega, feats, gl, gd, 0.2),
+                ell.gated_stats_linear(egb, feats, gl, gd, 0.2)])
+            return (val,) + jax.grad(loss, argnums=(0, 1, 2))(feats, gl, gd)
+
+        dense = run()
+        monkeypatch.setattr(ell, "_GATED_CHUNK_BYTES", 0)
+        chunked = run()
+        for a, b in zip(chunked, dense):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-5)
