@@ -56,22 +56,40 @@ def init(key: jax.Array, layer_sizes: Sequence[int], dtype=jnp.float32,
 
 def forward(state: GATState, gt, x: jax.Array, key: jax.Array | None,
             training: bool, drop_rate: float = 0.0,
-            tp_axis: str | None = None):
+            tp_axis: str | None = None, heads: int = 1):
+    """``heads`` is only needed under TP (tp_axis set): inside shard_map
+    the attn leaf is the LOCAL [2F'/H, H/f] shard, so its column count no
+    longer distinguishes a multi-head layer from a single-head one (H/f
+    can be 1) — the trainer passes the global NUM_HEADS instead. Without
+    TP the param shape is authoritative and ``heads`` is ignored."""
     del key, drop_rate  # reference GAT applies no dropout in this path
-    for p in state.params:
-        heads = p["attn"].shape[1]
-        if heads > 1:
-            if tp_axis is not None:
-                raise ValueError("NUM_HEADS>1 under TP_DIM is not supported"
-                                 " (head slices and feature shards would "
-                                 "need a joint layout)")
+    n_layers = len(state.params)
+    for i, p in enumerate(state.params):
+        if tp_axis is None:
+            multi = p["attn"].shape[1] > 1
+        else:
+            multi = heads > 1 and i < n_layers - 1
+        if multi:
             # multi-head: ONE exchange table for all heads, the fused
-            # attention chain per head over column slices, concat
-            x_t = x @ p["w"]
+            # attention chain per head over column slices, concat.
+            # Under TP (tp_axis set) the joint layout is head-major:
+            # TP_DIM must divide NUM_HEADS (DistTrainer validates), so
+            # each feature shard owns H/f COMPLETE heads — its contiguous
+            # F'/f weight columns are exactly those heads' slices, and the
+            # [2F'/H, H] attn param column-shards over the same heads.
+            # Every head's softmax then lives entirely within one shard:
+            # no score psum, no extra exchange lanes — the fused
+            # linear-score chain runs unchanged on the narrow shard, and
+            # the global concat order equals the 1-D layout's.
+            if tp_axis is not None:
+                x_t = layers.dense(x, p["w"], tp_axis)  # [V_p, F'/f]
+            else:
+                x_t = x @ p["w"]
+            local_heads = p["attn"].shape[1]  # H, or H/f per TP shard
             mirror = gt.get_dep_nbr(x_t)
-            fh = p["w"].shape[1] // heads
+            fh = p["attn"].shape[0] // 2
             outs = []
-            for h in range(heads):
+            for h in range(local_heads):
                 sl = slice(h * fh, (h + 1) * fh)
                 a_l = p["attn"][:fh, h]
                 a_r = p["attn"][fh:, h]

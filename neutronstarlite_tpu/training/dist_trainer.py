@@ -96,12 +96,20 @@ class DistTrainer:
             # the INPUT dim may be non-divisible (features then stay
             # replicated over 'f' and layer 0's dense skips its gather —
             # layers.dense width test); hidden/output dims must divide
-            if int(getattr(config, "num_heads", 1) or 1) > 1:
-                # the head slices and the 'f' feature shards would need a
-                # joint layout (and the sharder would silently split the
-                # [2F'/H, H] attn param over heads) — reject up front
-                raise ValueError("NUM_HEADS>1 under TP_DIM is not "
-                                 "supported")
+            n_heads = int(getattr(config, "num_heads", 1) or 1)
+            if n_heads > 1:
+                # joint layout: head-major columns. TP_DIM must divide
+                # NUM_HEADS so each feature shard owns whole heads — its
+                # contiguous F'/f weight columns are exactly those heads'
+                # slices and the [2F'/H, H] attn param column-shards over
+                # the same heads; every head's softmax stays in-shard.
+                if n_heads % self.f:
+                    raise ValueError(
+                        f"NUM_HEADS:{n_heads} under TP_DIM:{self.f} "
+                        "requires TP_DIM to divide NUM_HEADS (each "
+                        "feature shard owns whole heads)")
+                self.model_kwargs = dict(model_kwargs, heads=n_heads)
+                model_kwargs = self.model_kwargs
             bad = [s for s in config.layer_sizes[1:] if s % self.f]
             if bad:
                 raise ValueError(

@@ -78,7 +78,12 @@ def sampled_forward_gat(params, features, block_arrays, key, *,
     slots, softmaxes within the row (invalid slots masked), and
     aggregates the transformed neighbor rows — the [cap, fanout] tensors
     are minibatch-small, so plain AD suffices (no custom VJP needed).
-    Requires blocks sampled with include_dst=True (dst_local arrays)."""
+    Requires blocks sampled with include_dst=True (dst_local arrays).
+
+    Multi-head layers (a_l/a_r stored [F'/H, H], NUM_HEADS semantics of
+    models/gat.py: hidden layers multi-head, last single-head) vectorize
+    the per-head softmax over a heads axis — one shared neighbor gather
+    for all heads, head-sliced scores, concat in head order."""
     dst0, tables, idxs, ws, dls = block_arrays
     x = _gather_table(features, tables[-1])
     if training and drop_rate > 0:
@@ -88,17 +93,39 @@ def sampled_forward_gat(params, features, block_arrays, key, *,
         if training and drop_rate > 0:
             x = layers.dropout(dkeys[l], x, drop_rate, True)
         hsrc = x @ params[l]["w"]                       # [scap, F']
-        s_src = hsrc @ params[l]["a_l"]                 # [scap]
-        s_dst = _dst_rows(hsrc, dls[h]) @ params[l]["a_r"]   # [cap]
+        a_l, a_r = params[l]["a_l"], params[l]["a_r"]
         valid = ws[h] != 0
-        m = jax.nn.leaky_relu(
-            jnp.take(s_src, idxs[h]) + s_dst[:, None], slope)
-        m = jnp.where(valid, m, -1e30)
-        mrow = jnp.maximum(jnp.max(m, axis=1), -1e30 / 2)
-        z = jnp.where(valid, jnp.exp(m - mrow[:, None]), 0.0)
-        a = z / jnp.maximum(jnp.sum(z, axis=1, keepdims=True), 1e-30)
-        y = jnp.einsum("rk,rkf->rf", a, jnp.take(hsrc, idxs[h], axis=0),
-                       preferred_element_type=jnp.float32).astype(x.dtype)
+        if a_l.ndim == 2:                               # multi-head [fh, H]
+            fh, heads = a_l.shape
+            hh = hsrc.reshape(hsrc.shape[0], heads, fh)  # [scap, H, fh]
+            s_src = jnp.einsum("shf,fh->sh", hh, a_l,
+                               preferred_element_type=jnp.float32)
+            hd = _dst_rows(hsrc, dls[h]).reshape(-1, heads, fh)
+            s_dst = jnp.einsum("rhf,fh->rh", hd, a_r,
+                               preferred_element_type=jnp.float32)
+            m = jax.nn.leaky_relu(
+                jnp.take(s_src, idxs[h], axis=0) + s_dst[:, None, :], slope)
+            m = jnp.where(valid[:, :, None], m, -1e30)   # [cap, fo, H]
+            mrow = jnp.maximum(jnp.max(m, axis=1), -1e30 / 2)
+            z = jnp.where(valid[:, :, None],
+                          jnp.exp(m - mrow[:, None, :]), 0.0)
+            a = z / jnp.maximum(jnp.sum(z, axis=1, keepdims=True), 1e-30)
+            gsl = jnp.take(hh, idxs[h], axis=0)          # [cap, fo, H, fh]
+            y = jnp.einsum("rkh,rkhf->rhf", a, gsl,
+                           preferred_element_type=jnp.float32)
+            y = y.reshape(y.shape[0], heads * fh).astype(x.dtype)
+        else:
+            s_src = hsrc @ a_l                           # [scap]
+            s_dst = _dst_rows(hsrc, dls[h]) @ a_r        # [cap]
+            m = jax.nn.leaky_relu(
+                jnp.take(s_src, idxs[h]) + s_dst[:, None], slope)
+            m = jnp.where(valid, m, -1e30)
+            mrow = jnp.maximum(jnp.max(m, axis=1), -1e30 / 2)
+            z = jnp.where(valid, jnp.exp(m - mrow[:, None]), 0.0)
+            a = z / jnp.maximum(jnp.sum(z, axis=1, keepdims=True), 1e-30)
+            y = jnp.einsum("rk,rkf->rf", a, jnp.take(hsrc, idxs[h], axis=0),
+                           preferred_element_type=jnp.float32
+                           ).astype(x.dtype)
         # the reference GAT relu's EVERY layer incl. the last (models/gat)
         x = jax.nn.relu(y)
     return x
@@ -258,9 +285,9 @@ class MinibatchTrainer:
         self.fanout = [int(f) for f in (fanout or config.fanout)]
         if not self.fanout:
             raise ValueError("minibatch training requires FANOUT")
-        if int(getattr(config, "num_heads", 1) or 1) > 1:
-            raise ValueError("NUM_HEADS>1 is a full-graph GAT feature; the "
-                             "sampled path is single-head")
+        n_heads = int(getattr(config, "num_heads", 1) or 1)
+        if n_heads > 1 and model != "gat":
+            raise ValueError("NUM_HEADS>1 applies to GAT only")
         if getattr(config, "hoist_l0", False):
             raise ValueError(
                 "HOIST_L0 applies to full-graph training only: sampled "
@@ -283,13 +310,24 @@ class MinibatchTrainer:
         n_layers = len(sizes) - 1
         if model == "gat":
             keys = jax.random.split(self.init_key, 3 * n_layers)
+            # NUM_HEADS semantics of models/gat.py: hidden layers split
+            # F' into H heads (a_l/a_r stored [F'/H, H]); last layer
+            # single-head ([F'] vectors, the original layout)
+            def _attn(k, f_out, heads):
+                if heads > 1:
+                    if f_out % heads:
+                        raise ValueError(
+                            f"NUM_HEADS:{heads} must divide hidden layer "
+                            f"size {f_out}")
+                    return param.glorot_uniform(k, f_out // heads, heads)
+                return param.glorot_uniform(k, f_out, 1)[:, 0]
             self.params = [{
                 "w": param.glorot_uniform(keys[3 * i], sizes[i],
                                           sizes[i + 1]),
-                "a_l": param.glorot_uniform(keys[3 * i + 1],
-                                            sizes[i + 1], 1)[:, 0],
-                "a_r": param.glorot_uniform(keys[3 * i + 2],
-                                            sizes[i + 1], 1)[:, 0],
+                "a_l": _attn(keys[3 * i + 1], sizes[i + 1],
+                             n_heads if i < n_layers - 1 else 1),
+                "a_r": _attn(keys[3 * i + 2], sizes[i + 1],
+                             n_heads if i < n_layers - 1 else 1),
             } for i in range(n_layers)]
         elif model == "sage":
             keys = jax.random.split(self.init_key, 2 * n_layers)

@@ -113,20 +113,25 @@ def test_multihead_dist_overlap_matches(sbm):
 
 
 def test_num_heads_rejected_elsewhere(sbm):
+    """Non-attention models still reject NUM_HEADS (the sampled GAT path
+    accepts it as of r4 — tests/test_sampled_gat.py covers it)."""
     with pytest.raises(ValueError, match="NUM_HEADS"):
         FullGraphTrainer(sbm, _cfg(sbm, num_heads=2), model=gcn,
                          backend="xla")
     from neutronstarlite_tpu.training.minibatch import MinibatchTrainer
     cfg = _cfg(sbm, num_heads=2)
     cfg.fanout_string = "4-4"
-    with pytest.raises(ValueError, match="NUM_HEADS"):
-        MinibatchTrainer(sbm, cfg, model="gat")
+    with pytest.raises(ValueError, match="GAT only"):
+        MinibatchTrainer(sbm, cfg, model="gin")
 
 
-def test_num_heads_tp_rejected(sbm):
+def test_num_heads_tp_requires_divisibility(sbm):
+    """NUM_HEADS x TP_DIM composes when TP_DIM divides NUM_HEADS
+    (tests/test_tp.py pins the numerics); a non-dividing TP_DIM is
+    rejected up front with an actionable message."""
     cfg = _cfg(sbm, num_heads=2, layer_string="16-8-4")
-    with pytest.raises(ValueError, match="TP_DIM"):
-        DistTrainer(sbm, cfg, model=gat, num_partitions=2, tp=2).run(epochs=1)
+    with pytest.raises(ValueError, match="divide NUM_HEADS"):
+        DistTrainer(sbm, cfg, model=gat, num_partitions=2, tp=4)
 
 
 def test_cfg_key(tmp_path):

@@ -221,3 +221,102 @@ def test_sampled_sage_first_tie_grad_routing(sbm):
     # ties everywhere → pool still equals the common value, loss finite;
     # argmax picks slot 0 of each valid row, so w_pool grad is nonzero
     assert any(float(np.abs(np.asarray(g)).max()) > 0 for g in flat)
+
+
+# ---- sampled multi-head attention (round-4 queue item) ----
+
+def _manual_multihead_forward(params, features, arrays, n_layers):
+    """Independent per-head loop oracle: run the single-head edge chain on
+    each head's column slice and concat — different code shape from the
+    vectorized heads-axis einsum in sampled_forward_gat."""
+    import jax.numpy as jnp
+    import jax as _jax
+    from neutronstarlite_tpu.training.minibatch import (_dst_rows,
+                                                        _gather_table)
+    dst0, tables, idxs, ws, dls = arrays
+    x = _gather_table(jnp.asarray(features), tables[-1])
+    for l in range(n_layers):
+        h = n_layers - 1 - l
+        hsrc = x @ params[l]["w"]
+        a_l, a_r = params[l]["a_l"], params[l]["a_r"]
+        valid = ws[h] != 0
+        if a_l.ndim == 2:
+            fh, heads = a_l.shape
+            outs = []
+            for hd in range(heads):
+                sl = slice(hd * fh, (hd + 1) * fh)
+                s_src = hsrc[:, sl] @ a_l[:, hd]
+                s_dst = _dst_rows(hsrc, dls[h])[:, sl] @ a_r[:, hd]
+                m = _jax.nn.leaky_relu(
+                    jnp.take(s_src, idxs[h]) + s_dst[:, None], 0.2)
+                m = jnp.where(valid, m, -1e30)
+                mrow = jnp.maximum(jnp.max(m, axis=1), -1e30 / 2)
+                z = jnp.where(valid, jnp.exp(m - mrow[:, None]), 0.0)
+                a = z / jnp.maximum(jnp.sum(z, axis=1, keepdims=True),
+                                    1e-30)
+                outs.append(jnp.einsum(
+                    "rk,rkf->rf", a,
+                    jnp.take(hsrc[:, sl], idxs[h], axis=0)))
+            y = jnp.concatenate(outs, axis=-1)
+        else:
+            s_src = hsrc @ a_l
+            s_dst = _dst_rows(hsrc, dls[h]) @ a_r
+            m = _jax.nn.leaky_relu(
+                jnp.take(s_src, idxs[h]) + s_dst[:, None], 0.2)
+            m = jnp.where(valid, m, -1e30)
+            mrow = jnp.maximum(jnp.max(m, axis=1), -1e30 / 2)
+            z = jnp.where(valid, jnp.exp(m - mrow[:, None]), 0.0)
+            a = z / jnp.maximum(jnp.sum(z, axis=1, keepdims=True), 1e-30)
+            y = jnp.einsum("rk,rkf->rf", a,
+                           jnp.take(hsrc, idxs[h], axis=0))
+        x = _jax.nn.relu(y)
+    return x
+
+
+def test_sampled_multihead_matches_manual(sbm):
+    """Vectorized heads-axis sampled forward == per-head loop oracle."""
+    from neutronstarlite_tpu.training.minibatch import sampled_forward_gat
+    cfg = _cfg(sbm)
+    cfg.num_heads = 4
+    tr = MinibatchTrainer(sbm, cfg, model="gat")
+    assert tr.params[0]["a_l"].shape == (4, 4)   # [F'/H, H]
+    assert tr.params[-1]["a_l"].ndim == 1        # last layer single-head
+    block = tr.samplers["train"].sample_one()
+    arrays, _ = tr._block_to_device(block)
+    got = sampled_forward_gat(tr.params, tr.features, arrays, None,
+                              training=False, drop_rate=0.0, n_layers=2)
+    want = _manual_multihead_forward(tr.params, tr.features, arrays, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_sampled_multihead_converges(sbm):
+    cfg = _cfg(sbm)
+    cfg.num_heads = 2
+    tr = MinibatchTrainer(sbm, cfg, model="gat")
+    hist = tr.run()
+    assert hist[-1]["loss"] < hist[0]["loss"]
+    assert hist[-1]["test"] > 0.6, hist[-1]
+
+
+def test_device_sampled_multihead_trains(sbm):
+    cfg = _cfg(sbm, sampler_backend="device")
+    cfg.num_heads = 2
+    tr = MinibatchTrainer(sbm, cfg, model="gat")
+    hist = tr.run(epochs=4)
+    assert np.isfinite([h["loss"] for h in hist]).all()
+    assert hist[-1]["loss"] < hist[0]["loss"]
+
+
+def test_sampled_multihead_rejects_non_divisible(sbm):
+    cfg = _cfg(sbm)
+    cfg.num_heads = 3                            # 16 % 3 != 0
+    with pytest.raises(ValueError, match="divide"):
+        MinibatchTrainer(sbm, cfg, model="gat")
+
+
+def test_sampled_multihead_rejects_non_gat(sbm):
+    cfg = _cfg(sbm)
+    cfg.num_heads = 2
+    with pytest.raises(ValueError, match="GAT only"):
+        MinibatchTrainer(sbm, cfg, model="gin")

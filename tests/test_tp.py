@@ -159,3 +159,41 @@ def test_tp_checkpoint_resume(tmp_path):
     start = t2.resume(str(tmp_path / "ck"))
     assert start == 4
     np.testing.assert_allclose(t2.predict(), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_tp_multihead_gat_matches_1d():
+    """NUM_HEADS x TP_DIM joint layout (head-major columns): TP_DIM divides
+    NUM_HEADS, each feature shard owns whole heads and the fused chain runs
+    in-shard — p=2,f=2 with H=4 must track the 1-D p=2 H=4 run."""
+    datum = _datum()
+    cfg1 = _cfg()
+    cfg1.num_heads = 4
+    cfg2 = _cfg()
+    cfg2.num_heads = 4
+    l1, a1 = _losses(DistTrainer(datum, cfg1, model=gat, num_partitions=2))
+    l2, a2 = _losses(DistTrainer(datum, cfg2, model=gat, num_partitions=2,
+                                 tp=2))
+    np.testing.assert_allclose(l1, l2, rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(a1, a2, atol=1e-6)
+
+
+def test_tp_multihead_gat_f_equals_h():
+    """f == H: every shard owns exactly one head (the H/f == 1 local-shape
+    corner the explicit ``heads`` kwarg exists for)."""
+    datum = _datum()
+    cfg1 = _cfg()
+    cfg1.num_heads = 2
+    cfg2 = _cfg()
+    cfg2.num_heads = 2
+    l1, _ = _losses(DistTrainer(datum, cfg1, model=gat, num_partitions=2))
+    l2, _ = _losses(DistTrainer(datum, cfg2, model=gat, num_partitions=2,
+                                tp=2))
+    np.testing.assert_allclose(l1, l2, rtol=5e-4, atol=5e-5)
+
+
+def test_tp_multihead_requires_divisibility():
+    datum = _datum()
+    cfg = _cfg()
+    cfg.num_heads = 3          # 3 % 2 != 0
+    with pytest.raises(ValueError, match="divide NUM_HEADS"):
+        DistTrainer(datum, cfg, model=gat, num_partitions=2, tp=2)

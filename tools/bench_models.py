@@ -47,7 +47,8 @@ def main():
             ("commnet_eager", commnet, {"eager": True}),
             ("commnet_eager_hoist", commnet,
              {"eager": True, "_hoist": True}),
-            ("gat", gat, {}), ("gat_h4", gat, {"_heads": 4}),
+            ("gat", gat, {}), ("gat_h2", gat, {"_heads": 2}),
+            ("gat_h4", gat, {"_heads": 4}),
             ("ggcn", ggcn, {}), ("sage", sage, {}))
     only = os.environ.get("NSL_BENCH_MODELS")  # comma-separated name filter
     if only:
