@@ -1,0 +1,133 @@
+"""Per-op cost budget for the fused attention ops (VERDICT r3 weak-item 6).
+
+For attention_aggregate_linear (GAT) and gated_aggregate_linear (GGCN) at
+Reddit scale, compare each op's MEASURED forward / backward time against a
+per-pass byte-and-slot model — the model the r3 GGCN stats-table diet
+validated (gather-byte model predicted −24%, measured −25.5%):
+
+    t_pass = slots × max(t_overhead, lane_bytes / BW)
+
+with t_overhead the measured per-slot floor of this run's plain spmm pass
+on the same slabs (the r3 lane-padding probe showed the narrow-row regime
+is per-slot-overhead bound at ~4 ns/slot) and BW ≈ 230 GB/s the measured
+random-row gather ceiling (BASELINE.md "Pallas / gather decision").
+
+Pass inventory (F lanes, itemsize s = agg dtype):
+  GAT linear  fwd : fwd_slots × F·s           (x-row gather, stats in-reg)
+              bwd : fwd_slots × F·s           (da+pre recompute pass)
+                  + bwd_slots × (F+4)·s       (g rows + stat lanes; F+4>128
+                                               splits into F·s + small 4-lane)
+  GGCN linear fwd : fwd_slots × F·s           (x gather, gate on the MXU)
+              bwd : fwd_slots × (F·s + F·4)   (pass C: x gather + g_pad rows)
+                  + bwd_slots × 4F·s          (stats-table gather)
+
+A pass whose measured time tracks its model is AT the floor; one that
+exceeds it is the next fusion target.
+
+Usage: python tools/bench_attention_budget.py [F] [dtype]   (TPU)
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BW = 230e9     # measured random-row gather ceiling, bytes/s
+
+
+def timeit(fn, *args, iters=8):
+    import jax.numpy as jnp
+    float(jnp.sum(fn(*args)))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s = float(jnp.sum(fn(*args)))  # noqa: F841
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    f = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
+    v = int(os.environ.get("NSL_BENCH_V", 232965))
+    deg = int(os.environ.get("NSL_BENCH_DEG", 50))
+
+    import jax
+    import jax.numpy as jnp
+    from bench import make_powerlaw_graph
+    from neutronstarlite_tpu.ops import ell
+
+    g = make_powerlaw_graph(v, deg)
+    eg = ell.build_ell_graph(g, agg_dtype=dtype)
+    fwd_slots = int(eg.f_idx.size + eg.f_tail_idx.size)
+    bwd_slots = int(eg.b_idx.size + eg.b_tail_idx.size)
+    s = 2 if dtype == "bfloat16" else 4
+
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.standard_normal((v, f)).astype(np.float32))
+    a_l = jnp.asarray(r.standard_normal(f).astype(np.float32))
+    s_dst = jnp.asarray(r.standard_normal(v).astype(np.float32))
+    gl = jnp.asarray((r.standard_normal((f, f)) * 0.2).astype(np.float32))
+    g_dst = jnp.asarray(r.standard_normal((v, f)).astype(np.float32))
+
+    # measured per-slot floor: the plain spmm pass on the same fwd slabs
+    spmm = jax.jit(lambda e, xx: ell.spmm(e, xx))
+    t_spmm = timeit(spmm, eg, x)
+    t_over = t_spmm / fwd_slots
+    print(json.dumps({"op": "spmm_floor", "F": f, "dtype": dtype,
+                      "fwd_slots": fwd_slots, "bwd_slots": bwd_slots,
+                      "ms": round(t_spmm * 1e3, 2),
+                      "ns_per_slot_floor": round(t_over * 1e9, 3)}),
+          flush=True)
+
+    def t_pass(slots, lane_bytes):
+        return slots * max(t_over, lane_bytes / BW)
+
+    # ---- GAT linear ----
+    op = jax.jit(lambda e, xx, al, sd: ell.attention_aggregate_linear(
+        e, xx, al, sd, 0.2))
+    opg = jax.jit(lambda e, xx, al, sd: jax.grad(
+        lambda a, b, c: jnp.sum(
+            ell.attention_aggregate_linear(e, a, b, c, 0.2) ** 2),
+        argnums=(0, 1, 2))(xx, al, sd)[0])
+    t_f = timeit(op, eg, x, a_l, s_dst)
+    t_fb = timeit(opg, eg, x, a_l, s_dst)
+    pred_f = t_pass(fwd_slots, f * s)
+    bwd_lanes = (f + 4) * s if f + 4 <= 128 else f * s + 4 * s
+    pred_b = t_pass(fwd_slots, f * s) + t_pass(bwd_slots, bwd_lanes)
+    print(json.dumps({
+        "op": "attention_aggregate_linear", "F": f, "dtype": dtype,
+        "fwd_ms": round(t_f * 1e3, 2),
+        "fwd_pred_ms": round(pred_f * 1e3, 2),
+        "bwd_ms": round((t_fb - t_f) * 1e3, 2),
+        "bwd_pred_ms": round(pred_b * 1e3, 2),
+        "fwdbwd_ms": round(t_fb * 1e3, 2),
+    }), flush=True)
+
+    # ---- GGCN linear (chunked at this scale) ----
+    op2 = jax.jit(lambda e, xx, gg, gd: ell.gated_aggregate_linear(
+        e, xx, gg, gd, 0.2))
+    opg2 = jax.jit(lambda e, xx, gg, gd: jax.grad(
+        lambda a, b, c: jnp.sum(
+            ell.gated_aggregate_linear(e, a, b, c, 0.2) ** 2),
+        argnums=(0, 1, 2))(xx, gg, gd)[0])
+    t_f2 = timeit(op2, eg, x, gl, g_dst)
+    t_fb2 = timeit(opg2, eg, x, gl, g_dst)
+    pred_f2 = t_pass(fwd_slots, f * s)
+    # pass C gathers x rows (F·s) and reads per-row g_pad/g_dst/rmax/ssum
+    # as row args (block-contiguous, ~free vs the slot gather)
+    pred_b2 = t_pass(fwd_slots, f * s) + t_pass(bwd_slots, 4 * f * s)
+    print(json.dumps({
+        "op": "gated_aggregate_linear", "F": f, "dtype": dtype,
+        "fwd_ms": round(t_f2 * 1e3, 2),
+        "fwd_pred_ms": round(pred_f2 * 1e3, 2),
+        "bwd_ms": round((t_fb2 - t_f2) * 1e3, 2),
+        "bwd_pred_ms": round(pred_b2 * 1e3, 2),
+        "fwdbwd_ms": round(t_fb2 * 1e3, 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
