@@ -73,3 +73,29 @@ def test_digits21k_dist_engine(digits21k_cfg):
     cfg.kernel_backend = "auto"
     tr, hist = run_from_config(cfg, log_every=0)
     assert hist[-1]["test"] > 0.90, hist[-1]
+
+
+def test_digits21k_ggcn_feature_norm(digits21k_cfg):
+    """GGCN clears the LR floor (and the 0.90 bar) WITH FEATURE_NORM:1.
+
+    The r3 sweep measured raw-feature GGCN at 0.725 — below the 0.770
+    graph-free floor: GGCN has no batchnorm (reference parity,
+    toolkits/GGCN_CPU.hpp), so its gate pre-activations see the raw
+    0-16 + σ4-noise feature scale and saturate. Per-feature
+    standardization at load (FEATURE_NORM) is the recipe: the r4 TPU
+    sweep measured 0.9247 test by epoch 99 (BASELINE.md "r4 GGCN
+    digits21k recipe"). This pins the fix at a CI-sized budget."""
+    cfg = digits21k_cfg
+    cfg.num_partitions = 1
+    cfg.dtype = "float32"
+    cfg.kernel_backend = "auto"
+    cfg.algorithm = "GGCNCPU"
+    cfg.feature_norm = True
+    cfg.epochs = 100
+    try:
+        tr, hist = run_from_config(cfg, log_every=0)
+    finally:
+        cfg.algorithm = "GCNCPU"
+        cfg.feature_norm = False
+        cfg.epochs = 80
+    assert hist[-1]["test"] > 0.90, hist[-1]
