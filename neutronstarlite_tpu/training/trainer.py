@@ -99,6 +99,7 @@ class FullGraphTrainer:
                           gated_chunk_mb=config.gated_chunk_mb)
         self.gt = GraphTensors.from_graph(datum.graph, backend=backend,
                                           dtype=config.dtype)
+        self._warn_if_over_hbm(datum)
 
         key = jax.random.PRNGKey(config.seed)
         self.init_key, self.run_key = jax.random.split(key)
@@ -120,6 +121,38 @@ class FullGraphTrainer:
                 lambda gt, x: gt.aggregate_neighbors(x))(self.gt, self.x)
         self._step = jax.jit(partial(self._train_step, drop_rate=config.drop_rate))
         self._fused = None   # built lazily when config.fuse_epochs > 1
+
+    def _warn_if_over_hbm(self, datum):
+        """Loud, actionable guidance at the single-chip scale limit
+        (measured: E=186.6M trains on one 16 GB v5e; E=373M dies in the
+        runtime with a bare RESOURCE_EXHAUSTED — BASELINE.md "r4
+        single-chip scale ceiling"; HBM cost model in docs/DESIGN.md).
+        The reference answers the same wall with CPU staging
+        (core/graph.hpp:275-280); here the answer is the dist engine."""
+        import os
+        import sys
+        eg = getattr(self.gt, "ell", None)
+        if eg is None:
+            return
+        slots = int(eg.f_idx.size + eg.f_tail_idx.size
+                    + eg.b_idx.size + eg.b_tail_idx.size)
+        wbytes = 2 if self.config.dtype == "bfloat16" else 4
+        fdim = datum.features.shape[1] if datum.features.ndim > 1 else 1
+        est = (slots * (4 + wbytes)                 # slab idx + weights
+               + datum.num_vertices * fdim * 4     # feature table
+               + 2 * 128 * 2**20)                  # gather temps (2 blocks)
+        limit = float(os.environ.get("NSL_HBM_GB", "16")) * 2**30
+        if est > 0.75 * limit:
+            print(f"[nsl] WARNING: graph tensors estimate "
+                  f"{est / 2**30:.1f} GB of device HBM "
+                  f"({slots / 1e6:.0f}M slots) against a "
+                  f"{limit / 2**30:.0f} GB chip — single-chip training "
+                  f"dies with RESOURCE_EXHAUSTED past ~2x the headline "
+                  f"Reddit density (measured wall between E=187M and "
+                  f"E=373M at F=602). Shard over chips with "
+                  f"NUM_PARTITIONS:N (the dist engine), or reduce DTYPE/"
+                  f"feature width. NSL_HBM_GB overrides the assumed chip "
+                  f"size.", file=sys.stderr, flush=True)
 
     # one full epoch on device
     def _train_step(self, gt, params, bn, opt_state, key, x, labels, masks,
