@@ -101,10 +101,14 @@ def main():
         target = float(sys.argv[2]) if len(sys.argv) > 2 else 0.90
         v = int(os.environ.get("NSL_TTA_V", 100000))
         from neutronstarlite_tpu.graph.dataset import synthetic_sbm_dataset
+        # noise high enough that features alone are weak and the graph
+        # must be aggregated over several hops' worth of epochs —
+        # feature_noise=1.0 was saturating (both trainers hit 1.0 test in
+        # one epoch, no discrimination)
         datum = synthetic_sbm_dataset(num_vertices=v, feat_dim=64,
                                       num_classes=16, avg_degree=25,
-                                      homophily=0.9, seed=3,
-                                      feature_noise=1.0)
+                                      homophily=0.7, seed=3,
+                                      feature_noise=6.0)
         base = dict(vertices=v, layer_string="64-64-16", learn_rate=0.01,
                     weight_decay=1e-4, drop_rate=0.3, seed=7,
                     dtype="bfloat16")
