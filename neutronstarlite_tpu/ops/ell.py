@@ -1100,31 +1100,43 @@ def _lin_bwd_pass(idx, w, gc, stats4, x_rows, s_src_rows, f, slope):
     the 4 per-dst softmax stats (s_dst, M, S, inner); attention weights
     and dpre are recomputed in-register.
 
-    Stat transport is tile-aware (measured, BASELINE.md "GAT linear-score
-    rework"): when F+4 fits one 128-lane tile the stats ride as extra
-    LANES of the g-row gather (one DMA per slot); when it would cross
-    into a second tile (measured 4.3× slower per slot than in-tile), the
-    stats go as a SEPARATE 4-lane gather from the small [Vd, 4] table
-    (~1.9 ns/slot — small-table gathers are cheap) next to the plain
-    F-lane feature gather.
+    Stat transport is tile-aware (measured — BASELINE.md "GAT linear-score
+    rework" + "r4-late per-tile gather law"): when F+4 fits one 128-lane
+    tile the stats ride as extra LANES of the g-row gather (one DMA per
+    slot, the 4.3 ns/slot floor).  When it would NOT fit (F=128): any
+    second gather stream INSIDE the block stalls the main gather's
+    pipeline (+12 ns/slot, probe_lin_bwd_variants.py), and a >128-lane
+    fused row pays the multi-tile charge (~18 ns/slot) — so the stats are
+    gathered in their OWN standalone pass first ([rows, K, 4], ~5.6
+    ns/slot from the small table) and enter the block as a row-aligned
+    slot ARG, keeping the main pass at the floor (measured 243→157 ms at
+    Reddit scale, probe_packed4d.py gat_split2pass; bit-packing the bf16
+    table to one u32 tile measured SLOWER — the in-block bitcast costs
+    more than the saved tile).
     Returns (dx_rows [rows, F] f32, dspre_rows [rows] = Σ_k dpre)."""
     rows, k = idx.shape
     if rows == 0:
         return (jnp.zeros((0, f), jnp.float32), jnp.zeros((0,), jnp.float32))
     fuse_lanes = f + 4 <= 128
-    g_aug = (jnp.concatenate([gc, stats4.astype(gc.dtype)], axis=1)
-             if fuse_lanes else gc)
+    if fuse_lanes:
+        g_aug = jnp.concatenate([gc, stats4.astype(gc.dtype)], axis=1)
+        arrays = (idx, w, x_rows, s_src_rows)
+    else:
+        g_aug = gc
+        st_full = jnp.take(stats4, idx.reshape(-1), axis=0
+                           ).reshape(rows, k, 4)
+        arrays = (idx, w, x_rows, s_src_rows, st_full)
     bv = _slab_gated_blocks(rows, k, g_aug.shape[-1],
                             itemsize=g_aug.dtype.itemsize)
 
     def block(args):
-        ib, wb, xrb, ssb = args
+        ib, wb, xrb, ssb = args[:4]
         ga = jnp.take(g_aug, ib, axis=0)           # [bv, Kb, F(+4)]
         gslot = ga[..., :f]
         if fuse_lanes:
             st = ga[..., f:].astype(jnp.float32)   # [bv, Kb, 4]
         else:
-            st = jnp.take(stats4, ib, axis=0)      # separate small-table
+            st = args[4]                           # pre-gathered slot arg
         sdk, mk, ink = st[..., 0], st[..., 1], st[..., 3]
         sk = jnp.maximum(st[..., 2], 1e-30)
         valid = wb != 0
@@ -1140,7 +1152,7 @@ def _lin_bwd_pass(idx, w, gc, stats4, x_rows, s_src_rows, f, slope):
                         preferred_element_type=jnp.float32)
         return dx, jnp.sum(dpre, axis=1)
 
-    return _map_row_blocks(block, (idx, w, x_rows, s_src_rows), rows, bv)
+    return _map_row_blocks(block, arrays, rows, bv)
 
 
 def _attn_lin_fwd_impl(ell, x, a_l, s_dst, slope):
@@ -1293,26 +1305,34 @@ def _lin_stats_bwd_pass(idx, w, dnc, stats3, x_rows, s_src_rows, f, slope):
     """Backward bwd-layout pass of the linear STATS op: per block, gather
     the dnum rows and the 3 per-dst stats (s_dst, c, dden); z and dpre are
     recomputed in-register (same tile-aware stat transport as
-    _lin_bwd_pass — the stats ride as extra lanes while F+3 fits a tile).
+    _lin_bwd_pass — the stats ride as extra lanes while F+3 fits a tile,
+    else they are pre-gathered in a standalone pass and enter as a slot
+    arg; see _lin_bwd_pass for the measured law).
     Returns (dx_rows [rows, F] f32 = Σ_k z·dnum, dspre_rows [rows] =
     Σ_k dpre)."""
     rows, k = idx.shape
     if rows == 0:
         return (jnp.zeros((0, f), jnp.float32), jnp.zeros((0,), jnp.float32))
     fuse_lanes = f + 3 <= 128
-    g_aug = (jnp.concatenate([dnc, stats3.astype(dnc.dtype)], axis=1)
-             if fuse_lanes else dnc)
+    if fuse_lanes:
+        g_aug = jnp.concatenate([dnc, stats3.astype(dnc.dtype)], axis=1)
+        arrays = (idx, w, x_rows, s_src_rows)
+    else:
+        g_aug = dnc
+        st_full = jnp.take(stats3, idx.reshape(-1), axis=0
+                           ).reshape(rows, k, 3)
+        arrays = (idx, w, x_rows, s_src_rows, st_full)
     bv = _slab_gated_blocks(rows, k, g_aug.shape[-1],
                             itemsize=g_aug.dtype.itemsize)
 
     def block(args):
-        ib, wb, xrb, ssb = args
+        ib, wb, xrb, ssb = args[:4]
         ga = jnp.take(g_aug, ib, axis=0)           # [bv, Kb, F(+3)]
         dnk = ga[..., :f]
         if fuse_lanes:
             st = ga[..., f:].astype(jnp.float32)   # [bv, Kb, 3]
         else:
-            st = jnp.take(stats3, ib, axis=0)      # separate small-table
+            st = args[4]                           # pre-gathered slot arg
         sdk, ck, ddk = st[..., 0], st[..., 1], st[..., 2]
         valid = wb != 0
         da = jnp.einsum("vkf,vf->vk", dnk, xrb,
@@ -1332,7 +1352,7 @@ def _lin_stats_bwd_pass(idx, w, dnc, stats3, x_rows, s_src_rows, f, slope):
                         preferred_element_type=jnp.float32)
         return dx, jnp.sum(dpre, axis=1)
 
-    return _map_row_blocks(block, (idx, w, x_rows, s_src_rows), rows, bv)
+    return _map_row_blocks(block, arrays, rows, bv)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4,))
