@@ -88,15 +88,17 @@ def forward(state: GATState, gt, x: jax.Array, key: jax.Array | None,
             local_heads = p["attn"].shape[1]  # H, or H/f per TP shard
             mirror = gt.get_dep_nbr(x_t)
             fh = p["attn"].shape[0] // 2
-            outs = []
-            for h in range(local_heads):
-                sl = slice(h * fh, (h + 1) * fh)
-                a_l = p["attn"][:fh, h]
-                a_r = p["attn"][fh:, h]
-                s_dst = x_t[:, sl] @ a_r
-                outs.append(gt.attention_aggregate_linear(
-                    mirror[:, sl], a_l, s_dst, slope=0.2))
-            x = jax.nn.relu(jnp.concatenate(outs, axis=-1))
+            a_l2 = p["attn"][:fh, :]             # [F'/H, H]
+            a_r2 = p["attn"][fh:, :]
+            # per-head dst scores from the head-sliced dots (row-level
+            # reshape, free); the fused all-heads op shares every slab
+            # gather across heads on the ELL backend — the backends
+            # without comb slabs run the identical per-head chain
+            s_dst = jnp.einsum(
+                "vhf,fh->vh",
+                x_t.reshape(x_t.shape[0], local_heads, fh), a_r2)
+            x = jax.nn.relu(gt.attention_aggregate_linear_heads(
+                mirror, a_l2, s_dst, slope=0.2))
             continue
         if tp_axis is None:
             x_t = x @ p["w"]

@@ -1123,7 +1123,9 @@ def _lin_bwd_pass(idx, w, gc, stats4, x_rows, s_src_rows, f, slope):
         arrays = (idx, w, x_rows, s_src_rows)
     else:
         g_aug = gc
-        st_full = jnp.take(stats4, idx.reshape(-1), axis=0
+        # mode="clip" keeps this a pure gather (see _lin_bwd_pass_heads:
+        # the fill-mode select materializes the result tile-padded 32×)
+        st_full = jnp.take(stats4, idx.reshape(-1), axis=0, mode="clip"
                            ).reshape(rows, k, 4)
         arrays = (idx, w, x_rows, s_src_rows, st_full)
     bv = _slab_gated_blocks(rows, k, g_aug.shape[-1],
@@ -1319,7 +1321,9 @@ def _lin_stats_bwd_pass(idx, w, dnc, stats3, x_rows, s_src_rows, f, slope):
         arrays = (idx, w, x_rows, s_src_rows)
     else:
         g_aug = dnc
-        st_full = jnp.take(stats3, idx.reshape(-1), axis=0
+        # mode="clip": pure gather, no padded select materialization (see
+        # _lin_bwd_pass_heads)
+        st_full = jnp.take(stats3, idx.reshape(-1), axis=0, mode="clip"
                            ).reshape(rows, k, 3)
         arrays = (idx, w, x_rows, s_src_rows, st_full)
     bv = _slab_gated_blocks(rows, k, g_aug.shape[-1],
@@ -1445,6 +1449,443 @@ def _attn_stats_lin_bwd(slope, res, g):
 
 
 attention_stats_linear.defvjp(_attn_stats_lin_fwd, _attn_stats_lin_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused multi-head linear-score attention (ONE gather for ALL heads)
+# ---------------------------------------------------------------------------
+#
+# Multi-head GAT (NUM_HEADS, models/gat.py) used to run the single-head
+# fused chain once per head on F/H-lane slices of the SAME dep table — H
+# full per-slot DMA bills for data one gather already delivers (the
+# per-tile gather law: a slab pass costs per slot × 128-lane tile, so a
+# [bv, K, F] block is the same bill whether one head or all H consume
+# it).  Measured penalty at Reddit scale: gat_h4 +72% over single-head
+# (BASELINE.md "r4 multi-head GAT").  This op runs every head inside the
+# single-head pass structure:
+#   * per-head scores come from ONE matmul of the gathered block against
+#     the block-diagonal expansion A[f, h] = a_l[f − h·fh, h] for f in
+#     head h's lane slice (zero blocks kill cross-head terms — exactly
+#     the per-head slice dot, on the MXU);
+#   * softmax stats stay per-(row, head) at [rows, H];
+#   * per-(slot, head) weights map back onto feature lanes through the
+#     head→lane indicator matmul H_map[h, f] = 1 iff lane f ∈ head h.
+# Nothing slot-shaped ever reshapes to [.., H, F/H] — trailing
+# sub-128-lane dims force Mosaic relayouts (measured on the packed-
+# gather probes, BASELINE.md "r4-late per-tile gather law").  Heads own
+# CONTIGUOUS lane slices, matching the concat-of-heads output layout
+# (ref: GAT_CPU_DIST.hpp:181-215 runs one explicit edge chain per head;
+# the head-major lane order equals docs/PARITY.md's NUM_HEADS×TP_DIM
+# joint layout).
+
+
+def _head_maps(a_l, dtype):
+    """Block-diagonal expansion A_full [F, H] of the per-head attention
+    vectors a_l [F/H, H] (head-major lane order), plus the head→lane
+    indicator H_map [H, F] (f32)."""
+    fh, h = a_l.shape
+    eye = jnp.eye(h, dtype=jnp.float32)
+    a_full = (eye[:, None, :] * a_l.astype(jnp.float32)[None, :, :]
+              ).reshape(fh * h, h)
+    hmap = jnp.repeat(eye, fh, axis=1)
+    return a_full.astype(dtype), hmap
+
+
+def _lin_stats_pass_heads(idx, w, xc, a_full, hmap, s_dst_rows, slope):
+    """Multi-head ``_lin_stats_pass``: per row AND head, masked-leaky
+    local max m [rows, H], exp-sum s [rows, H] and exp-weighted feature
+    sum u [rows, F] (head h's weights apply to its own lane slice) — all
+    from a single [bv, K, F] gather shared by every head."""
+    rows, k = idx.shape
+    f = xc.shape[-1]
+    h = a_full.shape[-1]
+    if rows == 0:
+        z = jnp.zeros((0, h), jnp.float32)
+        return z, z, jnp.zeros((0, f), jnp.float32)
+    bv = _slab_gated_blocks(rows, k, f, itemsize=xc.dtype.itemsize)
+
+    def block(args):
+        ib, wb, sdb = args
+        xg = jnp.take(xc, ib, axis=0)                     # [bv, K, F]
+        pre = jnp.einsum("vkf,fh->vkh", xg, a_full,
+                         preferred_element_type=jnp.float32
+                         ) + sdb[:, None, :]
+        valid = (wb != 0)[:, :, None]
+        m = jnp.where(valid, jax.nn.leaky_relu(pre, slope), _NEG)
+        m_loc = jnp.maximum(jnp.max(m, axis=1), _NEG / 2)  # [bv, H]
+        z = jnp.where(valid, jnp.exp(m - m_loc[:, None, :]), 0.0)
+        u = jnp.einsum("vkh,hf,vkf->vf", z, hmap, xg,
+                       preferred_element_type=jnp.float32)
+        return m_loc, jnp.sum(z, axis=1), u
+
+    return _map_row_blocks(block, (idx, w, s_dst_rows), rows, bv)
+
+
+def _attn_lin_heads_fwd_impl(ell, x, a_l, s_dst, slope):
+    vd_pad = ell.f_idx.shape[0]
+    xc = ell.cast_in(x)
+    a_full, hmap = _head_maps(a_l, xc.dtype)
+    s_dst_p = jnp.pad(s_dst.astype(jnp.float32),
+                      ((0, vd_pad - s_dst.shape[0]), (0, 0)))
+    mb, sb, ub = _lin_stats_pass_heads(ell.f_idx, ell.f_w, xc, a_full,
+                                       hmap, s_dst_p, slope)
+    if ell.f_tail_idx.shape[0] > 0:
+        s_dst_t = jnp.take(s_dst_p, ell.f_tail_rows, axis=0)
+        mt, st, ut = _lin_stats_pass_heads(ell.f_tail_idx, ell.f_tail_w,
+                                           xc, a_full, hmap, s_dst_t,
+                                           slope)
+        m_comb = _tail_combine(mb[:ell.num_dst], mt, ell.f_tail_rows,
+                               ell.num_dst, op="max")
+        big_m = jnp.concatenate([m_comb, mb[ell.num_dst:]])
+        scale_b = jnp.exp(mb - big_m)                      # [vd_pad, H]
+        scale_t = jnp.exp(mt - jnp.take(big_m, ell.f_tail_rows, axis=0))
+        big_s = jnp.concatenate([
+            _tail_combine((sb * scale_b)[:ell.num_dst], st * scale_t,
+                          ell.f_tail_rows, ell.num_dst),
+            (sb * scale_b)[ell.num_dst:]])
+        scale_bf = jnp.einsum("vh,hf->vf", scale_b[:ell.num_dst], hmap)
+        scale_tf = jnp.einsum("vh,hf->vf", scale_t, hmap)
+        u = _tail_combine(ub[:ell.num_dst] * scale_bf, ut * scale_tf,
+                          ell.f_tail_rows, ell.num_dst)
+    else:
+        big_m, big_s, u = mb, sb, ub[:ell.num_dst]
+    big_s = jnp.maximum(big_s, 1e-30)
+    s_f = jnp.einsum("vh,hf->vf", big_s[:ell.num_dst], hmap)
+    out = (u[:ell.num_dst] / s_f).astype(x.dtype)
+    return out, (big_m, big_s, u)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def attention_aggregate_linear_heads(ell: EllGraph, x: jax.Array,
+                                     a_l: jax.Array, s_dst: jax.Array,
+                                     slope: float = 0.2) -> jax.Array:
+    """Multi-head ``attention_aggregate_linear``: head h softmax-
+    aggregates its OWN lane slice [h·fh, (h+1)·fh) of ``x`` under
+    softmax_d(leaky(x[src]_h·a_l[:, h] + s_dst[d, h])), every head
+    sharing every slab gather.  ``a_l``: [F/H, H]; ``s_dst``:
+    [num_dst, H]; out: [num_dst, F] in head-major lane order (== the
+    per-head concat the model builds)."""
+    out, _ = _attn_lin_heads_fwd_impl(ell, x, a_l, s_dst, slope)
+    return out
+
+
+def _attn_lin_heads_fwd(ell, x, a_l, s_dst, slope):
+    out, (big_m, big_s, _) = _attn_lin_heads_fwd_impl(ell, x, a_l, s_dst,
+                                                      slope)
+    return out, (ell, x, a_l, s_dst, big_m, big_s)
+
+
+def _lin_da_pre_pass_heads(idx, xc, a_full, hmap, s_dst_rows, g_rows):
+    """Multi-head ``_lin_da_pre_pass``: one gather per slab returns BOTH
+    the per-head SDDMM da[r, k, h] = Σ_{f∈h} x[idx]·g[r] and the
+    recomputed per-head pre-activations."""
+    rows, k = idx.shape
+    h = a_full.shape[-1]
+    if rows == 0:
+        z = jnp.zeros((0, k, h), jnp.float32)
+        return z, z
+    bv = _slab_gated_blocks(rows, k, xc.shape[-1],
+                            itemsize=xc.dtype.itemsize)
+
+    def block(args):
+        ib, sdb, gb = args
+        xg = jnp.take(xc, ib, axis=0)                     # [bv, K, F]
+        da = jnp.einsum("vkf,vf,hf->vkh", xg, gb, hmap,
+                        preferred_element_type=jnp.float32)
+        pre = jnp.einsum("vkf,fh->vkh", xg, a_full,
+                         preferred_element_type=jnp.float32
+                         ) + sdb[:, None, :]
+        return da, pre
+
+    return _map_row_blocks(block, (idx, s_dst_rows, g_rows), rows, bv)
+
+
+def _lin_bwd_pass_heads(idx, w, gc, stats4h, x_rows, s_src_rows, f, h,
+                        slope, hmap):
+    """Multi-head ``_lin_bwd_pass``: per-dst stats are [Vd, 4H] (4 per
+    head); same tile-aware transport (ride the g-row gather while
+    F + 4H fits one tile, else a standalone pre-gather feeding the block
+    as a slot arg).  Returns (dx [rows, F] f32, dspre [rows, H])."""
+    rows, k = idx.shape
+    if rows == 0:
+        return (jnp.zeros((0, f), jnp.float32),
+                jnp.zeros((0, h), jnp.float32))
+    fuse_lanes = f + 4 * h <= 128
+    if fuse_lanes:
+        g_aug = jnp.concatenate([gc, stats4h.astype(gc.dtype)], axis=1)
+        arrays = (idx, w, x_rows, s_src_rows)
+    else:
+        g_aug = gc
+        # mode="clip": indices are in-range by construction (padding slots
+        # carry valid row ids); the default fill mode wraps the gather in
+        # a select_n whose broadcast fusion materializes the [rows, K, 4H]
+        # result TILE-PADDED (4H lanes → 128, 16× at H=2: 7.1 GB at Reddit
+        # scale — compiler OOM in the h2 trainer)
+        st_full = jnp.take(stats4h, idx.reshape(-1), axis=0, mode="clip"
+                           ).reshape(rows, k, 4 * h)
+        arrays = (idx, w, x_rows, s_src_rows, st_full)
+    bv = _slab_gated_blocks(rows, k, g_aug.shape[-1],
+                            itemsize=g_aug.dtype.itemsize)
+
+    def block(args):
+        ib, wb, xrb, ssb = args[:4]
+        ga = jnp.take(g_aug, ib, axis=0)
+        gslot = ga[..., :f]
+        st = (ga[..., f:].astype(jnp.float32) if fuse_lanes else args[4])
+        sdk, mk = st[..., :h], st[..., h:2 * h]
+        sk = jnp.maximum(st[..., 2 * h:3 * h], 1e-30)
+        ink = st[..., 3 * h:]
+        valid = (wb != 0)[:, :, None]
+        da = jnp.einsum("vkf,vf,hf->vkh", gslot, xrb, hmap,
+                        preferred_element_type=jnp.float32)
+        pre = ssb[:, None, :] + sdk
+        m = jnp.where(valid, jax.nn.leaky_relu(pre, slope), _NEG)
+        a = jnp.exp(m - mk) / sk
+        dpre = a * (da - ink) * jnp.where(pre > 0, 1.0, slope)
+        dx = jnp.einsum("vkh,hf,vkf->vf", a, hmap, gslot,
+                        preferred_element_type=jnp.float32)
+        return dx, jnp.sum(dpre, axis=1)
+
+    return _map_row_blocks(block, arrays, rows, bv)
+
+
+def _attn_lin_heads_bwd(slope, res, g):
+    ell, x, a_l, s_dst, big_m, big_s = res
+    vd_pad = ell.f_idx.shape[0]
+    f = x.shape[-1]
+    fh, h = a_l.shape
+    has_tail = ell.f_tail_idx.shape[0] > 0
+    xc = ell.cast_in(x)
+    a_full, hmap = _head_maps(a_l, xc.dtype)
+    g_pad = jnp.pad(g, ((0, vd_pad - ell.num_dst), (0, 0)))
+    gc = ell.cast_in(g_pad)
+    s_dst_p = jnp.pad(s_dst.astype(jnp.float32),
+                      ((0, vd_pad - s_dst.shape[0]), (0, 0)))
+
+    # ---- fwd-layout: per-head da + pre from one gather per slab ----
+    f_valid = (ell.f_w != 0)[:, :, None]
+    da, pre = _lin_da_pre_pass_heads(ell.f_idx, xc, a_full, hmap,
+                                     s_dst_p, gc)
+    m = jnp.where(f_valid, jax.nn.leaky_relu(pre, slope), _NEG)
+    a = jnp.exp(m - big_m[:, None, :]) / big_s[:, None, :]
+    inner = jnp.sum(a * da, axis=1)                        # [vd_pad, H]
+    if has_tail:
+        t_valid = (ell.f_tail_w != 0)[:, :, None]
+        s_dst_t = jnp.take(s_dst_p, ell.f_tail_rows, axis=0)
+        g_tail = jnp.take(gc, ell.f_tail_rows, axis=0)
+        da_t, pre_t = _lin_da_pre_pass_heads(ell.f_tail_idx, xc, a_full,
+                                             hmap, s_dst_t, g_tail)
+        m_t = jnp.where(t_valid, jax.nn.leaky_relu(pre_t, slope), _NEG)
+        mt_row = jnp.take(big_m, ell.f_tail_rows, axis=0)
+        st_row = jnp.take(big_s, ell.f_tail_rows, axis=0)
+        a_t = jnp.exp(m_t - mt_row[:, None, :]) / st_row[:, None, :]
+        inner = jnp.pad(
+            _tail_combine(inner[:ell.num_dst],
+                          jnp.sum(a_t * da_t, axis=1),
+                          ell.f_tail_rows, ell.num_dst),
+            ((0, vd_pad - ell.num_dst), (0, 0)))
+    dpre = jnp.where(f_valid,
+                     a * (da - inner[:, None, :])
+                     * jnp.where(pre > 0, 1.0, slope), 0.0)
+    ds_dst = jnp.sum(dpre, axis=1)
+    if has_tail:
+        inner_t = jnp.take(inner, ell.f_tail_rows, axis=0)
+        dpre_t = jnp.where(
+            t_valid, a_t * (da_t - inner_t[:, None, :])
+            * jnp.where(pre_t > 0, 1.0, slope), 0.0)
+        ds_dst = jnp.pad(
+            _tail_combine(ds_dst[:ell.num_dst], jnp.sum(dpre_t, axis=1),
+                          ell.f_tail_rows, ell.num_dst),
+            ((0, vd_pad - ell.num_dst), (0, 0)))
+    ds_dst = ds_dst[:s_dst.shape[0]]
+
+    # ---- bwd-layout: 4H per-dst stats + g rows ----
+    stats4h = jnp.concatenate([s_dst_p, big_m, big_s, inner], axis=1)
+    vs_pad = ell.b_idx.shape[0]
+    xc_pad = jnp.pad(xc, ((0, vs_pad - xc.shape[0]), (0, 0)))
+    s_src = jnp.einsum("vf,fh->vh", xc_pad, a_full,
+                       preferred_element_type=jnp.float32)
+    dx, dspre = _lin_bwd_pass_heads(ell.b_idx, ell.b_w, gc, stats4h,
+                                    xc_pad, s_src, f, h, slope, hmap)
+    if ell.b_tail_idx.shape[0]:
+        btr = jnp.clip(ell.b_tail_rows, 0, vs_pad - 1)
+        xr_t = jnp.take(xc_pad, btr, axis=0)
+        ss_t = jnp.take(s_src, btr, axis=0)
+        dx_t, dspre_t = _lin_bwd_pass_heads(ell.b_tail_idx, ell.b_tail_w,
+                                            gc, stats4h, xr_t, ss_t, f,
+                                            h, slope, hmap)
+        dx = _tail_combine(dx[:ell.num_src], dx_t, ell.b_tail_rows,
+                           ell.num_src)
+        dspre = _tail_combine(dspre[:ell.num_src], dspre_t,
+                              ell.b_tail_rows, ell.num_src)
+    dx = dx[:x.shape[0]]
+    dspre = dspre[:x.shape[0]]
+    # per-head score linearization: dx += dspre_h·a_l over head h's lanes
+    # (A_full is zero off-head); da_l = the block-diagonal of Σ_v x⊗dspre
+    dx = (dx + jnp.einsum("vh,fh->vf", dspre,
+                          a_full.astype(jnp.float32))).astype(x.dtype)
+    gmat = jnp.einsum("vf,vh->fh", x.astype(jnp.float32), dspre,
+                      preferred_element_type=jnp.float32)
+    da_l = jnp.einsum("gfh,gh->fh", gmat.reshape(h, fh, h),
+                      jnp.eye(h, dtype=jnp.float32)).astype(a_l.dtype)
+    return None, dx, da_l, ds_dst
+
+
+attention_aggregate_linear_heads.defvjp(_attn_lin_heads_fwd,
+                                        _attn_lin_heads_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def attention_stats_linear_heads(ell: EllGraph, x: jax.Array,
+                                 a_l: jax.Array, s_dst: jax.Array,
+                                 slope: float = 0.2):
+    """Multi-head ``attention_stats_linear``: returns (num [Vd, F],
+    den [Vd, H], c [Vd, H]) unnormalized per-head softmax parts for
+    merge_softmax_parts (reshape num to [Vd, H, F/H] so den/c broadcast
+    per head, merge, reshape back) — the PROC_OVERLAP split analogue of
+    ``attention_aggregate_linear_heads``, ONE shared gather per slab for
+    all heads."""
+    _, (big_m, big_s, u) = _attn_lin_heads_fwd_impl(ell, x, a_l, s_dst,
+                                                    slope)
+    return (u[:ell.num_dst].astype(x.dtype), big_s[:ell.num_dst],
+            big_m[:ell.num_dst])
+
+
+def _attn_stats_lin_heads_fwd(ell, x, a_l, s_dst, slope):
+    _, (big_m, big_s, u) = _attn_lin_heads_fwd_impl(ell, x, a_l, s_dst,
+                                                    slope)
+    out = (u[:ell.num_dst].astype(x.dtype), big_s[:ell.num_dst],
+           big_m[:ell.num_dst])
+    return out, (ell, x, a_l, s_dst, big_m)
+
+
+def _attn_stats_lin_heads_bwd(slope, res, g):
+    """Heads version of _attn_stats_lin_bwd: z = e^{m−c} per (slot, head),
+    dpre = z·(x_h·dnum_h + dden_h)·leaky′ — c is a stop-grad stabilizer,
+    so no softmax inner term (it appears only through the merge's AD)."""
+    dnum, dden, _dc = g
+    ell, x, a_l, s_dst, big_m = res
+    vd_pad = ell.f_idx.shape[0]
+    f = x.shape[-1]
+    fh, h = a_l.shape
+    has_tail = ell.f_tail_idx.shape[0] > 0
+    xc = ell.cast_in(x)
+    a_full, hmap = _head_maps(a_l, xc.dtype)
+    dnum_pad = jnp.pad(dnum, ((0, vd_pad - ell.num_dst), (0, 0)))
+    dnc = ell.cast_in(dnum_pad)
+    dden_pad = jnp.pad(dden, ((0, vd_pad - ell.num_dst), (0, 0)))
+    s_dst_p = jnp.pad(s_dst.astype(jnp.float32),
+                      ((0, vd_pad - s_dst.shape[0]), (0, 0)))
+
+    # ---- fwd-layout: per-head da + pre → ds_dst ----
+    f_valid = (ell.f_w != 0)[:, :, None]
+    da, pre = _lin_da_pre_pass_heads(ell.f_idx, xc, a_full, hmap,
+                                     s_dst_p, dnc)
+    m = jnp.where(f_valid, jax.nn.leaky_relu(pre, slope), _NEG)
+    z = jnp.exp(m - big_m[:, None, :])
+    # where-mask, not just z==0: empty-everywhere rows carry NaN dden
+    # cotangents (merge's clamped-den division VJP; den² underflows f32)
+    dpre = jnp.where(f_valid,
+                     z * (da + dden_pad[:, None, :])
+                     * jnp.where(pre > 0, 1.0, slope), 0.0)
+    ds_dst = jnp.sum(dpre, axis=1)
+    if has_tail:
+        t_valid = (ell.f_tail_w != 0)[:, :, None]
+        s_dst_t = jnp.take(s_dst_p, ell.f_tail_rows, axis=0)
+        dn_t = jnp.take(dnc, ell.f_tail_rows, axis=0)
+        da_t, pre_t = _lin_da_pre_pass_heads(ell.f_tail_idx, xc, a_full,
+                                             hmap, s_dst_t, dn_t)
+        m_t = jnp.where(t_valid, jax.nn.leaky_relu(pre_t, slope), _NEG)
+        z_t = jnp.exp(m_t - jnp.take(big_m, ell.f_tail_rows,
+                                     axis=0)[:, None, :])
+        dpre_t = jnp.where(
+            t_valid,
+            z_t * (da_t + jnp.take(dden_pad, ell.f_tail_rows,
+                                   axis=0)[:, None, :])
+            * jnp.where(pre_t > 0, 1.0, slope), 0.0)
+        ds_dst = jnp.pad(
+            _tail_combine(ds_dst[:ell.num_dst], jnp.sum(dpre_t, axis=1),
+                          ell.f_tail_rows, ell.num_dst),
+            ((0, vd_pad - ell.num_dst), (0, 0)))
+    ds_dst = ds_dst[:s_dst.shape[0]]
+
+    # ---- bwd-layout: 3H per-dst stats travel with the dnum gather ----
+    stats3h = jnp.concatenate([s_dst_p, big_m, dden_pad], axis=1)
+    vs_pad = ell.b_idx.shape[0]
+    xc_pad = jnp.pad(xc, ((0, vs_pad - xc.shape[0]), (0, 0)))
+    s_src = jnp.einsum("vf,fh->vh", xc_pad, a_full,
+                       preferred_element_type=jnp.float32)
+    dx, dspre = _lin_stats_bwd_pass_heads(ell.b_idx, ell.b_w, dnc,
+                                          stats3h, xc_pad, s_src, f, h,
+                                          slope, hmap)
+    if ell.b_tail_idx.shape[0]:
+        btr = jnp.clip(ell.b_tail_rows, 0, vs_pad - 1)
+        xr_t = jnp.take(xc_pad, btr, axis=0)
+        ss_t = jnp.take(s_src, btr, axis=0)
+        dx_t, dspre_t = _lin_stats_bwd_pass_heads(
+            ell.b_tail_idx, ell.b_tail_w, dnc, stats3h, xr_t, ss_t, f, h,
+            slope, hmap)
+        dx = _tail_combine(dx[:ell.num_src], dx_t, ell.b_tail_rows,
+                           ell.num_src)
+        dspre = _tail_combine(dspre[:ell.num_src], dspre_t,
+                              ell.b_tail_rows, ell.num_src)
+    dx = dx[:x.shape[0]]
+    dspre = dspre[:x.shape[0]]
+    dx = (dx + jnp.einsum("vh,fh->vf", dspre,
+                          a_full.astype(jnp.float32))).astype(x.dtype)
+    gmat = jnp.einsum("vf,vh->fh", x.astype(jnp.float32), dspre,
+                      preferred_element_type=jnp.float32)
+    da_l = jnp.einsum("gfh,gh->fh", gmat.reshape(h, fh, h),
+                      jnp.eye(h, dtype=jnp.float32)).astype(a_l.dtype)
+    return None, dx, da_l, ds_dst
+
+
+def _lin_stats_bwd_pass_heads(idx, w, dnc, stats3h, x_rows, s_src_rows,
+                              f, h, slope, hmap):
+    """Heads version of _lin_stats_bwd_pass (3H per-dst stats; same
+    tile-aware transport as _lin_bwd_pass_heads).
+    Returns (dx [rows, F] f32 = Σ_k z_h·dnum over head lanes,
+    dspre [rows, H])."""
+    rows, k = idx.shape
+    if rows == 0:
+        return (jnp.zeros((0, f), jnp.float32),
+                jnp.zeros((0, h), jnp.float32))
+    fuse_lanes = f + 3 * h <= 128
+    if fuse_lanes:
+        g_aug = jnp.concatenate([dnc, stats3h.astype(dnc.dtype)], axis=1)
+        arrays = (idx, w, x_rows, s_src_rows)
+    else:
+        g_aug = dnc
+        st_full = jnp.take(stats3h, idx.reshape(-1), axis=0, mode="clip"
+                           ).reshape(rows, k, 3 * h)
+        arrays = (idx, w, x_rows, s_src_rows, st_full)
+    bv = _slab_gated_blocks(rows, k, g_aug.shape[-1],
+                            itemsize=g_aug.dtype.itemsize)
+
+    def block(args):
+        ib, wb, xrb, ssb = args[:4]
+        ga = jnp.take(g_aug, ib, axis=0)
+        dnk = ga[..., :f]
+        st = (ga[..., f:].astype(jnp.float32) if fuse_lanes else args[4])
+        sdk, ck, ddk = st[..., :h], st[..., h:2 * h], st[..., 2 * h:]
+        valid = (wb != 0)[:, :, None]
+        da = jnp.einsum("vkf,vf,hf->vkh", dnk, xrb, hmap,
+                        preferred_element_type=jnp.float32)
+        pre = ssb[:, None, :] + sdk
+        m = jnp.where(valid, jax.nn.leaky_relu(pre, slope), _NEG)
+        z = jnp.exp(m - ck)
+        dpre = jnp.where(valid,
+                         z * (da + ddk) * jnp.where(pre > 0, 1.0, slope),
+                         0.0)
+        dx = jnp.einsum("vkh,hf,vkf->vf", z, hmap, dnk,
+                        preferred_element_type=jnp.float32)
+        return dx, jnp.sum(dpre, axis=1)
+
+    return _map_row_blocks(block, arrays, rows, bv)
+
+
+attention_stats_linear_heads.defvjp(_attn_stats_lin_heads_fwd,
+                                    _attn_stats_lin_heads_bwd)
 
 
 # ---------------------------------------------------------------------------

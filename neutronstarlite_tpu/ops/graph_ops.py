@@ -189,6 +189,26 @@ class GraphTensors:
                                                       s_dst, slope)
         return self.attention_aggregate(table, table @ a_l, s_dst, slope)
 
+    def attention_aggregate_linear_heads(self, table: jax.Array,
+                                         a_l: jax.Array, s_dst: jax.Array,
+                                         slope: float = 0.2) -> jax.Array:
+        """Multi-head ``attention_aggregate_linear`` (NUM_HEADS): head h
+        softmax-aggregates its own contiguous lane slice of ``table``
+        under its own scores.  ELL backend: ONE shared gather per slab
+        for ALL heads (ell.attention_aggregate_linear_heads — the
+        per-tile gather law makes per-head slice chains pay H full DMA
+        bills for one gather's data); XLA backend: per-head chain.
+        ``a_l``: [F/H, H]; ``s_dst``: [V, H]."""
+        if self.ell is not None:
+            from neutronstarlite_tpu.ops import ell as ell_mod
+            return ell_mod.attention_aggregate_linear_heads(
+                self.ell, table, a_l, s_dst, slope)
+        fh, h = a_l.shape
+        outs = [self.attention_aggregate_linear(
+            table[:, i * fh:(i + 1) * fh], a_l[:, i], s_dst[:, i], slope)
+            for i in range(h)]
+        return jnp.concatenate(outs, axis=-1)
+
     def aggregate_weighted(self, edge_weight: jax.Array, x: jax.Array
                            ) -> jax.Array:
         """Σ_e a_e·X[src(e)] with a differentiable per-edge weight input

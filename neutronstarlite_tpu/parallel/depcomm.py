@@ -765,6 +765,37 @@ class DistGraphTensors:
         # segment fallback: materialize s_src
         return self.attention_aggregate(table, table @ a_l, s_dst, slope)
 
+    def attention_aggregate_linear_heads(self, table: jax.Array,
+                                         a_l: jax.Array, s_dst: jax.Array,
+                                         slope: float = 0.2) -> jax.Array:
+        """Multi-head linear-score attention over local edges: the comb
+        slabs run the fully fused all-heads chain (ONE shared gather per
+        slab, ell.attention_aggregate_linear_heads); the PROC_OVERLAP
+        split keeps it too — each slab set contributes per-HEAD
+        unnormalized parts (attention_stats_linear_heads), merged exactly
+        by merge_softmax_parts over the [V, H, F/H] view (den/c broadcast
+        per head).  Only the segment fallback loops heads.  ``a_l``:
+        [F/H, H] with H the LOCAL head count under TP; ``s_dst``: [V, H].
+        """
+        if self.ell is not None and "comb" in self.ell:
+            return ell_mod.attention_aggregate_linear_heads(
+                self.ell["comb"], table, a_l, s_dst, slope)
+        fh, h = a_l.shape
+        if self.ell is not None and "local" in self.ell:
+            v = self.num_vertices
+            parts = []
+            for key, tab in (("local", table[:v]), ("remote", table[v:])):
+                n, d, c = ell_mod.attention_stats_linear_heads(
+                    self.ell[key], tab, a_l, s_dst, slope)
+                parts.append((n.reshape(n.shape[0], h, fh), d, c))
+            merged = ell_mod.merge_softmax_parts(parts)
+            return merged.reshape(merged.shape[0], h * fh
+                                  ).astype(table.dtype)
+        outs = [self.attention_aggregate_linear(
+            table[:, i * fh:(i + 1) * fh], a_l[:, i], s_dst[:, i], slope)
+            for i in range(h)]
+        return jnp.concatenate(outs, axis=-1)
+
     def gated_aggregate(self, table: jax.Array, g_src: jax.Array,
                         g_dst: jax.Array, slope: float = 0.2) -> jax.Array:
         """GGCN fused per-feature gating over local edges (see

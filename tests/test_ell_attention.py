@@ -247,6 +247,73 @@ class TestAttentionAggregateLinear:
         np.testing.assert_allclose(grads, oracle_g, rtol=2e-3, atol=1e-4)
 
 
+class TestAttentionHeadsFused:
+    """attention_aggregate_linear_heads (ONE shared gather for all heads)
+    vs the per-head loop of the oracle-pinned single-head op."""
+
+    def per_head(self, eg, x, a_l, s_dst, slope=0.2):
+        fh, h = a_l.shape
+        outs = [ell.attention_aggregate_linear(
+            eg, x[:, i * fh:(i + 1) * fh], a_l[:, i], s_dst[:, i], slope)
+            for i in range(h)]
+        return jnp.concatenate(outs, axis=-1)
+
+    def _check(self, g_, eg_, f, h, seed, rtol=2e-3, atol=1e-4):
+        r = np.random.default_rng(seed)
+        v = g_.num_vertices
+        x = jnp.asarray(r.standard_normal((v, f)).astype(np.float32))
+        a_l = jnp.asarray(r.standard_normal((f // h, h))
+                          .astype(np.float32))
+        s_dst = jnp.asarray(r.standard_normal((v, h)).astype(np.float32))
+        co = jnp.asarray(r.standard_normal((v, f)).astype(np.float32))
+        out = ell.attention_aggregate_linear_heads(eg_, x, a_l, s_dst, 0.2)
+        ref = self.per_head(eg_, x, a_l, s_dst, 0.2)
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+        g_fused = jax.grad(lambda xx, al, sd: jnp.sum(
+            ell.attention_aggregate_linear_heads(eg_, xx, al, sd, 0.2)
+            * co), argnums=(0, 1, 2))(x, a_l, s_dst)
+        g_loop = jax.grad(lambda xx, al, sd: jnp.sum(
+            self.per_head(eg_, xx, al, sd, 0.2) * co),
+            argnums=(0, 1, 2))(x, a_l, s_dst)
+        for a, b, name in zip(g_fused, g_loop, ("dx", "da_l", "ds_dst")):
+            np.testing.assert_allclose(a, b, rtol=rtol, atol=atol,
+                                       err_msg=f"grad mismatch: {name}")
+
+    def test_heads_match_per_head_loop(self, g, eg):
+        """H=3 over a tailed hub graph (fuse-lanes stat transport)."""
+        self._check(g, eg, f=24, h=3, seed=11)
+
+    def test_heads_wide_split_branch(self, g, eg):
+        """F + 4H > 128 routes the per-dst stats through the standalone
+        pre-gather (split2pass transport); grads must still match."""
+        self._check(g, eg, f=120, h=4, seed=13)
+
+    def test_heads_no_tail_and_isolated(self):
+        """Base-only slabs + isolated vertices (empty dst rows)."""
+        r = np.random.default_rng(31)
+        v = 50
+        src = r.integers(0, v - 6, 260).astype(np.int32)
+        dst = r.integers(0, v - 6, 260).astype(np.int32)
+        src, dst = add_self_loops(src, dst, v - 6)
+        g2 = build_graph(src, dst, v)  # last 6 vertices isolated
+        eg2 = ell.build_ell_graph(g2, ell_cap=256)
+        assert eg2.f_tail_idx.shape[0] == 0
+        self._check(g2, eg2, f=16, h=2, seed=17)
+
+    def test_single_head_degenerates_to_linear(self, g, eg, feats):
+        """H=1 must equal attention_aggregate_linear exactly."""
+        r = np.random.default_rng(19)
+        f = feats.shape[1]
+        a_l = jnp.asarray(r.standard_normal((f, 1)).astype(np.float32))
+        s_dst = jnp.asarray(r.standard_normal((g.num_vertices, 1))
+                            .astype(np.float32))
+        out_h = ell.attention_aggregate_linear_heads(eg, feats, a_l,
+                                                     s_dst, 0.2)
+        out_1 = ell.attention_aggregate_linear(eg, feats, a_l[:, 0],
+                                               s_dst[:, 0], 0.2)
+        np.testing.assert_allclose(out_h, out_1, rtol=1e-5, atol=1e-6)
+
+
 class TestBf16Aggregation:
     def test_bf16_spmm_close_to_f32(self, g, feats):
         eg32 = ell.build_ell_graph(g)
@@ -765,3 +832,67 @@ class TestSplitStats:
         for a, b in zip(chunked, dense):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-4, atol=5e-5)
+
+    # ---- fused multi-head split stats (PROC_OVERLAP × NUM_HEADS keeps
+    # the all-heads-one-gather path; r4-late) ----
+
+    def _heads_merge(self, ega, egb, x, a_l, s_dst):
+        fh, h = a_l.shape
+        parts = []
+        for e_ in (ega, egb):
+            n, d, c = ell.attention_stats_linear_heads(e_, x, a_l, s_dst,
+                                                       0.2)
+            parts.append((n.reshape(n.shape[0], h, fh), d, c))
+        m = ell.merge_softmax_parts(parts)
+        return m.reshape(m.shape[0], h * fh)
+
+    def test_attention_heads_merge_matches_full(self, g, eg, split,
+                                                scal_inputs):
+        x, _, _ = scal_inputs
+        r = np.random.default_rng(47)
+        f, h = x.shape[-1], 3
+        a_l = jnp.asarray(r.standard_normal((f // h, h))
+                          .astype(np.float32))
+        s_dst = jnp.asarray(r.standard_normal((g.num_vertices, h))
+                            .astype(np.float32))
+        ega, egb = split
+        full = ell.attention_aggregate_linear_heads(eg, x, a_l, s_dst, 0.2)
+        merged = self._heads_merge(ega, egb, x, a_l, s_dst)
+        np.testing.assert_allclose(np.asarray(merged), np.asarray(full),
+                                   rtol=2e-4, atol=2e-5)
+
+        gf = jax.grad(lambda *a: jnp.sum(
+            ell.attention_aggregate_linear_heads(eg, *a, 0.2) ** 2),
+            argnums=(0, 1, 2))(x, a_l, s_dst)
+        gm = jax.grad(lambda *a: jnp.sum(
+            self._heads_merge(ega, egb, *a) ** 2),
+            argnums=(0, 1, 2))(x, a_l, s_dst)
+        for a, b, name in zip(gm, gf, ("dx", "da_l", "ds_dst")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-5,
+                                       err_msg=f"grad mismatch: {name}")
+
+    def test_attention_heads_merge_wide_lanes(self, g, split):
+        """F + 3H > 128 exercises the standalone stats pre-gather in the
+        heads stats backward."""
+        r = np.random.default_rng(48)
+        v = g.num_vertices
+        f, h = 120, 4
+        x = jnp.asarray(r.standard_normal((v, f)).astype(np.float32))
+        a_l = jnp.asarray(r.standard_normal((f // h, h))
+                          .astype(np.float32))
+        s_dst = jnp.asarray(r.standard_normal((v, h)).astype(np.float32))
+        ega, egb = split
+        eg_full = ell.build_ell_graph(g, ell_cap=16)
+        full = ell.attention_aggregate_linear_heads(eg_full, x, a_l,
+                                                    s_dst, 0.2)
+        merged = self._heads_merge(ega, egb, x, a_l, s_dst)
+        np.testing.assert_allclose(np.asarray(merged), np.asarray(full),
+                                   rtol=2e-4, atol=2e-5)
+        gm = jax.grad(lambda xx: jnp.sum(
+            self._heads_merge(ega, egb, xx, a_l, s_dst) ** 2))(x)
+        gf = jax.grad(lambda xx: jnp.sum(
+            ell.attention_aggregate_linear_heads(eg_full, xx, a_l, s_dst,
+                                                 0.2) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(gm), np.asarray(gf),
+                                   rtol=1e-3, atol=2e-4)

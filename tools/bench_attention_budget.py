@@ -1,25 +1,28 @@
-"""Per-op cost budget for the fused attention ops (VERDICT r3 weak-item 6).
+"""Per-op cost budget for the fused attention ops (VERDICT r3 weak-item 6;
+model corrected r4-late to the measured PER-TILE gather law).
 
 For attention_aggregate_linear (GAT) and gated_aggregate_linear (GGCN) at
-Reddit scale, compare each op's MEASURED forward / backward time against a
-per-pass byte-and-slot model — the model the r3 GGCN stats-table diet
-validated (gather-byte model predicted −24%, measured −25.5%):
+Reddit scale, compare each op's MEASURED forward / backward time against
+the per-tile slot model (BASELINE.md "r4-late per-tile gather law",
+probe_lin_bwd_variants.py / probe_packed4d.py):
 
-    t_pass = slots × max(t_overhead, lane_bytes / BW)
+    t_pass = slots × t_floor × tile_factor
+    tile_factor: 1.0  for rows ≤ 128 lanes (any block body rides free)
+                 4.15 for rows > 128 lanes (measured flat for 2-4 tiles)
+    standalone narrow stat gathers: ~1.3 × t_floor per slot
 
-with t_overhead the measured per-slot floor of this run's plain spmm pass
-on the same slabs (the r3 lane-padding probe showed the narrow-row regime
-is per-slot-overhead bound at ~4 ns/slot) and BW ≈ 230 GB/s the measured
-random-row gather ceiling (BASELINE.md "Pallas / gather decision").
+with t_floor the measured per-slot floor of this run's plain spmm pass on
+the same slabs (~4.3 ns/slot; DMA-descriptor-bound, NOT bytes — the old
+lane_bytes/230 GB/s byte model under-predicted every >1-tile pass ~4×).
 
-Pass inventory (F lanes, itemsize s = agg dtype):
-  GAT linear  fwd : fwd_slots × F·s           (x-row gather, stats in-reg)
-              bwd : fwd_slots × F·s           (da+pre recompute pass)
-                  + bwd_slots × (F+4)·s       (g rows + stat lanes; F+4>128
-                                               splits into F·s + small 4-lane)
-  GGCN linear fwd : fwd_slots × F·s           (x gather, gate on the MXU)
-              bwd : fwd_slots × (F·s + F·4)   (pass C: x gather + g_pad rows)
-                  + bwd_slots × 4F·s          (stats-table gather)
+Pass inventory:
+  GAT linear  fwd : fwd_slots (x gather, ≤1 tile, stats in-reg)
+              bwd : fwd_slots (da+pre pass) + bwd_slots (g rows)
+                  + bwd_slots × 1.3 (standalone stats4 pre-gather when
+                    F+4 > 128; rides the g gather lanes otherwise)
+  GGCN linear fwd : fwd_slots (x gather, gate on the MXU)
+              bwd : fwd_slots (pass C) + bwd_slots × 4.15 (pass E's
+                    4F-lane = 4-tile stats gather — at ITS floor)
 
 A pass whose measured time tracks its model is AT the floor; one that
 exceeds it is the next fusion target.
@@ -82,8 +85,8 @@ def main():
                       "ns_per_slot_floor": round(t_over * 1e9, 3)}),
           flush=True)
 
-    def t_pass(slots, lane_bytes):
-        return slots * max(t_over, lane_bytes / BW)
+    def t_pass(slots, lanes):
+        return slots * t_over * (1.0 if lanes <= 128 else 4.15)
 
     # ---- GAT linear ----
     op = jax.jit(lambda e, xx, al, sd: ell.attention_aggregate_linear(
@@ -94,9 +97,11 @@ def main():
         argnums=(0, 1, 2))(xx, al, sd)[0])
     t_f = timeit(op, eg, x, a_l, s_dst)
     t_fb = timeit(opg, eg, x, a_l, s_dst)
-    pred_f = t_pass(fwd_slots, f * s)
-    bwd_lanes = (f + 4) * s if f + 4 <= 128 else f * s + 4 * s
-    pred_b = t_pass(fwd_slots, f * s) + t_pass(bwd_slots, bwd_lanes)
+    pred_f = t_pass(fwd_slots, f)
+    # F+4 > 128: g gather (1 tile) + standalone stats pre-gather (1.3×)
+    stats_term = 0.0 if f + 4 <= 128 else bwd_slots * t_over * 1.3
+    pred_b = t_pass(fwd_slots, f) + t_pass(bwd_slots, min(f + 4, 128)) \
+        + stats_term
     print(json.dumps({
         "op": "attention_aggregate_linear", "F": f, "dtype": dtype,
         "fwd_ms": round(t_f * 1e3, 2),
