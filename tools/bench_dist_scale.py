@@ -61,14 +61,25 @@ def make_cfg(mode: str, v: int):
     return cfg
 
 
-def run_one(datum, mode: str, p: int, epochs: int):
-    from neutronstarlite_tpu.models import gcn
+def run_one(datum, mode: str, p: int, epochs: int, model_name: str = "gcn",
+            heads: int = 1):
+    from neutronstarlite_tpu.models import gat, gcn
     from neutronstarlite_tpu.training.dist_trainer import DistTrainer
     cfg = make_cfg(mode, datum.num_vertices)
-    kw = {"eager": True} if mode == "bench" else {}
+    model = {"gcn": gcn, "gat": gat}[model_name]
+    # GAT has no eager/hoist form; heads exercise the fused multi-head
+    # chain (attention_stats_linear_heads under PROC_OVERLAP)
+    kw = {"eager": True} if (mode == "bench" and model_name == "gcn") else {}
+    if model_name != "gcn":
+        cfg.hoist_l0 = False
+        cfg.drop_rate = 0.0
+        cfg.num_heads = heads
+        # attention on random labels overshoots at the GCN lr; 1e-3 gives
+        # the monotone descent the convergence-class assert checks
+        cfg.learn_rate = 1e-3
     rep = 64 if mode == "combo" else None   # DepCache hot set (degree mode)
     t0 = time.time()
-    tr = DistTrainer(datum, cfg, model=gcn, num_partitions=p,
+    tr = DistTrainer(datum, cfg, model=model, num_partitions=p,
                      rep_threshold=rep, **kw)
     build_s = time.time() - t0
     t0 = time.time()
@@ -105,6 +116,8 @@ def main():
     ap.add_argument("--v", type=int, default=232965)
     ap.add_argument("--deg", type=int, default=50)
     ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--model", default="gcn", choices=("gcn", "gat"))
+    ap.add_argument("--heads", type=int, default=1)
     args = ap.parse_args()
 
     from bench import make_powerlaw_graph
@@ -122,7 +135,10 @@ def main():
 
     for p in [int(x) for x in args.p.split(",")]:
         for mode in args.modes.split(","):
-            rec = run_one(datum, mode, p, args.epochs)
+            rec = run_one(datum, mode, p, args.epochs, args.model,
+                          args.heads)
+            rec["model"] = (args.model if args.heads == 1
+                            else f"{args.model}_h{args.heads}")
             print(json.dumps(rec), flush=True)
 
 
