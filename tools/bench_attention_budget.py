@@ -39,8 +39,6 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-BW = 230e9     # measured random-row gather ceiling, bytes/s
-
 
 def timeit(fn, *args, iters=8):
     import jax.numpy as jnp
@@ -66,7 +64,6 @@ def main():
     eg = ell.build_ell_graph(g, agg_dtype=dtype)
     fwd_slots = int(eg.f_idx.size + eg.f_tail_idx.size)
     bwd_slots = int(eg.b_idx.size + eg.b_tail_idx.size)
-    s = 2 if dtype == "bfloat16" else 4
 
     r = np.random.default_rng(0)
     x = jnp.asarray(r.standard_normal((v, f)).astype(np.float32))
@@ -120,10 +117,10 @@ def main():
         argnums=(0, 1, 2))(xx, gg, gd)[0])
     t_f2 = timeit(op2, eg, x, gl, g_dst)
     t_fb2 = timeit(opg2, eg, x, gl, g_dst)
-    pred_f2 = t_pass(fwd_slots, f * s)
-    # pass C gathers x rows (F·s) and reads per-row g_pad/g_dst/rmax/ssum
-    # as row args (block-contiguous, ~free vs the slot gather)
-    pred_b2 = t_pass(fwd_slots, f * s) + t_pass(bwd_slots, 4 * f * s)
+    pred_f2 = t_pass(fwd_slots, f)
+    # pass C gathers x rows (F lanes, 1 tile; per-row args ~free); pass E
+    # gathers the 4F-lane stats table (4 tiles)
+    pred_b2 = t_pass(fwd_slots, f) + t_pass(bwd_slots, 4 * f)
     print(json.dumps({
         "op": "gated_aggregate_linear", "F": f, "dtype": dtype,
         "fwd_ms": round(t_f2 * 1e3, 2),
