@@ -300,6 +300,22 @@ class TestAttentionHeadsFused:
         assert eg2.f_tail_idx.shape[0] == 0
         self._check(g2, eg2, f=16, h=2, seed=17)
 
+    def test_graphtensors_dispatch_backends_agree(self, g, feats):
+        """GraphTensors.attention_aggregate_linear_heads: the xla backend
+        (per-head chain) and the ELL backend (fused all-heads) must
+        agree."""
+        r = np.random.default_rng(37)
+        f, h = feats.shape[1], 2
+        a_l = jnp.asarray(r.standard_normal((f // h, h))
+                          .astype(np.float32))
+        s_dst = jnp.asarray(r.standard_normal((g.num_vertices, h))
+                            .astype(np.float32))
+        gt_x = GraphTensors.from_graph(g, backend="xla")
+        gt_p = GraphTensors.from_graph(g, backend="pallas")
+        out_x = gt_x.attention_aggregate_linear_heads(feats, a_l, s_dst)
+        out_p = gt_p.attention_aggregate_linear_heads(feats, a_l, s_dst)
+        np.testing.assert_allclose(out_p, out_x, rtol=1e-3, atol=1e-4)
+
     def test_single_head_degenerates_to_linear(self, g, eg, feats):
         """H=1 must equal attention_aggregate_linear exactly."""
         r = np.random.default_rng(19)
