@@ -1656,7 +1656,10 @@ def _attn_lin_heads_bwd(slope, res, g):
     fh, h = a_l.shape
     has_tail = ell.f_tail_idx.shape[0] > 0
     xc = ell.cast_in(x)
-    a_full, hmap = _head_maps(a_l, xc.dtype)
+    # f32 expansion of the UNCAST a_l for the score-linearization terms
+    # (matches single-head precision); a_full at agg dtype for gathers
+    a_full32, hmap = _head_maps(a_l, jnp.float32)
+    a_full = a_full32.astype(xc.dtype)
     g_pad = jnp.pad(g, ((0, vd_pad - ell.num_dst), (0, 0)))
     gc = ell.cast_in(g_pad)
     s_dst_p = jnp.pad(s_dst.astype(jnp.float32),
@@ -1722,8 +1725,7 @@ def _attn_lin_heads_bwd(slope, res, g):
     dspre = dspre[:x.shape[0]]
     # per-head score linearization: dx += dspre_h·a_l over head h's lanes
     # (A_full is zero off-head); da_l = the block-diagonal of Σ_v x⊗dspre
-    dx = (dx + jnp.einsum("vh,fh->vf", dspre,
-                          a_full.astype(jnp.float32))).astype(x.dtype)
+    dx = (dx + jnp.einsum("vh,fh->vf", dspre, a_full32)).astype(x.dtype)
     gmat = jnp.einsum("vf,vh->fh", x.astype(jnp.float32), dspre,
                       preferred_element_type=jnp.float32)
     da_l = jnp.einsum("gfh,gh->fh", gmat.reshape(h, fh, h),
@@ -1770,7 +1772,8 @@ def _attn_stats_lin_heads_bwd(slope, res, g):
     fh, h = a_l.shape
     has_tail = ell.f_tail_idx.shape[0] > 0
     xc = ell.cast_in(x)
-    a_full, hmap = _head_maps(a_l, xc.dtype)
+    a_full32, hmap = _head_maps(a_l, jnp.float32)   # f32 linearization
+    a_full = a_full32.astype(xc.dtype)
     dnum_pad = jnp.pad(dnum, ((0, vd_pad - ell.num_dst), (0, 0)))
     dnc = ell.cast_in(dnum_pad)
     dden_pad = jnp.pad(dden, ((0, vd_pad - ell.num_dst), (0, 0)))
@@ -1831,8 +1834,7 @@ def _attn_stats_lin_heads_bwd(slope, res, g):
                               ell.b_tail_rows, ell.num_src)
     dx = dx[:x.shape[0]]
     dspre = dspre[:x.shape[0]]
-    dx = (dx + jnp.einsum("vh,fh->vf", dspre,
-                          a_full.astype(jnp.float32))).astype(x.dtype)
+    dx = (dx + jnp.einsum("vh,fh->vf", dspre, a_full32)).astype(x.dtype)
     gmat = jnp.einsum("vf,vh->fh", x.astype(jnp.float32), dspre,
                       preferred_element_type=jnp.float32)
     da_l = jnp.einsum("gfh,gh->fh", gmat.reshape(h, fh, h),

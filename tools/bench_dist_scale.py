@@ -119,6 +119,9 @@ def main():
     ap.add_argument("--model", default="gcn", choices=("gcn", "gat"))
     ap.add_argument("--heads", type=int, default=1)
     args = ap.parse_args()
+    if args.model == "gcn" and args.heads != 1:
+        ap.error("--heads applies to gat only (gcn ignores NUM_HEADS; "
+                 "the record label would misstate the config run)")
 
     from bench import make_powerlaw_graph
     from neutronstarlite_tpu.graph.dataset import GNNDatum

@@ -33,8 +33,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def timeit(fn, *args, iters=6):
     import jax.numpy as jnp
-    float(jnp.sum(fn(*args)[0] if isinstance(fn(*args), tuple)
-                  else fn(*args)))
+    r = fn(*args)                                       # warmup once
+    float(jnp.sum(r[0] if isinstance(r, tuple) else r))
     t0 = time.perf_counter()
     for _ in range(iters):
         r = fn(*args)
