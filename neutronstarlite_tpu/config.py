@@ -122,6 +122,17 @@ class InputInfo:
                                     # predict() logits (eval-mode forward,
                                     # user vertex order) to this .npy —
                                     # the serving/inference surface
+    sage_pool_dim: int = 0          # SAGE_POOL_DIM: width of SAGE's
+                                    # pooled representation (w_pool:
+                                    # [F_in, P]). 0 = square [F_in, F_in]
+                                    # (the original semantics). The pooled
+                                    # table is what the extremal slab
+                                    # gathers traverse, so P <= 128 keeps
+                                    # those passes at one 128-lane tile
+                                    # (the r4-late per-tile law) — at
+                                    # F_in=602 the square pool pays 5
+                                    # tiles/slot. Ours (the reference has
+                                    # no SAGE family).
     hoist_l0: bool = False          # HOIST_L0: precompute layer 0's
                                     # neighbor aggregate A·X once (X is
                                     # constant and the aggregate is linear,
@@ -215,6 +226,8 @@ class InputInfo:
             "FEATURE_NORM": lambda: setattr(self, "feature_norm",
                                             flag(val)),
             "NUM_HEADS": lambda: setattr(self, "num_heads", int(val)),
+            "SAGE_POOL_DIM": lambda: setattr(self, "sage_pool_dim",
+                                             int(val)),
             "RESUME": lambda: setattr(self, "resume", flag(val)),
             "PREDICT_OUT": lambda: setattr(self, "predict_out", val),
         }

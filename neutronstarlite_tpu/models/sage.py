@@ -25,21 +25,28 @@ from neutronstarlite_tpu.nn import layers, param
 
 
 class SageState(NamedTuple):
-    params: list   # per layer: {"w_pool": [F_in, F_in], "w": [2*F_in, F_out]}
+    params: list   # per layer: {"w_pool": [F_in, P], "w": [F_in+P, F_out]}
     bn: list       # unused (kept for trainer-interface parity)
 
 
-def init(key: jax.Array, layer_sizes: Sequence[int], dtype=jnp.float32
-         ) -> SageState:
+def init(key: jax.Array, layer_sizes: Sequence[int], dtype=jnp.float32,
+         pool_dim: int | None = None) -> SageState:
+    """``pool_dim`` (cfg SAGE_POOL_DIM): width P of the pooled
+    representation per layer; None/0 = P = F_in (square pool, the
+    original semantics). The pooled table is what the extremal slab
+    gathers traverse — P <= 128 keeps those passes at one 128-lane tile
+    (BASELINE.md "r4-late per-tile gather law"), where the square pool at
+    F_in=602 pays 5 tiles per slot."""
     n_layers = len(layer_sizes) - 1
     keys = jax.random.split(key, 2 * n_layers)
     params = []
     for i in range(n_layers):
         f_in, f_out = layer_sizes[i], layer_sizes[i + 1]
+        p = pool_dim or f_in
         params.append({
-            "w_pool": param.init_linear(keys[2 * i], f_in, f_in,
+            "w_pool": param.init_linear(keys[2 * i], f_in, p,
                                         dtype)["w"],
-            "w": param.init_linear(keys[2 * i + 1], 2 * f_in, f_out,
+            "w": param.init_linear(keys[2 * i + 1], f_in + p, f_out,
                                    dtype)["w"],
         })
     return SageState(params=params, bn=[])
@@ -47,7 +54,7 @@ def init(key: jax.Array, layer_sizes: Sequence[int], dtype=jnp.float32
 
 def forward(state: SageState, gt, x: jax.Array, key: jax.Array | None,
             training: bool, drop_rate: float = 0.0, aggregator: str = "max",
-            tp_axis: str | None = None):
+            tp_axis: str | None = None, pool_dim: int | None = None):
     """Engine-agnostic: ``gt`` is GraphTensors or DistGraphTensors —
     get_dep_nbr is the identity single-chip and the boundary all_to_all
     distributed (DistGetDepNbrOp, ref: core/ntsDistCPUGraphOp.hpp:34-126).
@@ -79,7 +86,12 @@ def forward(state: SageState, gt, x: jax.Array, key: jax.Array | None,
         if tp_axis is None:
             x = jnp.concatenate([x, pool], axis=-1) @ p["w"]
         else:
-            f_in = p["w"].shape[0] // 2        # global F_in (w rows full)
+            # global F_in = w rows minus the GLOBAL pool width. w rows
+            # are full even under TP (only output columns shard), but
+            # w_pool's columns ARE sharded inside shard_map, so the
+            # width must come from the pool_dim kwarg (None = square
+            # pool, rows split evenly — the original semantics)
+            f_in = p["w"].shape[0] - (pool_dim or p["w"].shape[0] // 2)
             x = (layers.dense(x, p["w"][:f_in], tp_axis)
                  + layers.dense(pool, p["w"][f_in:], tp_axis))
         if i < n_layers - 1:

@@ -42,6 +42,7 @@ from neutronstarlite_tpu.parallel.depcomm import (build_dist_graph,
 from neutronstarlite_tpu.parallel.mesh import make_mesh, make_mesh2d
 from neutronstarlite_tpu.training.trainer import (_pack_stats,
                                                    _unpack_history,
+                                                   config_forward_kwargs,
                                                    init_model_state)
 
 
@@ -63,6 +64,8 @@ class DistTrainer:
         self.datum = datum
         self.config = config
         self.model = model
+        model_kwargs = dict(model_kwargs,
+                            **config_forward_kwargs(model, config))
         self.model_kwargs = model_kwargs
         from neutronstarlite_tpu.ops import ell as ell_mod
         ell_mod.configure(gather_budget_mb=config.gather_budget_mb,

@@ -331,10 +331,14 @@ class MinibatchTrainer:
             } for i in range(n_layers)]
         elif model == "sage":
             keys = jax.random.split(self.init_key, 2 * n_layers)
+            # SAGE_POOL_DIM: pooled-representation width (0 = square,
+            # the original semantics) — same contract as models/sage.init
+            pd = int(getattr(config, "sage_pool_dim", 0) or 0)
             self.params = [{
                 "w_pool": param.init_linear(keys[2 * i], sizes[i],
-                                            sizes[i])["w"],
-                "w": param.init_linear(keys[2 * i + 1], 2 * sizes[i],
+                                            pd or sizes[i])["w"],
+                "w": param.init_linear(keys[2 * i + 1],
+                                       sizes[i] + (pd or sizes[i]),
                                        sizes[i + 1])["w"],
             } for i in range(n_layers)]
         elif model == "gin":

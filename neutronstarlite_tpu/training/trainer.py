@@ -25,8 +25,9 @@ from neutronstarlite_tpu.ops.graph_ops import GraphTensors
 
 def init_model_state(model, key, config):
     """model.init with optional capability kwargs: NUM_HEADS flows to
-    models whose init accepts ``heads`` (multi-head GAT); others reject
-    the flag loudly instead of silently training a different model."""
+    models whose init accepts ``heads`` (multi-head GAT), SAGE_POOL_DIM
+    to models whose init accepts ``pool_dim`` (SAGE); others reject the
+    flag loudly instead of silently training a different model."""
     import inspect
     kwargs = {}
     h = int(getattr(config, "num_heads", 1) or 1)
@@ -37,7 +38,31 @@ def init_model_state(model, key, config):
                 f"{getattr(model, '__name__', model)} (only GAT has "
                 "multi-head attention)")
         kwargs["heads"] = h
+    pd = int(getattr(config, "sage_pool_dim", 0) or 0)
+    if pd:
+        if "pool_dim" not in inspect.signature(model.init).parameters:
+            raise ValueError(
+                f"SAGE_POOL_DIM:{pd} is not supported by model "
+                f"{getattr(model, '__name__', model)} (only SAGE has a "
+                "pooled representation)")
+        kwargs["pool_dim"] = pd
     return model.init(key, config.layer_sizes, **kwargs)
+
+
+def config_forward_kwargs(model, config) -> dict:
+    """Forward-time capability kwargs derived from cfg keys: the TP
+    branch of SAGE's forward needs the global pool width (inside
+    shard_map the per-shard ``w_pool`` column count is already divided
+    by the 'f' axis, so it cannot be inferred from shapes)."""
+    import inspect
+    pd = int(getattr(config, "sage_pool_dim", 0) or 0)
+    if not pd:
+        return {}
+    if "pool_dim" not in inspect.signature(model.forward).parameters:
+        raise ValueError(
+            f"SAGE_POOL_DIM:{pd} is not supported by model "
+            f"{getattr(model, '__name__', model)}")
+    return {"pool_dim": pd}
 
 
 def check_hoist_support(model) -> None:
@@ -93,7 +118,8 @@ class FullGraphTrainer:
         self.datum = datum
         self.config = config
         self.model = model
-        self.model_kwargs = model_kwargs
+        self.model_kwargs = dict(model_kwargs,
+                                 **config_forward_kwargs(model, config))
         from neutronstarlite_tpu.ops import ell as ell_mod
         ell_mod.configure(gather_budget_mb=config.gather_budget_mb,
                           gated_chunk_mb=config.gated_chunk_mb)
