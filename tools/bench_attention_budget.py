@@ -108,6 +108,30 @@ def main():
         "fwdbwd_ms": round(t_fb * 1e3, 2),
     }), flush=True)
 
+    # ---- SAGE extremal (aggregate_max) ----
+    # fwd (train) = one x gather over the fwd slabs (+ winner recording
+    # from the same gather); bwd = _slab_route_win over the bwd slabs:
+    # TWO gather streams per slot (win rows + g rows) — the law prices a
+    # second in-block stream like a multi-tile row (~4x the floor)
+    op3 = jax.jit(lambda e, xx: ell.aggregate_max(e, xx))
+    opg3 = jax.jit(lambda e, xx: jax.grad(
+        lambda a: jnp.sum(ell.aggregate_max(e, a) ** 2))(xx))
+    t_f3 = timeit(op3, eg, x)
+    t_fb3 = timeit(opg3, eg, x)
+    tiles = max(1, -(-f // 128))                  # ceil(F / 128)
+    pred_f3 = fwd_slots * t_over * (1.0 if tiles == 1 else 4.15)
+    # bwd does NOT redo the fwd pass (winners are residuals); the route
+    # pass gathers two F-lane tables per slot
+    pred_b3 = bwd_slots * t_over * 2 * (1.0 if tiles == 1 else 4.15)
+    print(json.dumps({
+        "op": "aggregate_max", "F": f, "dtype": dtype,
+        "fwd_ms": round(t_f3 * 1e3, 2),
+        "fwd_pred_ms": round(pred_f3 * 1e3, 2),
+        "bwd_ms": round((t_fb3 - t_f3) * 1e3, 2),
+        "bwd_pred_ms": round(pred_b3 * 1e3, 2),
+        "fwdbwd_ms": round(t_fb3 * 1e3, 2),
+    }), flush=True)
+
     # ---- GGCN linear (chunked at this scale) ----
     op2 = jax.jit(lambda e, xx, gg, gd: ell.gated_aggregate_linear(
         e, xx, gg, gd, 0.2))

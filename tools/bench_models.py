@@ -49,7 +49,10 @@ def main():
              {"eager": True, "_hoist": True}),
             ("gat", gat, {}), ("gat_h2", gat, {"_heads": 2}),
             ("gat_h4", gat, {"_heads": 4}),
-            ("ggcn", ggcn, {}), ("sage", sage, {}))
+            ("ggcn", ggcn, {}), ("sage", sage, {}),
+            # SAGE_POOL_DIM:128 — the pooled gathers drop from 5 tiles
+            # (F_in=602 square pool) to 1 tile on layer 0
+            ("sage_p128", sage, {"_pool": 128}))
     only = os.environ.get("NSL_BENCH_MODELS")  # comma-separated name filter
     if only:
         wanted = {s.strip() for s in only.split(",")}
@@ -58,12 +61,14 @@ def main():
         kwargs = dict(kwargs)
         hoist = kwargs.pop("_hoist", False)
         heads = kwargs.pop("_heads", 1)
+        pool = kwargs.pop("_pool", 0)
         cfg = InputInfo(vertices=v, epochs=epochs,
                         layer_string="602-128-41", learn_rate=0.01,
                         weight_decay=1e-4,
                         drop_rate=0.5 if name.startswith("gcn") else 0.0,
                         seed=0, dtype=dtype, hoist_l0=hoist)
         cfg.num_heads = heads
+        cfg.sage_pool_dim = pool
         try:
             t0 = time.time()
             tr = FullGraphTrainer(datum, cfg, model=model, backend="pallas",
