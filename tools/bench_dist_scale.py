@@ -56,7 +56,7 @@ def peak_rss_gb():
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
 
-def make_cfg(mode: str, v: int):
+def make_cfg(mode: str, v: int, cache_refresh: int = 2):
     from neutronstarlite_tpu.config import InputInfo
     cfg = InputInfo(vertices=v, epochs=3, layer_string="602-128-41",
                     learn_rate=0.01, weight_decay=1e-4, drop_rate=0.5,
@@ -67,7 +67,11 @@ def make_cfg(mode: str, v: int):
         cfg.overlap = True                  # PROC_OVERLAP split slabs
         cfg.exchange = "ring"               # exact per-step ppermutes
         cfg.shuffle_vertices = True         # the skewed-graph recipe
-        cfg.cache_refresh = 2               # stale DepCache epochs
+        cfg.cache_refresh = cache_refresh   # stale DepCache epochs
+                                            # (--cache-refresh; staleness
+                                            # costs accuracy mid-convergence
+                                            # on attention models — measured
+                                            # r5, BASELINE.md)
     else:
         raise ValueError(mode)
     return cfg
@@ -89,10 +93,10 @@ def timed_epochs(tr, epochs: int):
 
 def run_one(datum, mode: str, p: int, epochs: int, model_name: str = "gcn",
             heads: int = 1, single_acc: float | None = None,
-            acc_tol: float = 0.01):
+            acc_tol: float = 0.01, cache_refresh: int = 2):
     from neutronstarlite_tpu.models import gat, gcn
     from neutronstarlite_tpu.training.dist_trainer import DistTrainer
-    cfg = make_cfg(mode, datum.num_vertices)
+    cfg = make_cfg(mode, datum.num_vertices, cache_refresh)
     model = {"gcn": gcn, "gat": gat}[model_name]
     # GAT has no eager/hoist form; heads exercise the fused multi-head
     # chain (attention_stats_linear_heads under PROC_OVERLAP)
@@ -199,6 +203,7 @@ def main():
     ap.add_argument("--model", default="gcn", choices=("gcn", "gat"))
     ap.add_argument("--heads", type=int, default=1)
     ap.add_argument("--acc-tol", type=float, default=0.01)
+    ap.add_argument("--cache-refresh", type=int, default=2)
     args = ap.parse_args()
     if args.model == "gcn" and args.heads != 1:
         ap.error("--heads applies to gat only (gcn ignores NUM_HEADS; "
@@ -219,7 +224,10 @@ def main():
         for mode in args.modes.split(","):
             rec = run_one(datum, mode, p, args.epochs, args.model,
                           args.heads, single_acc=single_acc,
-                          acc_tol=args.acc_tol)
+                          acc_tol=args.acc_tol,
+                          cache_refresh=args.cache_refresh)
+            rec["cache_refresh"] = (args.cache_refresh if mode == "combo"
+                                    else None)
             rec["model"] = (args.model if args.heads == 1
                             else f"{args.model}_h{args.heads}")
             rec["labels"] = args.labels
