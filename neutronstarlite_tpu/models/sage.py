@@ -83,8 +83,18 @@ def forward(state: SageState, gt, x: jax.Array, key: jax.Array | None,
             pool = gt.aggregate_neighbor_min(t)
         else:
             raise ValueError(aggregator)
-        if tp_axis is None:
+        if tp_axis is None and not pool_dim:
             x = jnp.concatenate([x, pool], axis=-1) @ p["w"]
+        elif tp_axis is None:
+            # non-square pool (SAGE_POOL_DIM): algebraically identical
+            # split form x·W_top + pool·W_bot. NOT a style choice — the
+            # concat form's backward (split of the [V, F_in+P] cotangent
+            # fused with the winner-route pass) crashes libtpu's register
+            # allocator at Reddit scale (RET_CHECK live_range_finder.cc:29,
+            # ~75K-instruction fusion; bisected r5, BASELINE.md "r5 SAGE
+            # per-tile treatment"); the split form compiles and trains.
+            f_in = p["w"].shape[0] - pool_dim
+            x = x @ p["w"][:f_in] + pool @ p["w"][f_in:]
         else:
             # global F_in = w rows minus the GLOBAL pool width. w rows
             # are full even under TP (only output columns shard), but

@@ -518,10 +518,19 @@ class MinibatchTrainer:
     # steps fused per device call: amortizes the per-dispatch host↔device
     # round trip (~30 ms on the tunnel) over many batches via lax.scan
     DEVICE_STEPS_PER_CALL = 32
+    # adaptive call lengths (descending; last = the padded-tail fallback).
+    # A FIXED 32-step scan quantizes every split up to 32 executed
+    # sample+forward units: digits21k's val split (1 real batch) paid a
+    # full 0.38 s scan, and a whole TTA pass ran 140 padded steps for 45
+    # real batches — 50% of the 1.52 s/pass was padding (measured r5,
+    # tools/profile_sampled.py). Greedy decomposition over these sizes
+    # executes ~real_batches steps instead, at ≤3 extra jit programs.
+    DEVICE_SCAN_SIZES = (32, 8, 1)
 
-    def _make_device_epoch(self, training: bool):
+    def _make_device_epoch(self, training: bool,
+                           n_steps: int | None = None):
         step = self._make_device_step(training)
-        n_steps = self.DEVICE_STEPS_PER_CALL
+        n_steps = n_steps or self.DEVICE_STEPS_PER_CALL
 
         def epoch_fn(params, opt_state, features, labels_all, samp, seeds_2d,
                      key):
@@ -543,14 +552,14 @@ class MinibatchTrainer:
         return jax.jit(epoch_fn)
 
     def run_epoch_device(self, split: str = "train"):
-        """Device-sampled epoch: lax.scan runs DEVICE_STEPS_PER_CALL batches
-        (sample→train) per dispatch; only seed arrays leave the host."""
+        """Device-sampled epoch: lax.scan runs up to DEVICE_STEPS_PER_CALL
+        batches (sample→train) per dispatch; only seed arrays leave the
+        host. Calls are sized greedily from DEVICE_SCAN_SIZES so a split
+        executes ~its real batch count instead of the next multiple of
+        32 (padded steps run the full sample+forward compute)."""
         training = split == "train"
         if not hasattr(self, "_epoch_dev"):
-            self._epoch_dev = {
-                True: self._make_device_epoch(True),
-                False: self._make_device_epoch(False)}
-        epoch_fn = self._epoch_dev[training]
+            self._epoch_dev = {}   # (training, scan_len) -> jitted epoch
         ds = self.dev_sampler
         samp = (ds.offsets, ds.nbr, ds.out_degree, ds.in_degree)
         nids = self.nids[split]
@@ -561,20 +570,25 @@ class MinibatchTrainer:
             int(jax.random.randint(ko, (), 0, 2**31 - 1))
         ).permutation(nids) if training else nids
         bs = self.config.batch_size
-        sb = bs * self.DEVICE_STEPS_PER_CALL     # seeds per device call
         rows = []   # [loss_sum, live, correct, count] per device call —
         # materialized with ONE transfer after the loop (each float()/int()
         # here would pay a device→host round trip per call; see trainer.py
         # _pack_stats)
-        for i in range(0, max(order.size, 1), sb):
-            chunk = order[i:i + sb].astype(np.int32)
-            if chunk.size == 0:
-                break
-            if chunk.size < sb:
+        pos = 0
+        while pos < order.size:
+            rem = order.size - pos
+            s = next((z for z in self.DEVICE_SCAN_SIZES if z * bs <= rem),
+                     self.DEVICE_SCAN_SIZES[-1])
+            epoch_fn = self._epoch_dev.get((training, s))
+            if epoch_fn is None:
+                epoch_fn = self._make_device_epoch(training, s)
+                self._epoch_dev[(training, s)] = epoch_fn
+            chunk = order[pos:pos + s * bs].astype(np.int32)
+            pos += chunk.size
+            if chunk.size < s * bs:
                 chunk = np.concatenate(
-                    [chunk, np.full(sb - chunk.size, -1, np.int32)])
-            seeds_2d = jnp.asarray(
-                chunk.reshape(self.DEVICE_STEPS_PER_CALL, bs))
+                    [chunk, np.full(s * bs - chunk.size, -1, np.int32)])
+            seeds_2d = jnp.asarray(chunk.reshape(s, bs))
             self.run_key, k = jax.random.split(self.run_key)
             with self.timer.phase(f"{split}_dev_scan"):
                 (self.params, self.opt_state, loss_sum, live, c, n) =                     epoch_fn(self.params, self.opt_state, self.features,

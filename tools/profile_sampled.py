@@ -70,13 +70,20 @@ def decompose(datum, batch, fanout_s, label):
     for split in ("train", "val", "test"):
         nids = tr.nids[split]
         real = -(-nids.size // batch)                 # ceil
-        calls = -(-nids.size // (batch * n_steps))
+        # replay the greedy DEVICE_SCAN_SIZES decomposition for the record
+        calls, executed, rem = 0, 0, nids.size
+        while rem > 0:
+            s = next((z for z in tr.DEVICE_SCAN_SIZES if z * batch <= rem),
+                     tr.DEVICE_SCAN_SIZES[-1])
+            calls += 1
+            executed += s
+            rem -= min(rem, s * batch)
         t0 = time.perf_counter()
         tr.run_epoch(split)                           # includes final sync
         wall = time.perf_counter() - t0
         splits[split] = {"nids": int(nids.size), "real_batches": real,
                          "scan_calls": calls,
-                         "executed_steps": calls * n_steps,
+                         "executed_steps": executed,
                          "wall_s": round(wall, 3)}
 
     # ---- in-step decomposition over one 32-step scan ----
@@ -124,10 +131,7 @@ def decompose(datum, batch, fanout_s, label):
         _, acc = jax.lax.scan(body, 0.0, (seeds_2d, keys))
         return acc
 
-    full = tr._epoch_dev[True] if hasattr(tr, "_epoch_dev") else None
-    if full is None:
-        tr.run_epoch("train")
-        full = tr._epoch_dev[True]
+    full = tr._make_device_epoch(True, n_steps)
 
     t_samp = timeit(scan_sample, samp, seeds, key)
     t_fwd = timeit(scan_fwd, tr.params, tr.features, tr.labels_dev, samp,
