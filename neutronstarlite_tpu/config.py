@@ -122,6 +122,17 @@ class InputInfo:
                                     # predict() logits (eval-mode forward,
                                     # user vertex order) to this .npy —
                                     # the serving/inference surface
+    sample_rescale: bool = False    # SAMPLE_RESCALE: scale each sampled
+                                    # edge's norm weight by deg_in/k_sampled
+                                    # so the fanout-capped aggregate is an
+                                    # UNBIASED estimate of the full-graph
+                                    # one. Default off = reference parity
+                                    # (MiniBatchFuseOp uses raw global-
+                                    # degree norms, which attenuate the
+                                    # aggregate by k/deg — at deg>>fanout
+                                    # the logits freeze; measured r5 at
+                                    # deg 1600: loss pinned at ln(C)
+                                    # without this, converges with it).
     sage_pool_dim: int = 0          # SAGE_POOL_DIM: width of SAGE's
                                     # pooled representation (w_pool:
                                     # [F_in, P]). 0 = square [F_in, F_in]
@@ -228,6 +239,8 @@ class InputInfo:
             "NUM_HEADS": lambda: setattr(self, "num_heads", int(val)),
             "SAGE_POOL_DIM": lambda: setattr(self, "sage_pool_dim",
                                              int(val)),
+            "SAMPLE_RESCALE": lambda: setattr(self, "sample_rescale",
+                                              flag(val)),
             "RESUME": lambda: setattr(self, "resume", flag(val)),
             "PREDICT_OUT": lambda: setattr(self, "predict_out", val),
         }

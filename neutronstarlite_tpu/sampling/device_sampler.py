@@ -107,7 +107,8 @@ def sample_block(key: jax.Array, offsets: jax.Array, nbr: jax.Array,
                  out_degree: jax.Array, in_degree: jax.Array,
                  seeds: jax.Array, fanout: Sequence[int], num_vertices: int,
                  caps: Sequence[int], scaps: Sequence[int],
-                 replace: bool = False, include_dst: bool = False):
+                 replace: bool = False, include_dst: bool = False,
+                 rescale: bool = False):
     """Full multi-hop block (device analogue of Sampler.sample_one).
 
     Returns (dst0, tables, idxs, ws) with the same layout the minibatch
@@ -150,6 +151,13 @@ def sample_block(key: jax.Array, offsets: jax.Array, nbr: jax.Array,
             valid & (ids < num_vertices),
             1.0 / jnp.sqrt(jnp.maximum(od, 1) * jnp.maximum(idg, 1)), 0.0
         ).astype(jnp.float32)
+        if rescale:
+            # SAMPLE_RESCALE: deg_in/k_sampled makes the fanout-capped sum
+            # an unbiased estimate of the full-graph aggregate (without
+            # replacement k == min(fo, deg), so deg <= fo scales by 1)
+            k_eff = jnp.sum((w != 0).astype(jnp.float32), axis=1,
+                            keepdims=True)
+            w = w * (jnp.maximum(idg, 1.0) / jnp.maximum(k_eff, 1.0))
         tables.append(table)
         idxs.append(nbr_idx)
         ws.append(w)
@@ -164,7 +172,8 @@ class DeviceSampler:
 
     def __init__(self, graph, fanout: Sequence[int], batch_size: int,
                  caps: Sequence[int], scaps: Sequence[int],
-                 replace: bool = False, include_dst: bool = False):
+                 replace: bool = False, include_dst: bool = False,
+                 rescale: bool = False):
         # int32 offsets halve HBM traffic but overflow at 2^31 edges
         # (ADVICE.md r1); keep int64 for graphs that big.
         off_dtype = "int32" if graph.num_edges < 2 ** 31 else "int64"
@@ -179,11 +188,12 @@ class DeviceSampler:
         self.scaps = list(scaps)
         self.replace = replace
         self.include_dst = include_dst
+        self.rescale = rescale
         self._fn = jax.jit(partial(
             sample_block, fanout=tuple(self.fanout),
             num_vertices=self.num_vertices, caps=tuple(self.caps),
             scaps=tuple(self.scaps), replace=replace,
-            include_dst=include_dst))
+            include_dst=include_dst, rescale=rescale))
 
     def __call__(self, key: jax.Array, seeds: jax.Array):
         """seeds: [batch_size] int32 (pad with -1)."""

@@ -72,7 +72,7 @@ class Sampler:
 
     def __init__(self, graph: Graph, nids: np.ndarray, batch_size: int,
                  fanout: Sequence[int], seed: int = 0, shuffle: bool = True,
-                 include_dst: bool = False):
+                 include_dst: bool = False, rescale: bool = False):
         self.graph = graph
         self.nids = np.asarray(nids, dtype=np.int32)
         self.batch_size = int(batch_size)
@@ -87,6 +87,8 @@ class Sampler:
         # extras become next-hop dsts too (the chain src_tables[h] ==
         # dst_ids[h+1] must stay intact so their features exist).
         self.include_dst = include_dst
+        # SAMPLE_RESCALE: deg_in/k_sampled correction (see device_sampler)
+        self.rescale = rescale
         self._dedup = None
         self._order = self.nids.copy()
         self.restart()
@@ -175,6 +177,13 @@ class Sampler:
                 np.maximum(g.out_degree[vsrc], 1).astype(np.float64)
                 * np.maximum(g.in_degree[vdst], 1).astype(np.float64))
             w[valid.reshape(cap, fo)] = w_vals.astype(np.float32)
+            if self.rescale:
+                # SAMPLE_RESCALE: deg_in/k_sampled unbiased correction
+                vm = valid.reshape(cap, fo)
+                k_eff = np.maximum(vm.sum(axis=1, keepdims=True), 1)
+                idg = np.maximum(
+                    g.in_degree[np.clip(cur, 0, None)], 1)[:, None]
+                w *= (idg / k_eff).astype(np.float32)
 
             dst_ids.append(cur.astype(np.int32))
             if self.include_dst:

@@ -378,16 +378,17 @@ class MinibatchTrainer:
         nids = split_nids_by_mask(datum.masks)
         g = datum.graph
         bs = config.batch_size
+        rescale = bool(getattr(config, "sample_rescale", False))
         self.samplers = {
             "train": Sampler(g, nids["train"], bs, self.fanout,
                              seed=config.seed, shuffle=shuffle,
-                             include_dst=include_dst),
+                             include_dst=include_dst, rescale=rescale),
             "val": Sampler(g, nids["val"], bs, self.fanout,
                            seed=config.seed + 1, shuffle=False,
-                           include_dst=include_dst),
+                           include_dst=include_dst, rescale=rescale),
             "test": Sampler(g, nids["test"], bs, self.fanout,
                             seed=config.seed + 2, shuffle=False,
-                            include_dst=include_dst),
+                            include_dst=include_dst, rescale=rescale),
         }
         self._train_step = jax.jit(self._make_step(training=True))
         self._eval_step = jax.jit(self._make_step(training=False))
@@ -406,7 +407,8 @@ class MinibatchTrainer:
             self.dev_sampler = DeviceSampler(g, self.fanout, bs, self.caps,
                                              self.scaps,
                                              replace=(sb == "device_wr"),
-                                             include_dst=include_dst)
+                                             include_dst=include_dst,
+                                             rescale=rescale)
             self.labels_dev = jnp.asarray(datum.labels.astype(np.int32))
             self.nids = nids
 
@@ -475,7 +477,8 @@ class MinibatchTrainer:
                 ks, offsets, nbr, out_deg, in_deg, seeds,
                 fanout=tuple(ds.fanout), num_vertices=ds.num_vertices,
                 caps=tuple(ds.caps), scaps=tuple(ds.scaps),
-                replace=ds.replace, include_dst=ds.include_dst)
+                replace=ds.replace, include_dst=ds.include_dst,
+                rescale=ds.rescale)
             dst0 = block[0]
             labels = jnp.where(
                 dst0 >= 0,
@@ -941,7 +944,8 @@ class DistMinibatchTrainer(MinibatchTrainer):
                 ks, offsets, nbr, out_deg, in_deg, seeds,
                 fanout=tuple(ds.fanout), num_vertices=ds.num_vertices,
                 caps=tuple(ds.caps), scaps=tuple(ds.scaps),
-                replace=ds.replace, include_dst=ds.include_dst)
+                replace=ds.replace, include_dst=ds.include_dst,
+                rescale=ds.rescale)
             dst0 = block[0]
             labels = jnp.where(dst0 >= 0,
                                jnp.take(labels_all, jnp.clip(dst0, 0)), 0)

@@ -109,6 +109,11 @@ def run_sampled(datum, epochs: int):
     cfg.fanout_string = "10-15"
     cfg.batch_size = 512
     cfg.sampler_backend = "device"
+    # deg >> fanout: without the unbiased deg/k weight correction the
+    # fanout-capped aggregate attenuates ~160x per layer and the logits
+    # freeze at ln(C) (measured r5) — reference-parity raw norms are for
+    # reference-scale degree/fanout ratios
+    cfg.sample_rescale = True
     t0 = time.time()
     tr = MinibatchTrainer(datum, cfg, model="gcn")
     hist = tr.run(epochs=1)              # compile + first full pass
