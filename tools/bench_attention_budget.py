@@ -28,6 +28,10 @@ A pass whose measured time tracks its model is AT the floor; one that
 exceeds it is the next fusion target.
 
 Usage: python tools/bench_attention_budget.py [F] [dtype]   (TPU)
+Env: NSL_BUDGET_OPS — comma-separated subset of {attn, gated, extremal}
+     (spmm_floor always runs; e.g. NSL_BUDGET_OPS=extremal for the F=602
+     SAGE-width run, where the attention/gated sections would dominate
+     the wall for nothing)
 """
 
 import json
@@ -85,74 +89,80 @@ def main():
     def t_pass(slots, lanes):
         return slots * t_over * (1.0 if lanes <= 128 else 4.15)
 
+    ops = set((os.environ.get("NSL_BUDGET_OPS") or "attn,gated,extremal")
+              .split(","))
+
     # ---- GAT linear ----
-    op = jax.jit(lambda e, xx, al, sd: ell.attention_aggregate_linear(
-        e, xx, al, sd, 0.2))
-    opg = jax.jit(lambda e, xx, al, sd: jax.grad(
-        lambda a, b, c: jnp.sum(
-            ell.attention_aggregate_linear(e, a, b, c, 0.2) ** 2),
-        argnums=(0, 1, 2))(xx, al, sd)[0])
-    t_f = timeit(op, eg, x, a_l, s_dst)
-    t_fb = timeit(opg, eg, x, a_l, s_dst)
-    pred_f = t_pass(fwd_slots, f)
-    # F+4 > 128: g gather (1 tile) + standalone stats pre-gather (1.3×)
-    stats_term = 0.0 if f + 4 <= 128 else bwd_slots * t_over * 1.3
-    pred_b = t_pass(fwd_slots, f) + t_pass(bwd_slots, min(f + 4, 128)) \
-        + stats_term
-    print(json.dumps({
-        "op": "attention_aggregate_linear", "F": f, "dtype": dtype,
-        "fwd_ms": round(t_f * 1e3, 2),
-        "fwd_pred_ms": round(pred_f * 1e3, 2),
-        "bwd_ms": round((t_fb - t_f) * 1e3, 2),
-        "bwd_pred_ms": round(pred_b * 1e3, 2),
-        "fwdbwd_ms": round(t_fb * 1e3, 2),
-    }), flush=True)
+    if "attn" in ops:
+        op = jax.jit(lambda e, xx, al, sd: ell.attention_aggregate_linear(
+            e, xx, al, sd, 0.2))
+        opg = jax.jit(lambda e, xx, al, sd: jax.grad(
+            lambda a, b, c: jnp.sum(
+                ell.attention_aggregate_linear(e, a, b, c, 0.2) ** 2),
+            argnums=(0, 1, 2))(xx, al, sd)[0])
+        t_f = timeit(op, eg, x, a_l, s_dst)
+        t_fb = timeit(opg, eg, x, a_l, s_dst)
+        pred_f = t_pass(fwd_slots, f)
+        # F+4 > 128: g gather (1 tile) + standalone stats pre-gather (1.3×)
+        stats_term = 0.0 if f + 4 <= 128 else bwd_slots * t_over * 1.3
+        pred_b = t_pass(fwd_slots, f) + t_pass(bwd_slots, min(f + 4, 128)) \
+            + stats_term
+        print(json.dumps({
+            "op": "attention_aggregate_linear", "F": f, "dtype": dtype,
+            "fwd_ms": round(t_f * 1e3, 2),
+            "fwd_pred_ms": round(pred_f * 1e3, 2),
+            "bwd_ms": round((t_fb - t_f) * 1e3, 2),
+            "bwd_pred_ms": round(pred_b * 1e3, 2),
+            "fwdbwd_ms": round(t_fb * 1e3, 2),
+        }), flush=True)
 
     # ---- SAGE extremal (aggregate_max) ----
     # fwd (train) = one x gather over the fwd slabs (+ winner recording
     # from the same gather); bwd = _slab_route_win over the bwd slabs:
     # TWO gather streams per slot (win rows + g rows) — the law prices a
     # second in-block stream like a multi-tile row (~4x the floor)
-    op3 = jax.jit(lambda e, xx: ell.aggregate_max(e, xx))
-    opg3 = jax.jit(lambda e, xx: jax.grad(
-        lambda a: jnp.sum(ell.aggregate_max(e, a) ** 2))(xx))
-    t_f3 = timeit(op3, eg, x)
-    t_fb3 = timeit(opg3, eg, x)
-    tiles = max(1, -(-f // 128))                  # ceil(F / 128)
-    pred_f3 = fwd_slots * t_over * (1.0 if tiles == 1 else 4.15)
-    # bwd does NOT redo the fwd pass (winners are residuals); the route
-    # pass gathers two F-lane tables per slot
-    pred_b3 = bwd_slots * t_over * 2 * (1.0 if tiles == 1 else 4.15)
-    print(json.dumps({
-        "op": "aggregate_max", "F": f, "dtype": dtype,
-        "fwd_ms": round(t_f3 * 1e3, 2),
-        "fwd_pred_ms": round(pred_f3 * 1e3, 2),
-        "bwd_ms": round((t_fb3 - t_f3) * 1e3, 2),
-        "bwd_pred_ms": round(pred_b3 * 1e3, 2),
-        "fwdbwd_ms": round(t_fb3 * 1e3, 2),
-    }), flush=True)
+    if "extremal" in ops:
+        op3 = jax.jit(lambda e, xx: ell.aggregate_max(e, xx))
+        opg3 = jax.jit(lambda e, xx: jax.grad(
+            lambda a: jnp.sum(ell.aggregate_max(e, a) ** 2))(xx))
+        t_f3 = timeit(op3, eg, x)
+        t_fb3 = timeit(opg3, eg, x)
+        tiles = max(1, -(-f // 128))              # ceil(F / 128)
+        pred_f3 = fwd_slots * t_over * (1.0 if tiles == 1 else 4.15)
+        # bwd does NOT redo the fwd pass (winners are residuals); the
+        # route pass gathers two F-lane tables per slot
+        pred_b3 = bwd_slots * t_over * 2 * (1.0 if tiles == 1 else 4.15)
+        print(json.dumps({
+            "op": "aggregate_max", "F": f, "dtype": dtype,
+            "fwd_ms": round(t_f3 * 1e3, 2),
+            "fwd_pred_ms": round(pred_f3 * 1e3, 2),
+            "bwd_ms": round((t_fb3 - t_f3) * 1e3, 2),
+            "bwd_pred_ms": round(pred_b3 * 1e3, 2),
+            "fwdbwd_ms": round(t_fb3 * 1e3, 2),
+        }), flush=True)
 
     # ---- GGCN linear (chunked at this scale) ----
-    op2 = jax.jit(lambda e, xx, gg, gd: ell.gated_aggregate_linear(
-        e, xx, gg, gd, 0.2))
-    opg2 = jax.jit(lambda e, xx, gg, gd: jax.grad(
-        lambda a, b, c: jnp.sum(
-            ell.gated_aggregate_linear(e, a, b, c, 0.2) ** 2),
-        argnums=(0, 1, 2))(xx, gg, gd)[0])
-    t_f2 = timeit(op2, eg, x, gl, g_dst)
-    t_fb2 = timeit(opg2, eg, x, gl, g_dst)
-    pred_f2 = t_pass(fwd_slots, f)
-    # pass C gathers x rows (F lanes, 1 tile; per-row args ~free); pass E
-    # gathers the 4F-lane stats table (4 tiles)
-    pred_b2 = t_pass(fwd_slots, f) + t_pass(bwd_slots, 4 * f)
-    print(json.dumps({
-        "op": "gated_aggregate_linear", "F": f, "dtype": dtype,
-        "fwd_ms": round(t_f2 * 1e3, 2),
-        "fwd_pred_ms": round(pred_f2 * 1e3, 2),
-        "bwd_ms": round((t_fb2 - t_f2) * 1e3, 2),
-        "bwd_pred_ms": round(pred_b2 * 1e3, 2),
-        "fwdbwd_ms": round(t_fb2 * 1e3, 2),
-    }), flush=True)
+    if "gated" in ops:
+        op2 = jax.jit(lambda e, xx, gg, gd: ell.gated_aggregate_linear(
+            e, xx, gg, gd, 0.2))
+        opg2 = jax.jit(lambda e, xx, gg, gd: jax.grad(
+            lambda a, b, c: jnp.sum(
+                ell.gated_aggregate_linear(e, a, b, c, 0.2) ** 2),
+            argnums=(0, 1, 2))(xx, gg, gd)[0])
+        t_f2 = timeit(op2, eg, x, gl, g_dst)
+        t_fb2 = timeit(opg2, eg, x, gl, g_dst)
+        pred_f2 = t_pass(fwd_slots, f)
+        # pass C gathers x rows (F lanes, 1 tile; per-row args ~free);
+        # pass E gathers the 4F-lane stats table (4 tiles)
+        pred_b2 = t_pass(fwd_slots, f) + t_pass(bwd_slots, 4 * f)
+        print(json.dumps({
+            "op": "gated_aggregate_linear", "F": f, "dtype": dtype,
+            "fwd_ms": round(t_f2 * 1e3, 2),
+            "fwd_pred_ms": round(pred_f2 * 1e3, 2),
+            "bwd_ms": round((t_fb2 - t_f2) * 1e3, 2),
+            "bwd_pred_ms": round(pred_b2 * 1e3, 2),
+            "fwdbwd_ms": round(t_fb2 * 1e3, 2),
+        }), flush=True)
 
 
 if __name__ == "__main__":
