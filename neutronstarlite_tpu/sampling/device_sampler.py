@@ -14,8 +14,10 @@ moves the hop sampling onto the device:
   ntsSampler.hpp:113-172); ``replace=True`` (cfg SAMPLER:device_wr) is a
   cheaper with-replacement mode whose estimator bias vanishes as degree
   grows (measured <1pt accuracy delta in tests/test_sampler.py);
-* source dedup + local relabel (sampCSC::postprocessing) is a sort /
-  adjacent-unique / searchsorted sequence — all static shapes;
+* source dedup + local relabel (sampCSC::postprocessing) is a kv-sort /
+  adjacent-unique / rank-cumsum / un-permute-sort sequence — all static
+  shapes (searchsorted is avoided: it lowers to log2(scap) rounds of
+  one-lane gathers, ~10 ms/step at TTA shapes on this stack);
 * the sampled block feeds the same ELL hop compute as the host path.
 
 Everything is jit-compatible: one compiled function per (batch, fanout)
@@ -88,17 +90,30 @@ def dedup_relabel(flat_ids: jax.Array, num_vertices: int, table_cap: int):
     """[N] global ids (sentinel V = padding) → (table [table_cap] int32
     (-1 padded), local [N] indices into the table).
 
-    sampCSC::postprocessing with static shapes: sort → adjacent-unique →
-    compact to the front → searchsorted relabel.
+    sampCSC::postprocessing with static shapes: key-value sort →
+    adjacent-unique → rank by cumsum → un-permute sort.  r5: the relabel
+    carries the rank back through a second kv-sort instead of
+    jnp.searchsorted — on this stack searchsorted lowers to
+    ceil(log2(scap)) rounds of one-lane gathers and cost ~10 ms/step at
+    the TTA shape (76.8K flat ids) while the three bitonic sorts
+    together cost ~0.3 ms (tools/probe_sampled_fwd4.py); outputs are
+    identical except the local index assigned to PADDING slots
+    (in-range either way, and every consumer multiplies those lanes by
+    weight 0).
     """
-    s = jnp.sort(flat_ids)
+    n = flat_ids.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    s, p = jax.lax.sort((flat_ids, pos), num_keys=1)
     first = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
     first = first & (s < num_vertices)
     uniq = jnp.where(first, s, num_vertices)
     uniq = jnp.sort(uniq)[:table_cap]                 # unique ids first
     table = jnp.where(uniq < num_vertices, uniq, -1).astype(jnp.int32)
-    # relabel: padding ids (==V) get index 0 (consumers mask by weight)
-    local = jnp.searchsorted(uniq, jnp.clip(flat_ids, 0, num_vertices - 1))
+    # rank[i] = index of s[i]'s unique id in ``uniq`` (padding rows
+    # inherit the last real rank — weight-masked downstream); sorting
+    # (original position, rank) un-permutes the ranks to input order
+    rank = jnp.cumsum(first.astype(jnp.int32)) - 1
+    _, local = jax.lax.sort((p, rank), num_keys=1)
     local = jnp.clip(local, 0, table_cap - 1).astype(jnp.int32)
     return table, local
 

@@ -158,6 +158,19 @@ class TestDeviceSampler:
         for i, x in enumerate(flat):
             if x < v:
                 assert table[local[i]] == x
+        # randomized cross-check vs numpy (r5: the relabel is a kv-sort
+        # rank carry, not searchsorted — contract must be unchanged)
+        r = np.random.default_rng(3)
+        flat = np.where(r.random(500) < 0.1, v,
+                        r.integers(0, 40, 500)).astype(np.int32)
+        table, local = dedup_relabel(jnp.asarray(flat), v, 500)
+        table, local = np.asarray(table), np.asarray(local)
+        uniq = np.unique(flat[flat < v])
+        assert np.array_equal(table[:uniq.size], uniq)
+        assert np.all(table[uniq.size:] == -1)
+        real = flat < v
+        assert np.array_equal(table[local[real]], flat[real])
+        assert local.min() >= 0 and local.max() < 500
 
     def test_device_dead_steps_are_noops(self, sbm):
         """The device epoch pads seeds to bs*DEVICE_STEPS_PER_CALL; the

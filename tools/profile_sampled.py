@@ -110,7 +110,15 @@ def decompose(datum, batch, fanout_s, label):
         def body(c, inp):
             s, k = inp
             block = samp_fn(k, *samp, s)
-            return c, jnp.sum(block[1][-1])           # consume the block
+            # consume EVERY output — r5 found that consuming only the
+            # tables lets XLA dead-code-eliminate the local-index relabel
+            # (probe_sampled_fwd3/4), which silently moved ~9 ms/step of
+            # sampler cost into the "forward" attribution
+            tot = jnp.sum(block[0])
+            for part in block[1:]:
+                for a in part:
+                    tot = tot + jnp.sum(a)
+            return c, tot
         _, acc = jax.lax.scan(body, 0.0, (seeds_2d, keys))
         return acc
 
