@@ -553,21 +553,52 @@ def _ext_fwd_impl(ell: EllGraph, x, want_win, use_gpos=False, raw=False):
     return out, win
 
 
-def _slab_route_win(idx, valid, perm, win, gtab, k):
-    """dx rows over a backward slab: dx[s,f] = Σ_k [perm[s,k] == win[dst,f]]
-    · g[dst,f] — one int32 + one feature gather per block, summed over K."""
-    rows = idx.shape[0]
-    f = win.shape[-1]
-    if rows == 0:
-        return jnp.zeros((0, f), jnp.float32)
-    bv = _block_rows(rows, 3 * k * f * 4)
+def _pack_win_g(win, gtab):
+    """[V, 2F] int32: recorded winners ∥ f32-bitcast dst cotangents —
+    ONE gather stream for the route pass (exact: the bitcast roundtrips;
+    gtab is cast to f32 first, which is exact from bf16)."""
+    return jnp.concatenate(
+        [win, jax.lax.bitcast_convert_type(gtab.astype(jnp.float32),
+                                           jnp.int32)], axis=1)
 
-    def block(args):
-        ib, vb, pb = args
-        wg = jnp.take(win, ib, axis=0)                        # [bv, K, F] i32
-        gg = jnp.take(gtab, ib, axis=0).astype(jnp.float32)   # [bv, K, F]
-        mask = vb[:, :, None] & (wg == pb[:, :, None])
-        return jnp.sum(jnp.where(mask, gg, 0.0), axis=1)
+
+def _slab_route_win(idx, valid, perm, packed, k):
+    """dx rows over a backward slab: dx[s,f] = Σ_k [perm[s,k] == win[dst,f]]
+    · g[dst,f].  r5, WIDTH-ADAPTIVE: for F ≤ 128 gather the ONE packed
+    [V, 2F] winners∥cotangents table per block (−31% measured: bwd 221
+    vs 322 ms at Reddit scale/F=128 — a 2nd in-block gather stream costs
+    +81% over one stream, the extra TILE of a ≤2-tile row only +25%);
+    for F > 128 keep the two separate F-lane streams (at F=602 the
+    packed 10-tile row measured +22% WORSE than 2 × 5-tile streams —
+    the tile charge overtakes the stream charge). In-process A/B:
+    tools/probe_ext_ab.py; both forms read the same packed table."""
+    rows = idx.shape[0]
+    if isinstance(packed, tuple):                 # F > 128: two streams
+        win, gtab = packed
+        f = win.shape[-1]
+        if rows == 0:
+            return jnp.zeros((0, f), jnp.float32)
+        bv = _block_rows(rows, 3 * k * f * 4)
+
+        def block(args):
+            ib, vb, pb = args
+            wg = jnp.take(win, ib, axis=0)                    # [bv, K, F]
+            gg = jnp.take(gtab, ib, axis=0).astype(jnp.float32)
+            mask = vb[:, :, None] & (wg == pb[:, :, None])
+            return jnp.sum(jnp.where(mask, gg, 0.0), axis=1)
+    else:                                         # F ≤ 128: packed stream
+        f = packed.shape[-1] // 2
+        if rows == 0:
+            return jnp.zeros((0, f), jnp.float32)
+        bv = _block_rows(rows, 3 * k * f * 4)
+
+        def block(args):
+            ib, vb, pb = args
+            both = jnp.take(packed, ib, axis=0)               # [bv, K, 2F]
+            wg = both[:, :, :f]
+            gg = jax.lax.bitcast_convert_type(both[:, :, f:], jnp.float32)
+            mask = vb[:, :, None] & (wg == pb[:, :, None])
+            return jnp.sum(jnp.where(mask, gg, 0.0), axis=1)
 
     return _map_row_blocks(block, (idx, valid, perm), rows, bv)
 
@@ -596,16 +627,19 @@ def _route_ext_bwd(ell: EllGraph, win, g, use_gpos=False):
     win_pad = jnp.pad(win, ((0, vd_pad - win.shape[0]), (0, 0)),
                       constant_values=_WIN_NONE)
     gc = ell.cast_in(jnp.pad(g, ((0, vd_pad - g.shape[0]), (0, 0))))
+    # one table for both slab calls; tuple = two-stream form for wide rows
+    packed = _pack_win_g(win_pad, gc) if win.shape[-1] <= 128 \
+        else (win_pad, gc)
     perm = ell.b_gpos if use_gpos else ell.b_perm
     tperm = ell.b_tail_gpos if use_gpos else ell.b_tail_perm
     # b_perm's padding slots point at the trailing dummy position, which is
     # strictly greater than any recorded winner and != _WIN_NONE only by
     # construction (gpos padding IS _WIN_NONE) — mask on b_w anyway
-    dx = _slab_route_win(ell.b_idx, ell.b_w != 0, perm, win_pad, gc,
+    dx = _slab_route_win(ell.b_idx, ell.b_w != 0, perm, packed,
                          kb)[:ell.num_src]
     if ell.b_tail_idx.shape[0]:
         t = _slab_route_win(ell.b_tail_idx, ell.b_tail_w != 0,
-                            tperm, win_pad, gc, kb)
+                            tperm, packed, kb)
         dx = _tail_combine(dx, t, ell.b_tail_rows, ell.num_src)
     return dx
 
