@@ -206,6 +206,27 @@ class TestDistOpZoo:
         np.testing.assert_allclose(y, y0, rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(g, g0, rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.parametrize("width", [96, 160])
+    def test_overlap_max_wide_lanes_matches_single(self, sbm, width):
+        """The r5 width-adaptive winner-route THROUGH the cross-set merge:
+        aggregate_max_pair's backward routes against the gpos slabs with
+        the same packed (F <= 128) / two-stream (F > 128) split as the
+        single-set op, and the fixture's 12-lane features never reach the
+        wide branch — widen the table in-chain (distinct per-lane scales
+        so winners differ across lanes) and pin both branches to the
+        segment oracle through the PROC_OVERLAP local/remote split."""
+        reps = -(-width // sbm.features.shape[1])
+        scale = jnp.arange(1, width + 1, dtype=jnp.float32) / width
+
+        def chain(gt, x):
+            xw = jnp.tile(x, (1, reps))[:, :width] * scale
+            return gt.aggregate_neighbor_max(gt.get_dep_nbr(xw))
+
+        y, g, _ = _dist_run(sbm, chain, with_grad=True, overlap=True)
+        y0, g0 = _single_oracle(sbm, chain, with_grad=True)
+        np.testing.assert_allclose(y, y0, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(g, g0, rtol=1e-4, atol=1e-5)
+
     def test_max_grad_routes_to_first_extremal(self, sbm):
         """Tie: duplicate edges share the extremal value; gradient must go
         to exactly ONE edge per (dst, lane) on both engines → grads equal."""

@@ -286,3 +286,23 @@ class TestEllExtremal:
         gx = jax.grad(make_f(gt_x))(x)
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
                                    rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("width", [96, 160])
+    def test_winner_route_width_branches(self, small_graph, width):
+        """The r5 width-adaptive winner-route backward
+        (ell._slab_route_win): F <= 128 ships ONE packed [V, 2F]
+        winners ∥ f32-bitcast-cotangent gather stream, F > 128 keeps two
+        separate F-lane streams. Every other extremal test runs at
+        F <= 16, so without this the F > 128 branch has no unit
+        coverage — pin BOTH branches (one width each side of the
+        threshold) to the segment oracle, values and first-extremal tie
+        routing, on relu-style tie-heavy inputs."""
+        r = np.random.default_rng(5)
+        x = jnp.asarray(np.maximum(r.standard_normal(
+            (small_graph.num_vertices, width)), 0).astype(np.float32))
+        gt_p = GraphTensors.from_graph(small_graph, backend="pallas")
+        gt_x = GraphTensors.from_graph(small_graph, backend="xla")
+        (vp, gp), (vx, gx) = self._grad_pair(
+            gt_p, gt_x, x, "aggregate_neighbor_max")
+        np.testing.assert_allclose(vp, vx, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(gp, gx, rtol=1e-5, atol=1e-6)
